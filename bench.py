@@ -1,0 +1,53 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from similarity_analysis_big_data_spark.plans import registry
+from similarity_analysis_big_data_spark.session import get_session
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session(app_name="sabds-bench", master=f"local[{cpus}]")
+
+    headliners = registry.headline_queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in sorted(headliners.items()):
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # force full materialization without collecting to the driver
+        df.write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - start
+        timings[name] = round(elapsed, 3)
+        total += elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,703 @@
+"""Relational core queries (SURVEY.md §2.2-§2.8 + [ext] rows).
+
+Each query is the Spark-native mapping of an operator family the reference
+exercises (file:line cited per query), expressed declaratively so Catalyst
+supplies pushdown/pruning/join-strategy/AQE, plus the engine-surface
+extensions the survey marks [ext] (windows, set ops, cube/rollup, semi/anti
+joins, JSON + time functions, as-of join).
+
+Scale notes are inline per query: what shuffles, what broadcasts, and why
+the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .registry import register
+
+# Cutoff used by the pricing-summary query; fixture shipdates span
+# 1995-01-02 .. 2001-11-04, so this keeps ~85% of rows (selective but
+# non-vacuous — the filter must actually push down to the parquet scan).
+_Q1_CUTOFF = "2000-12-01"
+
+
+def _r2(c):  # round to cents — applied on BOTH engine and oracle side
+    return F.round(c, 2)
+
+
+def _r4(c):
+    return F.round(c, 4)
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "global_count",
+    oracle="SELECT count(*) AS n_rows FROM lineitem",
+    doc="A1 (lab2.py:155): global corpus count as a single-row aggregate.",
+)
+def global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A single partial+final count; no data movement beyond one long per task.
+    return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                        AS sum_qty,
+               round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+               round(avg(l_quantity), 4)                                        AS avg_qty,
+               round(avg(l_extendedprice), 4)                                   AS avg_price,
+               round(avg(l_discount), 4)                                        AS avg_disc,
+               count(*)                                                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF} 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+    doc="A2/A6 analogue at TPC-H Q1 shape: filtered multi-agg groupBy.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 flavor).
+
+    Scale: the filter pushes to the parquet scan (PushedFilters), the
+    aggregation is partial+final hash agg over a 6-group key space — the
+    shuffle moves 6 rows per map task regardless of input size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(f"{_Q1_CUTOFF} 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r2(F.sum("l_quantity")).alias("sum_qty"),
+            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r2(F.sum(disc_price)).alias("sum_disc_price"),
+            _r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            _r4(F.avg("l_quantity")).alias("avg_qty"),
+            _r4(F.avg("l_extendedprice")).alias("avg_price"),
+            _r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "distinct_parts_per_supplier",
+    oracle="""
+        SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_lines
+        FROM lineitem GROUP BY l_suppkey
+    """,
+    doc="A3 (lab2.py:167-170): distinct-count by key (document frequency shape).",
+)
+def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # countDistinct expands to a two-phase agg (distinct on (suppkey,partkey),
+    # then count) — the same shape the reference hand-built with
+    # distinct().map().reduceByKey() in three shuffles; Catalyst does it in one
+    # exchange with partial aggregation.
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "approx_distinct_parts",
+    oracle=None,  # approximate by construction — rows-only check
+    doc="A3 scale path [ext]: HyperLogLog++ distinct estimate for 100 TB cardinalities.",
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # At 100 TB an exact countDistinct shuffles every distinct pair; HLL++
+    # sketches merge in fixed space. rsd=0.01 keeps the estimate tight.
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"))
+    )
+
+
+@register(
+    "conditional_accuracy",
+    oracle="""
+        SELECT o_orderpriority,
+               round(avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END), 6) AS fulfilled_rate,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="A6+P8 (lab2.py:257-260): mean-of-indicator accuracy metric as avg(when).",
+)
+def conditional_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)), 6
+            ).alias("fulfilled_rate"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+        SELECT coalesce(r_name, 'ALL') AS region_name,
+               coalesce(n_name, 'ALL') AS nation_name,
+               round(sum(c_acctbal), 2) AS total_acctbal,
+               count(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="[ext] §2.4: rollup with subtotal rows (grouping-set aggregation).",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals region -> nation -> grand total.
+
+    Scale: nation/region are tiny dims — Catalyst broadcasts them; the
+    rollup is a single expand+hash-agg, not three passes over the fact.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(_r2(F.sum("c_acctbal")).alias("total_acctbal"), F.count("*").alias("n_customers"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_name"),
+            "total_acctbal",
+            "n_customers",
+        )
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               round(sum(o_totalprice), 2) AS total_price,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="[ext] §2.4: cube over two dimensions (all grouping sets).",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(_r2(F.sum("o_totalprice")).alias("total_price"), F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "total_price",
+            "n_orders",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q3_unshipped_revenue",
+    oracle="""
+        SELECT o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    headline=True,
+    doc="J1 inner equi-join chain (lab2.py:173 analogue) + grouped top-N (TPC-H Q3 shape).",
+)
+def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of late-shipping BUILDING orders — join chain + agg + top-10.
+
+    Scale: customer filter prunes before the join; orders⋈lineitem is the
+    only big shuffle and AQE converts the (filtered, small) customer side to
+    a broadcast. ORDER BY + LIMIT executes as TakeOrderedAndProject — no
+    global sort materializes.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_volume",
+    oracle="""
+        SELECT n_name AS nation_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey
+        GROUP BY n_name
+    """,
+    headline=True,
+    doc="J1 multi-way join (TPC-H Q5 shape): fact ⋈ 5 dims with a same-nation theta condition.",
+)
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue where supplier and customer share the nation.
+
+    Scale: region/nation/supplier/customer are dims (broadcast); lineitem ⋈
+    orders is the single large shuffle. The s_nationkey = c_nationkey
+    equality rides on the join output as a filter.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .withColumnRenamed("n_name", "nation_name")
+    )
+
+
+@register(
+    "left_join_null_fill",
+    oracle="""
+        SELECT c_custkey, coalesce(n_orders, 0) AS n_orders, round(coalesce(spend, 0.0), 2) AS spend
+        FROM customer
+        LEFT JOIN (
+            SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend
+            FROM orders GROUP BY o_custkey
+        ) o ON c_custkey = o_custkey
+    """,
+    doc="J2 (lab2.py:208-209): left outer join with null->default fill via coalesce.",
+)
+def left_join_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's leftOuterJoin + mapValues-null-fill, as one plan:
+    # aggregate-below-join keeps the outer side narrow, coalesce() replaces
+    # the Python null check (P7).
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("spend"))
+    )
+    return cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        _r2(F.coalesce("spend", F.lit(0.0))).alias("spend"),
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    """,
+    doc="[ext] §2.3: left-semi join (EXISTS) — needed by the dedup anti-join family.",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    # left_semi: emits each customer at most once, never widens the row —
+    # cheaper than join+distinct at any scale.
+    return cust.join(recent, cust.c_custkey == recent.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join_dormant_customers",
+    oracle="""
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="[ext] §2.3: left-anti join (NOT EXISTS) — the dedup 'survivors' pattern.",
+)
+def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "asof_join_purchase_click",
+    oracle="""
+        SELECT p.event_id,
+               p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    headline=True,
+    doc="[ext] §2.3: as-of join — last click at-or-before each purchase, per user.",
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the union+window formulation (Spark has no native ASOF).
+
+    Instead of a range join (quadratic blowup per user), union both streams,
+    sort once per user by event time, and carry the last seen click
+    timestamp forward with last(ignorenulls) — one shuffle on user_id, cost
+    O(n log n) per partition regardless of match fan-out. This is the
+    scale-correct form of pd.merge_asof.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("p_event_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_event_id"), F.lit(None).cast("timestamp").alias("click_ts")
+    )
+    # Clicks sort before purchases at identical ts (kind 0 < 1) so "at or
+    # before" is inclusive, matching DuckDB ASOF's >= bound.
+    unioned = clicks.withColumn("kind", F.lit(0)).unionByName(
+        purchases.withColumn("kind", F.lit(1))
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "kind").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        unioned.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("p_event_id").alias("event_id"),
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows / sorts / top-k (SURVEY §2.5, §2.6)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "top1_order_per_customer",
+    oracle="""
+        SELECT o_custkey, o_orderkey AS best_orderkey, round(o_totalprice, 2) AS best_price
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    """,
+    doc="A5/T1 (lab2.py:250-251): deterministic arg-max per group (the reference's tie "
+    "handling is partition-order-dependent; we tiebreak on o_orderkey).",
+)
+def top1_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("best_orderkey"),
+            _r2(F.col("o_totalprice")).alias("best_price"),
+        )
+    )
+
+
+@register(
+    "topk_lineitems_per_order",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price, rnk
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_extendedprice DESC, l_linenumber) AS rnk
+            FROM lineitem
+        ) WHERE rnk <= 3
+    """,
+    doc="T1 generalized [ext]: top-k (k=3) per group via ranked window.",
+)
+def topk_lineitems_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(F.desc("l_extendedprice"), F.asc("l_linenumber"))
+    return (
+        li.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("l_orderkey", "l_linenumber", _r2(F.col("l_extendedprice")).alias("price"), "rnk")
+    )
+
+
+@register(
+    "window_running_user_spend",
+    oracle="""
+        SELECT event_id, user_id,
+               round(sum(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING), 4) AS running_value
+        FROM events
+    """,
+    doc="[ext] §2.5: running aggregate over an ordered per-user frame.",
+)
+def window_running_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    return ev.select(
+        "event_id", "user_id", _r4(F.sum("value").over(w)).alias("running_value")
+    )
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+        SELECT event_id, user_id,
+               round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+                   AS delta_value
+        FROM events
+    """,
+    doc="[ext] §2.5: lag/lead analytics (inter-event deltas per user).",
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        _r4(F.col("value") - F.lag("value").over(w)).alias("delta_value"),
+    )
+
+
+@register(
+    "global_topn_orders",
+    oracle="""
+        SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    doc="T2/[ext] §2.6: global ordered top-N (TakeOrderedAndProject, no full sort).",
+)
+def global_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", _r2(F.col("o_totalprice")).alias("totalprice"))
+    )
+
+
+@register(
+    "point_lookup",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_partkey, round(l_extendedprice, 2) AS price
+        FROM lineitem WHERE l_orderkey = 42
+    """,
+    doc="P4 (lab2.py:323-324): point-predicate lookup; filter pushes to the scan.",
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") == 42)
+        .select("l_orderkey", "l_linenumber", "l_partkey", _r2(F.col("l_extendedprice")).alias("price"))
+    )
+
+
+@register(
+    "projection_filter_scan",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 - l_discount), 4) AS net_price
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+    """,
+    doc="P1/P2/P5 (lab2.py:70-73,141-144,317): projection + conjunctive predicate, "
+    "column-pruned and pushed to the scan.",
+)
+def projection_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R")
+        & F.col("l_shipdate").between("1996-01-01 00:00:00", "1996-12-31 00:00:00")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        _r4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY §2.7 — all [ext])
+# --------------------------------------------------------------------------
+
+
+@register(
+    "setop_union_distinct",
+    oracle="""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    """,
+    doc="[ext] §2.7: UNION (distinct) of two predicate-defined sets.",
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+    doc="[ext] §2.7: INTERSECT.",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "setop_except",
+    oracle="""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+    doc="[ext] §2.7: EXCEPT.",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.exceptAll(b).distinct()
+
+
+# --------------------------------------------------------------------------
+# Scalar functions: JSON / time [ext] (SURVEY §2.8 "not present" row)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "json_props_stats",
+    oracle="""
+        SELECT event_type,
+               round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+               max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    doc="[ext] §2.8: JSON scalar extraction (get_json_object) + aggregation.",
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        _r4(F.avg(k)).alias("avg_k"), F.max(k).alias("max_k"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "hourly_event_rollup",
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    headline=True,
+    doc="[ext] §2.8/§2.5: tumbling time-bucket aggregation (batch twin of the "
+    "streaming windowed agg in streaming/events.py).",
+)
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), _r4(F.sum("value")).alias("total_value"))
+    )
+
+
+@register(
+    "string_functions_cleanup",
+    oracle="""
+        SELECT p_partkey,
+               lower(p_name) AS name_lower,
+               regexp_replace(lower(p_type), '[^a-z]+', ' ', 'g') AS type_clean,
+               concat(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size
+        FROM part
+    """,
+    doc="F1/F2/F3/F7 (lab2.py:70-91): lower / regexp_replace / concat string pipeline.",
+)
+def string_functions_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.regexp_replace(F.lower("p_type"), "[^a-z]+", " ").alias("type_clean"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias("brand_size"),
+    )

@@ -1,0 +1,141 @@
+"""Explicit schemas for every table the engine reads.
+
+The reference infers its input schema from the JSON data
+(``lab2.py:64``) — a full extra pass over the corpus that is prohibitive at
+100 TB and defeats scan pruning. The new engine declares schemas at every
+boundary (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# --- driver-generated relational fixtures (TESTDATA.md / FIXTURES.md §B) ---
+
+REGION = T.StructType(
+    [
+        T.StructField("r_regionkey", T.IntegerType(), False),
+        T.StructField("r_name", T.StringType(), False),
+    ]
+)
+
+NATION = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType(), False),
+        T.StructField("n_name", T.StringType(), False),
+        T.StructField("n_regionkey", T.IntegerType(), False),
+    ]
+)
+
+CUSTOMER = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType(), False),
+        T.StructField("c_name", T.StringType(), False),
+        T.StructField("c_nationkey", T.IntegerType(), False),
+        T.StructField("c_acctbal", T.DoubleType(), False),
+        T.StructField("c_mktsegment", T.StringType(), False),
+    ]
+)
+
+SUPPLIER = T.StructType(
+    [
+        T.StructField("s_suppkey", T.LongType(), False),
+        T.StructField("s_name", T.StringType(), False),
+        T.StructField("s_nationkey", T.IntegerType(), False),
+        T.StructField("s_acctbal", T.DoubleType(), False),
+    ]
+)
+
+PART = T.StructType(
+    [
+        T.StructField("p_partkey", T.LongType(), False),
+        T.StructField("p_name", T.StringType(), False),
+        T.StructField("p_brand", T.StringType(), False),
+        T.StructField("p_type", T.StringType(), False),
+        T.StructField("p_size", T.IntegerType(), False),
+        T.StructField("p_retailprice", T.DoubleType(), False),
+    ]
+)
+
+ORDERS = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType(), False),
+        T.StructField("o_custkey", T.LongType(), False),
+        T.StructField("o_orderstatus", T.StringType(), False),
+        T.StructField("o_totalprice", T.DoubleType(), False),
+        T.StructField("o_orderdate", T.TimestampType(), False),
+        T.StructField("o_orderpriority", T.StringType(), False),
+    ]
+)
+
+LINEITEM = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType(), False),
+        T.StructField("l_partkey", T.LongType(), False),
+        T.StructField("l_suppkey", T.LongType(), False),
+        T.StructField("l_linenumber", T.IntegerType(), False),
+        T.StructField("l_quantity", T.DoubleType(), False),
+        T.StructField("l_extendedprice", T.DoubleType(), False),
+        T.StructField("l_discount", T.DoubleType(), False),
+        T.StructField("l_tax", T.DoubleType(), False),
+        T.StructField("l_returnflag", T.StringType(), False),
+        T.StructField("l_linestatus", T.StringType(), False),
+        T.StructField("l_shipdate", T.TimestampType(), False),
+    ]
+)
+
+EVENTS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("props", T.StringType(), True),  # JSON payload, e.g. {"k": 87}
+    ]
+)
+
+DOCUMENTS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+EMBEDDINGS = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        T.StructField("label", T.IntegerType(), True),
+    ]
+)
+
+TABLE_SCHEMAS: dict[str, T.StructType] = {
+    "region": REGION,
+    "nation": NATION,
+    "customer": CUSTOMER,
+    "supplier": SUPPLIER,
+    "part": PART,
+    "orders": ORDERS,
+    "lineitem": LINEITEM,
+    "events": EVENTS,
+    "documents": DOCUMENTS,
+    "embeddings": EMBEDDINGS,
+}
+
+# --- reference-pipeline corpus (FIXTURES.md §A1; mirrors lab2.py:64 input) ---
+
+PAPERS = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("abstract", T.StringType(), True),
+        T.StructField("categories", T.StringType(), True),
+        # PERMISSIVE-mode capture column for malformed JSON lines — the
+        # 100 TB robustness posture SURVEY §2.1 S1 calls for.
+        T.StructField("_corrupt_record", T.StringType(), True),
+    ]
+)

@@ -1,0 +1,69 @@
+"""SparkSession factory.
+
+The reference hard-codes master/memory inside the script
+(``lab2.py:40-43``); here the session is built once, config-driven, with the
+scale-oriented defaults the survey calls for (SURVEY.md §4.2): AQE with
+partition coalescing and skew-join handling, Arrow for every
+pandas-boundary, UTC session time zone so timestamp semantics match the
+DuckDB oracle, and shuffle parallelism sized to the local core count
+instead of Spark's default 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Sized for the local[32] test harness; on a real cluster these come from
+# spark-submit / cluster config, and callers pass master=None to inherit.
+_DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "similarity_analysis_big_data_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master=None`` inherits whatever the environment provides (cluster
+    deploy); tests pass ``local[N]`` explicitly.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    conf = {
+        # AQE: runtime partition coalescing, skew-join splitting, dynamic
+        # join-strategy switches — the scale levers SURVEY §4.2 lists.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Match local parallelism; a cluster deploy overrides via extra_conf.
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions if shuffle_partitions is not None else _DEFAULT_CPUS
+        ),
+        # Arrow for toPandas()/pandas_udf — the only sanctioned Python path.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # DuckDB oracle timestamps are UTC-naive; pin the session TZ.
+        "spark.sql.session.timeZone": "UTC",
+        # The events fixture stores TIMESTAMP(NANOS) which the vectorized
+        # parquet reader rejects; read as epoch-nanos long and convert in
+        # the reader (readers.load_table) — DuckDB likewise truncates to µs.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Quiet the UI for headless test/bench runs.
+        "spark.ui.enabled": "false",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def get_local_session(app_name: str = "similarity_analysis_big_data_spark") -> SparkSession:
+    """Session pinned to the harness's local[N] layout (tests, bench)."""
+    return get_session(app_name=app_name, master=f"local[{_DEFAULT_CPUS}]")

@@ -1,0 +1,88 @@
+"""Input connectors (SURVEY.md §2.1 S1-S2, S7).
+
+Differences from the reference, by design:
+
+- S1 JSON scan: the reference infers schema (``lab2.py:64``); we always pass
+  an explicit ``StructType`` plus PERMISSIVE mode with a ``_corrupt_record``
+  column, so a malformed line at 100 TB quarantines instead of failing the
+  job, and column pruning reaches the scan.
+- S2 stopwords: the reference reads the file driver-side with ``open()``
+  (``lab2.py:52-53``); we read through Spark so the path can be any Hadoop
+  FS (s3a/hdfs/file) and collect only the tiny result.
+- S7 RDD<->DF conversion is gone: everything stays one DataFrame plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import PAPERS, TABLE_SCHEMAS
+
+TABLE_NAMES = tuple(TABLE_SCHEMAS)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table from ``{sf_dir}/{name}.parquet``.
+
+    Parquet scans get predicate pushdown + column pruning from Catalyst; we
+    do not pass a schema here because parquet files are self-describing and
+    a user-supplied schema would disable vectorized-reader fast paths on
+    mismatch. Schema expectations are validated in tests instead.
+    """
+    if name not in TABLE_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS); with
+    # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos LongType.
+    # Convert with integer division (a double round-trip would lose precision
+    # above 2^53 ns) to microseconds — the same truncation DuckDB applies.
+    for field in df.schema.fields:
+        expected = TABLE_SCHEMAS[name][field.name].dataType if field.name in TABLE_SCHEMAS[name].fieldNames() else None
+        if (
+            expected is not None
+            and isinstance(expected, T.TimestampType)
+            and isinstance(field.dataType, T.LongType)
+        ):
+            df = df.withColumn(field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
+    """Load several fixture tables as a dict of DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> None:
+    """Register fixture tables as temp views so ``spark.sql`` can use them."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_papers_json(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a line-delimited papers corpus (reference input, ``lab2.py:64``).
+
+    Keeps the reference's ``allowBackslashEscapingAnyCharacter`` tolerance
+    but adds the explicit schema + PERMISSIVE corrupt-record capture that
+    the reference's inferred scan lacks.
+    """
+    return (
+        spark.read.schema(PAPERS)
+        .option("allowBackslashEscapingAnyCharacter", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def read_stopwords(spark: SparkSession, path: str) -> list[str]:
+    """Read a newline-delimited stopword list to a small driver-side list.
+
+    Mirrors ``lab2.py:52-53`` including its quirk: a trailing newline yields
+    an empty-string stopword, which ``StopWordsRemover`` tolerates. The list
+    is tiny by contract — it travels to executors as a closure literal
+    (folded into the plan), never as a shuffled relation.
+    """
+    rows = spark.read.text(path).collect()
+    return [r.value for r in rows]
