@@ -1,0 +1,145 @@
+"""Similarity operators: the engine's core rewrite of the reference.
+
+The reference materializes the full cartesian product of vector pairs and
+dots Python dicts per pair (``lab2.py:227, 239-246``) — O(n²) pairs no
+matter how sparse the overlap. The engine's production formulation is the
+*sparse similarity join* (SURVEY §2.3 J3): explode both sides to
+``(id, term, weight)``, inner-join on ``term``, and aggregate
+``sum(w_a * w_b)`` per id pair. Pairs sharing zero terms never
+materialize; the join and aggregate are ordinary shuffles Catalyst/AQE can
+re-plan, salt, or broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def sparse_cosine_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    term_col: str = "term",
+    weight_col: str = "weight",
+    round_to: int | None = None,
+) -> DataFrame:
+    """J3/J5 (lab2.py:227,239-246): cosine of L2-normalized sparse vectors.
+
+    Inputs are long-format and already L2-normalized, so the dot product IS
+    the cosine (the reference documents the same shortcut, lab2.py:235-236).
+    Output: (left_id, right_id, cosine) for pairs with >=1 shared term.
+
+    Scale: one shuffle on term for the join, one on the id pair for the
+    aggregate. Hot terms (stopword-like) are the skew risk — remove
+    stopwords upstream and/or cap df; AQE skew-join splits the rest.
+    """
+    lhs = left.select(F.col(left_id), F.col(term_col), F.col(weight_col).alias("_w_l"))
+    rhs = right.select(F.col(right_id), F.col(term_col), F.col(weight_col).alias("_w_r"))
+    dot = F.sum(F.col("_w_l") * F.col("_w_r"))
+    cosine = F.round(dot, round_to) if round_to is not None else dot
+    return (
+        lhs.join(rhs, term_col)
+        .groupBy(left_id, right_id)
+        .agg(cosine.alias("cosine"))
+    )
+
+
+def best_match(
+    pairs: DataFrame,
+    query_id: str,
+    match_id: str,
+    score_col: str = "cosine",
+    all_queries: DataFrame | None = None,
+) -> DataFrame:
+    """A5/T1 (lab2.py:250-251): deterministic arg-max per query id.
+
+    The reference's reduceByKey tie handling is partition-order-dependent;
+    the engine tiebreaks on ascending match id (SURVEY §7). If
+    ``all_queries`` (a one-column DataFrame of every query id) is given,
+    queries whose vectors share no term with any candidate — dropped by the
+    sparse join but present in the reference's cartesian — are restored
+    with (NULL, 0.0), keeping row-count parity (SURVEY §7 zero-overlap).
+    """
+    w = W.partitionBy(query_id).orderBy(F.desc(score_col), F.asc(match_id))
+    top = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if all_queries is not None:
+        top = all_queries.join(top, query_id, "left").select(
+            query_id,
+            F.col(match_id),
+            F.coalesce(F.col(score_col), F.lit(0.0)).alias(score_col),
+        )
+    return top
+
+
+def retrieval_accuracy(
+    matches: DataFrame, query_id: str, match_id: str, n_queries: int | None = None
+) -> DataFrame:
+    """A6 (lab2.py:253-260): fraction of queries whose best match is themselves.
+
+    One global aggregate; with ``n_queries`` the denominator is the full
+    corpus (reference semantics: titles with no match still count against
+    accuracy via the cartesian's zero rows).
+    """
+    hit = F.when(F.col(query_id) == F.col(match_id), 1.0).otherwise(0.0)
+    if n_queries is None:
+        return matches.agg(F.avg(hit).alias("accuracy"))
+    return matches.agg((F.sum(hit) / F.lit(float(n_queries))).alias("accuracy"))
+
+
+def all_pairs_cosine_exact(
+    vectors: DataFrame,
+    id_col: str,
+    term_col: str = "term",
+    weight_col: str = "weight",
+    round_to: int | None = None,
+) -> DataFrame:
+    """J4 (lab2.py:291): self all-pairs cosine, sparse-join formulation.
+
+    For small id domains (the reference's category×category matrix) this is
+    exact and cheap; zero-overlap pairs are restored with cosine 0 via a
+    cross join of the distinct ids (tiny by precondition) so the output is
+    the dense |ids|² matrix the reference renders.
+    """
+    # sparse_cosine_join needs distinct column names for the self-join
+    left_v = vectors.withColumnRenamed(id_col, f"{id_col}_l")
+    right_v = vectors.withColumnRenamed(id_col, f"{id_col}_r")
+    pairs = sparse_cosine_join(
+        left_v, right_v, f"{id_col}_l", f"{id_col}_r", term_col, weight_col, round_to=None
+    )
+    ids = vectors.select(F.col(id_col)).distinct()
+    dense = (
+        ids.withColumnRenamed(id_col, f"{id_col}_l")
+        .crossJoin(ids.withColumnRenamed(id_col, f"{id_col}_r"))
+        .join(pairs, [f"{id_col}_l", f"{id_col}_r"], "left")
+        .select(
+            f"{id_col}_l",
+            f"{id_col}_r",
+            F.coalesce("cosine", F.lit(0.0)).alias("cosine"),
+        )
+    )
+    if round_to is not None:
+        dense = dense.withColumn("cosine", F.round("cosine", round_to))
+    return dense
+
+
+def pivot_matrix(
+    dense_pairs: DataFrame,
+    row_col: str,
+    col_col: str,
+    value_col: str = "cosine",
+    col_values: list[str] | None = None,
+) -> DataFrame:
+    """lab2.py:303: the category matrix pivot, Spark-native.
+
+    The reference pivots in pandas on the driver; ``groupBy().pivot()``
+    keeps it distributed. Passing ``col_values`` explicitly skips the
+    extra distinct-values job (and keeps a stable column order).
+    """
+    p = dense_pairs.groupBy(row_col).pivot(col_col, col_values)
+    return p.agg(F.first(value_col))

@@ -1,0 +1,304 @@
+"""Registered similarity queries (reference Task 1 / Task 2 semantics) over
+the ``documents`` fixture, each with a DuckDB oracle.
+
+Corpus mapping: ``documents.text`` plays the abstract; the title is the
+document's first ``TITLE_TOKENS`` tokens (SQL-expressible on both engines,
+so the whole reference pipeline — including the flagship retrieval-accuracy
+metric — is oracle-checkable end to end). ``lang`` plays the category for
+the Task 2 matrix.
+
+Every double output is rounded on both sides; cosine is rounded BEFORE the
+arg-max so ranking ties break identically across engines (SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+from ..functions.tfidf import doc_frequency, l2_normalize, term_frequency, tfidf
+from ..operators.similarity import (
+    all_pairs_cosine_exact,
+    best_match,
+    pivot_matrix,
+    sparse_cosine_join,
+)
+from ..sources.readers import load_table
+from .registry import register
+
+TITLE_TOKENS = 6  # leading tokens of text used as the synthetic "title"
+TITLE_SAMPLE_MOD = 5  # sample 1-in-5 docs as retrieval queries
+LANGS = ["de", "en", "es", "fr", "zh"]  # stable across all fixture SFs
+
+# Shared DuckDB CTE prefix: long-format terms + TF + DF + corpus size.
+_SQL_TERMS = r"""
+WITH terms AS (
+    SELECT doc_id, t.term
+    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^\w]+') AS toks
+          FROM documents),
+         unnest(toks) AS t(term)
+    WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+corpus AS (SELECT count(*) AS n FROM documents)
+"""
+
+_SQL_TITLE_PIPELINE = (
+    _SQL_TERMS
+    + rf""",
+title_terms AS (
+    SELECT doc_id AS title_id, t.term
+    FROM (SELECT doc_id,
+                 list_slice(list_filter(regexp_split_to_array(lower(text), '[^\w]+'),
+                                        x -> x <> ''), 1, {TITLE_TOKENS}) AS toks
+          FROM documents
+          WHERE doc_id % {TITLE_SAMPLE_MOD} = 0),
+         unnest(toks) AS t(term)
+),
+title_tf AS (SELECT title_id, term, count(*) AS tf FROM title_terms GROUP BY title_id, term),
+abs_w AS (
+    SELECT doc_id AS abstract_id, term,
+           (1 + log10(tf)) * (log10((n + 1) / (df + 1)) + 1) AS w
+    FROM tf JOIN df USING (term) CROSS JOIN corpus
+),
+abs_vec AS (
+    SELECT abstract_id, term,
+           w / sqrt(sum(w * w) OVER (PARTITION BY abstract_id)) AS weight
+    FROM abs_w
+),
+title_w AS (
+    SELECT title_id, t.term,
+           (1 + log10(t.tf)) * (log10((n + 1) / (coalesce(df.df, 0) + 1)) + 1) AS w
+    FROM title_tf t LEFT JOIN df ON t.term = df.term CROSS JOIN corpus
+),
+title_vec AS (
+    SELECT title_id, term,
+           w / sqrt(sum(w * w) OVER (PARTITION BY title_id)) AS weight
+    FROM title_w
+),
+cosine AS (
+    SELECT title_id, abstract_id,
+           round(sum(t.weight * a.weight), 9) AS cosine
+    FROM title_vec t JOIN abs_vec a USING (term)
+    GROUP BY title_id, abstract_id
+),
+ranked AS (
+    SELECT title_id, abstract_id, cosine,
+           row_number() OVER (PARTITION BY title_id
+                              ORDER BY cosine DESC, abstract_id) AS rn
+    FROM cosine
+),
+best AS (
+    SELECT q.title_id,
+           coalesce(r.abstract_id, -1) AS best_abstract_id,
+           coalesce(r.cosine, 0.0) AS cosine
+    FROM (SELECT doc_id AS title_id FROM documents
+          WHERE doc_id % {TITLE_SAMPLE_MOD} = 0) q
+    LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (title_id)
+)
+"""
+)
+
+
+def _doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.explode(tokenize(F.lower("text"))).alias("term"))
+
+
+def _title_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % TITLE_SAMPLE_MOD == 0
+    )
+    toks = F.slice(tokenize(F.lower("text")), 1, TITLE_TOKENS)
+    return docs.select(F.col("doc_id").alias("title_id"), F.explode(toks).alias("term"))
+
+
+@register(
+    "doc_term_frequency",
+    oracle=_SQL_TERMS + "SELECT doc_id, term, tf FROM tf",
+    doc="A2 (lab2.py:158-163): tokenize + per-(doc,term) term frequency, long format.",
+)
+def doc_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return term_frequency(_doc_terms(spark, sf_dir), ["doc_id"])
+
+
+@register(
+    "doc_frequency_by_term",
+    oracle=_SQL_TERMS + "SELECT term, df FROM df",
+    doc="A3 (lab2.py:167-170): document frequency per term.",
+)
+def doc_frequency_by_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_frequency(term_frequency(_doc_terms(spark, sf_dir), ["doc_id"]))
+
+
+@register(
+    "doc_tfidf_normalized",
+    oracle=_SQL_TERMS
+    + """
+    , w AS (
+        SELECT doc_id, term,
+               (1 + log10(tf)) * (log10((n + 1) / (df + 1)) + 1) AS w
+        FROM tf JOIN df USING (term) CROSS JOIN corpus
+    )
+    SELECT doc_id, term,
+           round(w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)), 6) AS weight
+    FROM w
+    """,
+    headline=True,
+    doc="M3+A8 (lab2.py:187-194): sklearn-smooth TF-IDF, L2-normalized per doc — "
+    "exact formula parity with the reference (log10, +1 placements).",
+)
+def doc_tfidf_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: TF agg shuffles on (doc,term); DF relation is vocabulary-sized
+    and broadcast into the join; normalization is one window shuffle on
+    doc_id. No Python anywhere — the whole weight formula is codegen'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = term_frequency(_doc_terms(spark, sf_dir), ["doc_id"])
+    weighted = tfidf(tf, doc_frequency(tf), n_docs, ["doc_id"])
+    return l2_normalize(weighted, ["doc_id"]).withColumn(
+        "weight", F.round("weight", 6)
+    )
+
+
+@register(
+    "title_best_abstract",
+    oracle=_SQL_TITLE_PIPELINE
+    + "SELECT title_id, best_abstract_id, round(cosine, 6) AS cosine FROM best",
+    headline=True,
+    doc="Task 1 flagship (lab2.py:150-251): per-title best-matching abstract via "
+    "sparse cosine join + deterministic arg-max; zero-overlap titles emit (-1, 0.0).",
+)
+def title_best_abstract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's cartesian+dict-dot-product, reformulated: pairs that
+    share no term never materialize; arg-max is a ranked window with an
+    abstract_id tiebreak (the reference is partition-order nondeterministic).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    abstract_tf = term_frequency(
+        _doc_terms(spark, sf_dir).withColumnRenamed("doc_id", "abstract_id"),
+        ["abstract_id"],
+    )
+    df_ = doc_frequency(abstract_tf)
+    abstract_vec = l2_normalize(
+        tfidf(abstract_tf, df_, n_docs, ["abstract_id"]), ["abstract_id"]
+    )
+
+    title_tf = term_frequency(_title_terms(spark, sf_dir), ["title_id"])
+    title_vec = l2_normalize(
+        tfidf(title_tf, df_, n_docs, ["title_id"], left=True), ["title_id"]
+    )
+
+    pairs = sparse_cosine_join(
+        title_vec, abstract_vec, "title_id", "abstract_id", round_to=9
+    )
+    all_titles = docs.filter(F.col("doc_id") % TITLE_SAMPLE_MOD == 0).select(
+        F.col("doc_id").alias("title_id")
+    )
+    top = best_match(pairs, "title_id", "abstract_id", all_queries=all_titles)
+    return top.select(
+        "title_id",
+        F.coalesce("abstract_id", F.lit(-1)).alias("best_abstract_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+@register(
+    "title_retrieval_accuracy",
+    oracle=_SQL_TITLE_PIPELINE
+    + """
+    SELECT round(avg(CASE WHEN title_id = best_abstract_id THEN 1.0 ELSE 0.0 END), 6)
+               AS accuracy
+    FROM best
+    """,
+    doc="A6 (lab2.py:253-260): retrieval accuracy — fraction of titles whose best "
+    "abstract is their own document.",
+)
+def title_retrieval_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    matches = title_best_abstract(spark, sf_dir)
+    return matches.agg(
+        F.round(
+            F.avg(
+                F.when(F.col("title_id") == F.col("best_abstract_id"), 1.0).otherwise(0.0)
+            ),
+            6,
+        ).alias("accuracy")
+    )
+
+
+_SQL_CATEGORY = r"""
+WITH terms AS (
+    SELECT lang AS category, t.term
+    FROM (SELECT lang, regexp_split_to_array(lower(text), '[^\w]+') AS toks
+          FROM documents),
+         unnest(toks) AS t(term)
+    WHERE t.term <> ''
+),
+tfc AS (SELECT category, term, CAST(count(*) AS DOUBLE) AS w FROM terms GROUP BY category, term),
+vec AS (
+    SELECT category, term,
+           w / sqrt(sum(w * w) OVER (PARTITION BY category)) AS weight
+    FROM tfc
+),
+pairs AS (
+    SELECT a.category AS category_l, b.category AS category_r,
+           sum(a.weight * b.weight) AS cosine
+    FROM vec a JOIN vec b USING (term)
+    GROUP BY a.category, b.category
+),
+cats AS (SELECT DISTINCT category FROM tfc),
+dense AS (
+    SELECT l.category AS category_l, r.category AS category_r,
+           round(coalesce(p.cosine, 0.0), 6) AS cosine
+    FROM cats l CROSS JOIN cats r
+    LEFT JOIN pairs p ON p.category_l = l.category AND p.category_r = r.category
+)
+"""
+
+
+@register(
+    "category_similarity_matrix",
+    oracle=_SQL_CATEGORY + "SELECT category_l, category_r, cosine FROM dense",
+    doc="Task 2 (lab2.py:263-296): category×category cosine matrix over per-category "
+    "term-frequency vectors (lang = category), long form; diagonal == 1.0.",
+)
+def category_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7+A8+J4: per-category TF vectors in one groupBy (the reference's
+    two-stage reduceByKey is redundant — sum of per-doc counts == count),
+    window-normalized, dense self all-pairs via the sparse join."""
+    docs = load_table(spark, sf_dir, "documents")
+    cat_terms = docs.select(
+        F.col("lang").alias("category"), F.explode(tokenize(F.lower("text"))).alias("term")
+    )
+    cat_tf = cat_terms.groupBy("category", "term").agg(
+        F.count("*").cast("double").alias("weight")
+    )
+    cat_vec = l2_normalize(cat_tf, ["category"])
+    dense = all_pairs_cosine_exact(cat_vec, "category", round_to=6)
+    return dense.select(
+        F.col("category_l"), F.col("category_r"), F.col("cosine")
+    )
+
+
+@register(
+    "category_matrix_pivot",
+    oracle=_SQL_CATEGORY
+    + """
+    SELECT category_l,
+           max(CASE WHEN category_r = 'de' THEN cosine END) AS de,
+           max(CASE WHEN category_r = 'en' THEN cosine END) AS en,
+           max(CASE WHEN category_r = 'es' THEN cosine END) AS es,
+           max(CASE WHEN category_r = 'fr' THEN cosine END) AS fr,
+           max(CASE WHEN category_r = 'zh' THEN cosine END) AS zh
+    FROM dense GROUP BY category_l
+    """,
+    doc="lab2.py:301-303: the similarity matrix pivoted Spark-side (groupBy().pivot() "
+    "with explicit values — no pandas, no extra distinct job).",
+)
+def category_matrix_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dense = category_similarity_matrix(spark, sf_dir)
+    return pivot_matrix(dense, "category_l", "category_r", "cosine", col_values=LANGS)
