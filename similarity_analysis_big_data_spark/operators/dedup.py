@@ -1,0 +1,207 @@
+"""Deduplication operators (north-star [ext]: LLM-training-data pipeline).
+
+Five dedup modes over a document relation, all long-format DataFrame
+compositions (no driver loops, no UDFs):
+
+- exact: hash-groupBy on content digest
+- canonical: groupBy on an order-insensitive token-set fingerprint
+- MinHash + LSH: shingle -> K permutation mins -> band -> bucket self-join
+- SimHash: weighted bit-majority signature + hamming-distance pairing
+- n-gram Jaccard: exact set overlap via shingle join (also the verifier
+  behind the LSH candidates)
+
+Scale notes: the LSH band join is the O(n²)-killer — candidate pairs come
+only from shared buckets. Hot buckets (boilerplate shingles) are the skew
+risk: AQE skew-join plus an optional per-bucket cap handle it. The exact
+modes are single hash aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MERSENNE_P,
+    md5_long,
+    minhash_expr,
+)
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Exact dedup: one row per distinct content digest.
+
+    Returns (digest, keep_id, n_copies) — keep_id is the smallest id in the
+    group (deterministic survivor policy).
+    """
+    return (
+        docs.select(F.md5(F.col(content_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup_survivors(docs: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """The deduplicated relation: rows whose id is their group's survivor.
+
+    Window-on-digest formulation — one shuffle, no join back."""
+    w = W.partitionBy(F.md5(F.col(content_col)))
+    return (
+        docs.withColumn("_keep", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_keep")
+    )
+
+
+def canonical_fingerprint(tokens_col) -> "F.Column":
+    """Order/multiplicity-insensitive content key: sorted distinct tokens."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens_col)), " "))
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, shingle_col: str = "shingle"
+) -> DataFrame:
+    """(id, shingle) long rows -> (id, mh0..mhK-1).
+
+    One hash aggregate: per permutation, min over the doc's shingle hashes.
+    The md5-derived shingle id is computed once and reused by all K
+    permutations (cheap column math, K extra agg expressions — not K passes).
+    """
+    h = (md5_long(shingle_col) % MERSENNE_P).alias("_h")
+    hashed = shingles.select(F.col(id_col), h)
+    aggs = [
+        F.min(minhash_expr("_h", i)).alias(f"mh{i}")
+        for i in range(LSH_BANDS * LSH_ROWS)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
+    """Band the signatures and self-join per band: (id_l, id_r) candidates.
+
+    A pair collides if ALL rows of some band match (classic banding).
+    Unpivot to (id, band, key) first so the join is a single equi-join on
+    (band, key) instead of LSH_BANDS separate joins; distinct() collapses
+    pairs that collide in several bands.
+    """
+    band_entries = []
+    for b in range(LSH_BANDS):
+        key = F.concat_ws(
+            ":", *[F.col(f"mh{b * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)]
+        )
+        band_entries.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_entries)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    lhs = banded.withColumnRenamed(id_col, "id_l")
+    rhs = banded.withColumnRenamed(id_col, "id_r")
+    return (
+        lhs.join(rhs, ["band", "key"])
+        .filter(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingle",
+    min_intersection: int = 1,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets: (id_l, id_r, jaccard).
+
+    Sparse-join formulation (same shape as the cosine join): only pairs
+    sharing a shingle materialize. With ``candidates`` (e.g. LSH output)
+    the join is pre-filtered — the LSH-then-verify pattern.
+    """
+    sets = shingles.select(F.col(id_col), F.col(shingle_col)).distinct()
+    sizes = sets.groupBy(id_col).agg(F.count("*").alias("set_size"))
+
+    lhs = sets.withColumnRenamed(id_col, "id_l")
+    rhs = sets.withColumnRenamed(id_col, "id_r")
+    inter = (
+        lhs.join(rhs, shingle_col)
+        .filter(F.col("id_l") < F.col("id_r"))
+        .groupBy("id_l", "id_r")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_intersection)
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_l", "id_r"], "left_semi")
+    sz_l = sizes.select(F.col(id_col).alias("id_l"), F.col("set_size").alias("size_l"))
+    sz_r = sizes.select(F.col(id_col).alias("id_r"), F.col("set_size").alias("size_r"))
+    return (
+        inter.join(sz_l, "id_l")
+        .join(sz_r, "id_r")
+        .select(
+            "id_l",
+            "id_r",
+            (
+                F.col("n_common")
+                / (F.col("size_l") + F.col("size_r") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash_signatures(
+    term_weights: DataFrame, id_col: str, term_col: str = "term", weight_col: str = "weight", bits: int = 32
+) -> DataFrame:
+    """(id, term, weight) -> (id, simhash) via weighted bit majority.
+
+    Explodes each term into ``bits`` rows (bit index b contributes
+    +w / -w by bit b of the term hash), aggregates per (id, b), then folds
+    the majority bits back into one int64. Two hash aggregates, all
+    column math — the 32× row blowup is map-side only.
+    """
+    hashed = term_weights.select(
+        F.col(id_col),
+        (md5_long(term_col)).alias("_h"),
+        F.col(weight_col).cast("double").alias("_w"),
+    )
+    exploded = hashed.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.col("_h"),
+        F.col("_w"),
+    ).select(
+        id_col,
+        "bit",
+        # python API shiftright/shiftleft take a literal bit count; the SQL
+        # forms accept column expressions
+        F.when(F.expr("shiftright(_h, bit) & 1") == 1, F.col("_w"))
+        .otherwise(-F.col("_w"))
+        .alias("contrib"),
+    )
+    bit_sums = exploded.groupBy(id_col, "bit").agg(F.sum("contrib").alias("s"))
+    return bit_sums.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(signatures: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
+    """All pairs with hamming(simhash_l, simhash_r) <= max_hamming.
+
+    Exact form is a cross join — kept for modest id domains (post-sampling
+    or post-LSH). The scale path buckets on signature prefixes first (same
+    banding idea as MinHash-LSH) so only prefix-sharing pairs compare.
+    """
+    lhs = signatures.select(F.col(id_col).alias("id_l"), F.col("simhash").alias("sh_l"))
+    rhs = signatures.select(F.col(id_col).alias("id_r"), F.col("simhash").alias("sh_r"))
+    # bit_count is int32 in Spark; long for cross-engine schema stability
+    hamming = F.bit_count(F.col("sh_l").bitwiseXOR(F.col("sh_r"))).cast("long")
+    return (
+        lhs.crossJoin(rhs)
+        .filter(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,92 @@
+"""Multimodal column plumbing (north-star [ext]).
+
+Images/audio/video are opaque ``binary`` payload columns plus typed
+metadata. The decode step itself needs codec libraries that are not in
+this container, so it is STUBBED (``decode_image`` raises
+``NotImplementedError`` unless the deterministic fake decoder is chosen) —
+but every piece of Spark plumbing around it is real and tested:
+
+- payload schema (``binary`` + metadata struct)
+- Arrow-batched ``mapInPandas`` with an explicit output schema
+- batch-shape independence (results identical across partitionings)
+- deterministic fake features so downstream operators (ANN over extracted
+  features) are exercised end to end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = (
+    "doc_id long, n_bytes long, header string, feature array<float>"
+)
+
+
+def attach_binary_payload(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Synthesize the multimodal layout from a text corpus: UTF-8 bytes as
+    the opaque payload + a media-type tag. On a real pipeline this column
+    arrives from the storage layer (image/audio bytes); everything
+    downstream is payload-agnostic."""
+    return docs.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("media_type"),
+    )
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """STUB: real image decode requires PIL/libjpeg — not in this container.
+
+    ``fake=True`` returns a deterministic pseudo-"pixel" array derived from
+    the payload's md5 digest, so the downstream feature path is testable.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decode needs a codec library (PIL/opencv) — provision on the "
+            "cluster and replace this stub; the Spark plumbing is codec-agnostic"
+        )
+    digest = hashlib.md5(payload).digest()
+    return np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
+
+
+def _extract_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    feats = []
+    for payload in batch["payload"]:
+        raw = bytes(payload)
+        pixels = decode_image(raw, fake=True)
+        # deterministic FEATURE_DIM-dim "embedding": normalized digest slices
+        vec = (pixels[:FEATURE_DIM] / 255.0).astype(np.float32)
+        feats.append(vec.tolist())
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_bytes": batch["payload"].map(len).astype("int64"),
+            "header": batch["payload"].map(lambda b: bytes(b)[:4].hex()),
+            "feature": feats,
+        }
+    )
+
+
+def extract_features(payloads: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the opaque payload column.
+
+    ``mapInPandas`` so one Python worker call sees a whole Arrow batch of
+    payloads (the decode-heavy path batches GPU/codec work naturally); the
+    output schema is declared, columnar, and join-ready for the ANN
+    operators.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if len(batch):
+                yield _extract_batch(batch)
+
+    return payloads.mapInPandas(gen, schema=FEATURES_SCHEMA)

@@ -1,0 +1,206 @@
+"""Similarity search over the ``embeddings`` fixture (north-star [ext]).
+
+Three tiers:
+- brute-force cosine top-k (the exactness baseline; oracle-checked)
+- IVF-partitioned top-k (the scale path: search only the query's cell;
+  deterministic data-derived seed centroids, so it is *also* oracle-checked)
+- random-hyperplane LSH buckets (approximate; constants are seeded NumPy —
+  registered rows-only, verified by property tests instead)
+
+The dot/cosine math is double-cast element-wise fold — identical on both
+engines (functions/vectors.py), and cosine is rounded BEFORE ranking so
+top-k tie-breaks are engine-independent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, cosine_sql
+from ..sources.readers import load_table
+from .registry import register
+
+QUERY_MOD = 50  # 1-in-50 vectors are search queries
+TOP_K = 5
+N_CELLS = 8  # IVF cells (seed centroids = vec_id < N_CELLS)
+N_PLANES = 8  # hyperplane LSH signature bits
+
+
+def _queries_and_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return queries, emb
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS query_vec
+            FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round({cosine_sql('q.query_vec', 'e.embedding')}, 6) AS cosine
+            FROM q CROSS JOIN embeddings e
+            WHERE e.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """,
+    headline=True,
+    doc="[ext] exact ANN baseline: brute-force cosine top-k per query "
+    "(broadcast queries × corpus, double fold, deterministic rank).",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the small query set broadcasts; the corpus never shuffles —
+    each partition scores its vectors locally and TakeOrdered-style window
+    pruning keeps k rows per query. O(|Q|·n·d) compute, zero O(n²)."""
+    queries, emb = _queries_and_corpus(spark, sf_dir)
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity("query_vec", "embedding"), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+        WITH cent AS (
+            SELECT vec_id AS cell_id, embedding AS cell_vec
+            FROM embeddings WHERE vec_id < {N_CELLS}
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cell_id
+            FROM (
+                SELECT e.vec_id, e.embedding, c.cell_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round({cosine_sql('e.embedding', 'c.cell_vec')}, 6) DESC,
+                                    c.cell_id) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS query_vec, cell_id
+              FROM assigned WHERE vec_id % {QUERY_MOD} = 0),
+        scored AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   round({cosine_sql('q.query_vec', 'a.embedding')}, 6) AS cosine
+            FROM q JOIN assigned a ON a.cell_id = q.cell_id AND a.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rnk
+        FROM (SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rnk
+              FROM scored)
+        WHERE rnk <= {TOP_K}
+    """,
+    doc="[ext] IVF-partitioned ANN: vectors assigned to nearest of "
+    f"{N_CELLS} deterministic seed centroids; queries search only their own "
+    "cell — the inverted-file scale path (cell assignment is itself oracle-checked).",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: centroid assignment is one broadcast join (n·cells dots);
+    search joins on cell_id so each query scores ~n/cells vectors. At 100 TB
+    the cells become partition keys — a co-located, prunable layout."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.desc(F.round(cosine_similarity("embedding", "cell_vec"), 6)), F.asc("cell_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+    queries = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        "cell_id",
+    )
+    scored = (
+        assigned.join(F.broadcast(queries), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity("query_vec", "embedding"), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(F.col("rnk") <= TOP_K)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+        SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+               round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE {cosine_sql('a.embedding', 'b.embedding')} > 0.3
+    """,
+    doc="[ext] embedding-cosine near-duplicate pairs (threshold tuned to the "
+    "fixture's near-orthogonal vectors; production pairs come from LSH/IVF buckets).",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    lhs = emb.select(F.col("vec_id").alias("id_l"), F.col("embedding").alias("emb_l"))
+    rhs = emb.select(F.col("vec_id").alias("id_r"), F.col("embedding").alias("emb_r"))
+    cos = cosine_similarity("emb_l", "emb_r")
+    return (
+        lhs.join(rhs, F.col("id_l") < F.col("id_r"))
+        .filter(cos > 0.3)
+        .select("id_l", "id_r", F.round(cos, 6).alias("cosine"))
+    )
+
+
+def _hyperplanes(dim: int = 64) -> list[list[float]]:
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((N_PLANES, dim)).tolist()
+
+
+@register(
+    "ann_hyperplane_lsh_buckets",
+    oracle=None,  # seeded-constant planes; verified by property tests instead
+    doc="[ext] random-hyperplane (SimHash-for-vectors) LSH: 8-bit sign bucket per "
+    "vector — the bucketed ANN candidate generator (rows-only check; "
+    "tests assert bucket-mates have higher mean cosine than non-mates).",
+)
+def ann_hyperplane_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one narrow map — each vector dots 8 constant planes folded into
+    the plan (no shuffle at all); the bucket id then drives a co-partitioned
+    candidate join instead of any all-pairs comparison."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with("embedding", plane_col, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return emb.select("vec_id", bucket.alias("bucket"), "label")

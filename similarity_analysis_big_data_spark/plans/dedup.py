@@ -1,0 +1,283 @@
+"""Registered dedup queries over ``documents`` (north-star [ext]).
+
+Every sketch here is built from the cross-engine md5 hash family
+(functions/hashing.py), so even MinHash-LSH and SimHash are DuckDB-oracle-
+checkable — the oracle SQL reconstructs the identical signatures.
+
+Sampling: pairwise stages run on a 1-in-SAMPLE_MOD doc sample so oracle
+outputs stay bounded at sf0.01; the operators themselves are
+sample-agnostic (LSH banding is the scale path, not the sample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MERSENNE_P,
+    MINHASH_PARAMS,
+    ROLLING_FP_SQL,
+    md5_long_sql,
+    rolling_fingerprint,
+)
+from ..functions.text import tokenize, word_ngrams
+from ..operators.dedup import (
+    canonical_fingerprint,
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_pairs,
+    simhash_signatures,
+)
+from ..sources.readers import load_table
+from .registry import register
+
+SAMPLE_MOD = 5  # pairwise queries: 1-in-5 docs
+
+# ---- shared SQL fragments -------------------------------------------------
+
+_SQL_TOKS = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^\w]+'), x -> x <> '') AS tokens
+    FROM documents
+)
+"""
+
+_SQL_SAMPLE_SHINGLES = (
+    _SQL_TOKS
+    + f""",
+shingles AS (
+    SELECT DISTINCT doc_id, t.term AS shingle
+    FROM toks, unnest(tokens) AS t(term)
+    WHERE doc_id % {SAMPLE_MOD} = 0
+)
+"""
+)
+
+_SQL_MH = ",\nsig AS (\n    SELECT doc_id,\n"
+_SQL_MH += ",\n".join(
+    f"           min(({a} * ({md5_long_sql('shingle')} % {MERSENNE_P}) + {b}) % {MERSENNE_P}) AS mh{i}"
+    for i, (a, b) in enumerate(MINHASH_PARAMS)
+)
+_SQL_MH += "\n    FROM shingles GROUP BY doc_id\n)"
+
+_SQL_BANDS = ",\nbanded AS (\n"
+_SQL_BANDS += "\n    UNION ALL\n".join(
+    "    SELECT doc_id, {b} AS band, "
+    "CAST(mh{m0} AS VARCHAR) || ':' || CAST(mh{m1} AS VARCHAR) || ':' || CAST(mh{m2} AS VARCHAR) AS key FROM sig".format(
+        b=b, m0=b * LSH_ROWS, m1=b * LSH_ROWS + 1, m2=b * LSH_ROWS + 2
+    )
+    for b in range(LSH_BANDS)
+)
+_SQL_BANDS += "\n)"
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+        SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    doc="[ext] exact dedup: content-digest hash-groupBy with deterministic survivor.",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one partial+final hash agg on the digest — the cheapest dedup;
+    at 100 TB pre-partition output by digest prefix for downstream anti-joins."""
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_canonical_tokenset",
+    oracle=_SQL_TOKS
+    + """
+    SELECT md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS digest,
+           min(doc_id) AS keep_id,
+           count(*) AS n_members
+    FROM toks GROUP BY 1
+    """,
+    doc="[ext] canonical dedup: order/multiplicity-insensitive token-set fingerprint "
+    "(catches shuffled/reworded exact-vocabulary dups that byte-hashing misses).",
+)
+def dedup_canonical_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = canonical_fingerprint(tokenize(F.lower("text")))
+    return (
+        docs.select(fp.alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_members"))
+    )
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=_SQL_SAMPLE_SHINGLES
+    + _SQL_MH
+    + _SQL_BANDS
+    + """
+    SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+    FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+    """,
+    headline=True,
+    doc="[ext] MinHash-LSH near-dup candidates: 12 universal-hash mins, 4 bands × 3 "
+    "rows, bucket self-join — the O(n²)-free dedup scale path.",
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: candidates come only from shared (band, key) buckets; the band
+    join shuffles signature rows (K ints/doc), never the corpus. Skewed
+    buckets (boilerplate) are split by AQE skew-join."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % SAMPLE_MOD == 0)
+    shingles = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize(F.lower("text")))).alias("shingle")
+    )
+    sigs = minhash_signatures(shingles, "doc_id")
+    return lsh_candidate_pairs(sigs, "doc_id")
+
+
+@register(
+    "minhash_dedup_verified",
+    oracle=_SQL_SAMPLE_SHINGLES
+    + _SQL_MH
+    + _SQL_BANDS
+    + """
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+        FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS n_common
+        FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.id_l, i.id_r,
+           round(CAST(i.n_common AS DOUBLE) / (sl.set_size + sr.set_size - i.n_common), 6)
+               AS jaccard
+    FROM inter i
+    JOIN cand c ON c.id_l = i.id_l AND c.id_r = i.id_r
+    JOIN sizes sl ON sl.doc_id = i.id_l
+    JOIN sizes sr ON sr.doc_id = i.id_r
+    WHERE CAST(i.n_common AS DOUBLE) / (sl.set_size + sr.set_size - i.n_common) >= 0.5
+    """,
+    doc="[ext] LSH-then-verify dedup: exact token-set Jaccard >= 0.5 on the LSH "
+    "candidates only — the production near-dup pipeline shape.",
+)
+def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % SAMPLE_MOD == 0)
+    shingles = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize(F.lower("text")))).alias("shingle")
+    )
+    sigs = minhash_signatures(shingles, "doc_id")
+    cand = lsh_candidate_pairs(sigs, "doc_id")
+    pairs = jaccard_pairs(shingles, "doc_id", candidates=cand)
+    return pairs.filter(F.col("jaccard") >= 0.5).select(
+        "id_l", "id_r", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=_SQL_TOKS
+    + f""",
+    pos AS (
+        SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS i
+        FROM toks WHERE doc_id % {SAMPLE_MOD * 2} = 0
+    ),
+    grams AS (
+        SELECT DISTINCT a.doc_id,
+               a.term || ' ' || b.term || ' ' || c.term AS shingle
+        FROM pos a
+        JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS n_common
+        FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.id_l, i.id_r,
+           round(CAST(i.n_common AS DOUBLE) / (sl.set_size + sr.set_size - i.n_common), 6)
+               AS jaccard
+    FROM inter i
+    JOIN sizes sl ON sl.doc_id = i.id_l
+    JOIN sizes sr ON sr.doc_id = i.id_r
+    """,
+    doc="[ext] exact word-trigram Jaccard pairs (sparse shingle join; pairs sharing "
+    "no trigram never materialize).",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % (SAMPLE_MOD * 2) == 0
+    )
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(tokenize(F.lower("text")), 3)).alias("shingle")
+    )
+    pairs = jaccard_pairs(grams, "doc_id")
+    return pairs.select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
+
+
+_SQL_SIMHASH = (
+    _SQL_TOKS
+    + f""",
+tf AS (
+    SELECT doc_id, shingle AS term, CAST(count(*) AS DOUBLE) AS w
+    FROM (SELECT doc_id, t.term AS shingle
+          FROM toks, unnest(tokens) AS t(term)
+          WHERE doc_id % {SAMPLE_MOD} = 0)
+    GROUP BY doc_id, shingle
+),
+bitrows AS (
+    SELECT doc_id, b.bit,
+           CASE WHEN ({md5_long_sql('term')} >> b.bit) & 1 = 1 THEN w ELSE -w END AS contrib
+    FROM tf, (SELECT unnest(range(0, 32)) AS bit) b
+),
+sig AS (
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+    FROM (SELECT doc_id, bit, sum(contrib) AS s FROM bitrows GROUP BY doc_id, bit)
+    GROUP BY doc_id
+)
+"""
+)
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=_SQL_SIMHASH
+    + """
+    SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+    """,
+    doc="[ext] SimHash near-dup: 32-bit weighted bit-majority signatures, pairs "
+    "within hamming distance 12 (sampled; prefix-bucketing is the scale path).",
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % SAMPLE_MOD == 0)
+    terms = docs.select(
+        "doc_id", F.explode(tokenize(F.lower("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("weight"))
+    sigs = simhash_signatures(tf, "doc_id")
+    return simhash_pairs(sigs, "doc_id", max_hamming=12)
+
+
+@register(
+    "doc_rolling_fingerprint",
+    oracle="SELECT doc_id, "
+    + ROLLING_FP_SQL.format(expr="text")
+    + " AS fingerprint FROM documents",
+    doc="[ext] per-doc rolling polynomial fingerprint (content-defined hashing "
+    "primitive), folded JVM-side via aggregate() — no UDF.",
+)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))

@@ -77,6 +77,6 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import relational, similarity  # noqa: F401
+    from . import ann, dedup, multimodal, relational, similarity, textstats  # noqa: F401
 
     _LOADED = True

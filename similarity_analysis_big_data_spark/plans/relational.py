@@ -481,7 +481,13 @@ def topk_lineitems_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("l_orderkey", "l_linenumber", _r2(F.col("l_extendedprice")).alias("price"), "rnk")
+        # row_number is int32 in Spark, BIGINT in the oracle — align dtypes
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            _r2(F.col("l_extendedprice")).alias("price"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
     )
 
 

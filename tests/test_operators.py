@@ -1,0 +1,130 @@
+"""Property/unit tests for dedup, vector, hashing and multimodal operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from similarity_analysis_big_data_spark.functions.hashing import rolling_fingerprint
+from similarity_analysis_big_data_spark.functions.text import word_ngrams, tokenize
+from similarity_analysis_big_data_spark.functions.vectors import cosine_similarity, dot
+from similarity_analysis_big_data_spark.operators.dedup import (
+    exact_dedup_groups,
+    exact_dedup_survivors,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_pairs,
+    simhash_signatures,
+)
+from similarity_analysis_big_data_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image,
+    extract_features,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup (1 word)
+        (4, "completely different content about spark engines"),
+        (5, "spark engines process completely different content about"),  # shuffled 4
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    groups = {r["keep_id"]: r["n_copies"] for r in exact_dedup_groups(docs, "doc_id", "text").collect()}
+    assert groups[1] == 2  # doc 2 collapses into doc 1
+    survivors = {r["doc_id"] for r in exact_dedup_survivors(docs, "doc_id", "text").collect()}
+    assert survivors == {1, 3, 4, 5}
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    shingles = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize(F.lower("text")))).alias("shingle")
+    )
+    sigs = minhash_signatures(shingles, "doc_id")
+    assert sigs.columns == ["doc_id"] + [f"mh{i}" for i in range(12)]
+    cands = {(r["id_l"], r["id_r"]) for r in lsh_candidate_pairs(sigs, "doc_id").collect()}
+    assert (1, 2) in cands  # identical token sets always collide
+    # near-dup (1,3) shares 8/10 tokens — jaccard 0.8, should collide in some band
+    assert (1, 3) in cands
+
+
+def test_jaccard_exact_values(docs):
+    shingles = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize(F.lower("text")))).alias("shingle")
+    )
+    jacc = {(r["id_l"], r["id_r"]): r["jaccard"] for r in jaccard_pairs(shingles, "doc_id").collect()}
+    assert jacc[(1, 2)] == pytest.approx(1.0)
+    # docs 1/3: tokens {the,quick,brown,fox,jumps/leaps,over,lazy,dog} -> 7 shared, 9 union
+    assert jacc[(1, 3)] == pytest.approx(7 / 9)
+    # docs 4/5: doc5 adds "process" -> 6 shared of 7 union
+    assert jacc[(4, 5)] == pytest.approx(6 / 7)
+
+
+def test_simhash_near_dups_have_small_hamming(docs):
+    tf = (
+        docs.select("doc_id", F.explode(tokenize(F.lower("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    sigs = simhash_signatures(tf, "doc_id")
+    pairs = {(r["id_l"], r["id_r"]): r["hamming"] for r in simhash_pairs(sigs, "doc_id", 32).collect()}
+    assert pairs[(1, 2)] == 0  # identical docs -> identical signatures
+    assert pairs[(1, 3)] < pairs.get((1, 4), 32)  # near dup closer than unrelated
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([(["a", "b", "c", "d"],), (["a"],)], ["toks"])
+    out = [r["g"] for r in df.select(word_ngrams("toks", 3).alias("g")).collect()]
+    assert out[0] == ["a b c", "b c d"]
+    assert out[1] == []  # shorter than n -> empty, not a descending-sequence crash
+
+
+def test_rolling_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([("abc",), ("abc",), ("abd",)], ["t"])
+    vals = [r["fp"] for r in df.select(rolling_fingerprint("t").alias("fp")).collect()]
+    assert vals[0] == vals[1] != vals[2]
+    # matches the python fold: ((0*31+97)*31+98)*31+99 mod p
+    expected = ((97 * 31 + 98) * 31 + 99) % 1_000_000_007
+    assert vals[0] == expected
+
+
+def test_vector_functions(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [3.0, 2.0, 1.0])], ["a", "b"])
+    row = df.select(
+        dot("a", "b").alias("d"), cosine_similarity("a", "b").alias("c"),
+        cosine_similarity("a", "a").alias("self"),
+    ).collect()[0]
+    assert row["d"] == pytest.approx(10.0)
+    assert row["c"] == pytest.approx(10.0 / 14.0)
+    assert row["self"] == pytest.approx(1.0)
+
+
+def test_cosine_zero_vector_is_null(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 1.0])], ["a", "b"])
+    assert df.select(cosine_similarity("a", "b").alias("c")).collect()[0]["c"] is None
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"bytes")
+
+
+def test_multimodal_features_deterministic_and_partition_invariant(spark, docs):
+    payloads = attach_binary_payload(docs, "doc_id", "text")
+    one = extract_features(payloads.coalesce(1)).orderBy("doc_id").collect()
+    many = extract_features(payloads.repartition(4)).orderBy("doc_id").collect()
+    assert one == many  # batch-shape independence
+    byid = {r["doc_id"]: r for r in one}
+    assert byid[1]["feature"] == byid[2]["feature"]  # same payload -> same feature
+    assert len(byid[1]["feature"]) == 8
+    assert byid[1]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert all(0.0 <= x <= 1.0 for x in byid[1]["feature"])

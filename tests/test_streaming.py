@@ -1,0 +1,37 @@
+"""Streaming/batch agreement tests (streaming/events.py)."""
+
+from __future__ import annotations
+
+from similarity_analysis_big_data_spark.plans.registry import QUERIES, _load_all
+from similarity_analysis_big_data_spark.streaming.events import (
+    read_event_stream,
+    run_to_memory,
+    session_window_counts,
+    windowed_event_counts,
+)
+
+_load_all()
+
+
+def test_streaming_hourly_matches_batch(spark, sf_smoke):
+    stream = read_event_stream(spark, sf_smoke)
+    got = run_to_memory(windowed_event_counts(stream), "stream_hourly")
+    stream_rows = {
+        (r["hour_bucket"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in got.collect()
+    }
+    batch_rows = {
+        (r["hour_bucket"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in QUERIES["hourly_event_rollup"].fn(spark, sf_smoke).collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_streaming_sessionization_runs(spark, sf_smoke):
+    stream = read_event_stream(spark, sf_smoke)
+    got = run_to_memory(session_window_counts(stream), "stream_sessions")
+    rows = got.collect()
+    assert len(rows) > 0
+    # session event counts must sum to the full event count
+    total = sum(r["n_events"] for r in rows)
+    assert total == 1000
