@@ -20,7 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from similarity_analysis_big_data_spark.plans import registry  # noqa: E402
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
-_FLAGSHIP = "q5_region_volume"
+# The reference's own domain: Task-1 retrieval (TF-IDF + sparse cosine join
+# + deterministic arg-max) over the documents corpus.
+_FLAGSHIP = "title_best_abstract"
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -23,6 +23,11 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session(app_name="sabds-bench", master=f"local[{cpus}]")
 
+    # warm-up: JVM/codegen/parquet-footer costs land here, not on the first
+    # measured query
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
     headliners = registry.headline_queries()
     timings: dict[str, float] = {}
     total = 0.0

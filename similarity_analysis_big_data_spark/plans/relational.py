@@ -707,3 +707,74 @@ def string_functions_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.lower("p_type"), "[^a-z]+", " ").alias("type_clean"),
         F.concat(F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias("brand_size"),
     )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="[ext] §2.4: explicit GROUPING SETS (the general form behind cube/rollup).",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(_r2(F.sum("o_totalprice")).alias("total_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "total_price",
+        )
+    )
+
+
+@register(
+    "monthly_order_stats",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders GROUP BY 1, 2
+    """,
+    doc="[ext] §2.8 date functions: year/month extraction + calendar aggregation.",
+)
+def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        _r2(F.sum("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "percentile_order_value",
+    oracle="""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus
+    """,
+    doc="[ext] §2.4: exact interpolated percentiles per group (Spark percentile == "
+    "DuckDB quantile_cont); approx_percentile is the sketch twin at 100 TB.",
+)
+def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.count("*").alias("n_orders"),
+    )
