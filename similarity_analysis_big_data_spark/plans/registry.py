@@ -77,6 +77,14 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import ann, dedup, multimodal, relational, similarity, textstats  # noqa: F401
+    from . import (  # noqa: F401
+        ann,
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        textstats,
+        udaf_queries,
+    )
 
     _LOADED = True

@@ -778,3 +778,68 @@ def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
         F.count("*").alias("n_orders"),
     )
+
+
+@register(
+    "range_join_price_bracket",
+    oracle="""
+        SELECT b.bracket, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+        FROM part p
+        JOIN (VALUES ('budget', 0.0, 930.0),
+                     ('mid', 930.0, 970.0),
+                     ('premium', 970.0, 100000.0)) AS b(bracket, lo, hi)
+          ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+        GROUP BY b.bracket
+    """,
+    doc="[ext] §2.3: range (theta) join against a bracket dimension — broadcast "
+    "nested-loop on an interval predicate.",
+)
+def range_join_price_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the bracket dim is tiny and broadcast, so the range predicate
+    evaluates map-side (BroadcastNestedLoopJoin) — no shuffle of the fact;
+    for large range dims the scale path is bucketize + equi-join on bucket."""
+    part = load_table(spark, sf_dir, "part")
+    # brackets split the fixture's 900-1000 price range three ways so the
+    # range predicate actually discriminates
+    brackets = spark.createDataFrame(
+        [("budget", 0.0, 930.0), ("mid", 930.0, 970.0), ("premium", 970.0, 100000.0)],
+        ["bracket", "lo", "hi"],
+    )
+    return (
+        part.join(
+            F.broadcast(brackets),
+            (part.p_retailprice >= brackets.lo) & (part.p_retailprice < brackets.hi),
+        )
+        .groupBy("bracket")
+        .agg(F.count("*").alias("n_parts"), _r4(F.avg("p_retailprice")).alias("avg_price"))
+    )
+
+
+@register(
+    "window_rank_frame",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               CAST(rank() OVER w AS BIGINT) AS bal_rank,
+               CAST(dense_rank() OVER w AS BIGINT) AS bal_dense_rank,
+               round(c_acctbal - lead(c_acctbal) OVER w, 4) AS gap_to_next,
+               round(avg(c_acctbal) OVER (PARTITION BY c_mktsegment
+                                          ORDER BY c_acctbal DESC, c_custkey
+                                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                   AS trailing3_avg
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="[ext] §2.5: rank/dense_rank/lead + a bounded rows frame in one pass "
+    "(all windows share one sort).",
+)
+def window_rank_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        _r4(F.col("c_acctbal") - F.lead("c_acctbal").over(w)).alias("gap_to_next"),
+        _r4(F.avg("c_acctbal").over(w.rowsBetween(-2, 0))).alias("trailing3_avg"),
+    )

@@ -302,3 +302,63 @@ def category_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def category_matrix_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = category_similarity_matrix(spark, sf_dir)
     return pivot_matrix(dense, "category_l", "category_r", "cosine", col_values=LANGS)
+
+
+@register(
+    "mismatch_samples",
+    oracle=_SQL_TITLE_PIPELINE
+    + f"""
+    , mism AS (
+        SELECT title_id, best_abstract_id, round(cosine, 6) AS cosine
+        FROM best WHERE title_id <> best_abstract_id
+        ORDER BY title_id LIMIT 5
+    )
+    SELECT m.title_id, m.best_abstract_id, m.cosine,
+           array_to_string(list_slice(list_filter(
+               regexp_split_to_array(lower(t.text), '[^\\w]+'), x -> x <> ''),
+               1, {TITLE_TOKENS}), ' ') AS title_text,
+           substr(w.text, 1, 60) AS wrong_abstract_prefix,
+           substr(t.text, 1, 60) AS correct_abstract_prefix
+    FROM mism m
+    JOIN documents t ON t.doc_id = m.title_id
+    JOIN documents w ON w.doc_id = m.best_abstract_id
+    """,
+    doc="P6/T2/T3 (lab2.py:315-332): the reference's error-analysis sample — 15 "
+    "driver-loop point queries collapsed into ONE plan: deterministic limit + two "
+    "joins back to the corpus.",
+)
+def mismatch_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference loops 5 samples × 3 .first() point queries (15 full-scan
+    jobs, lab2.py:319-329); here the mismatches join the corpus once —
+    zero driver loops, deterministic (ordered by title_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mism = (
+        title_best_abstract(spark, sf_dir)
+        .filter(F.col("title_id") != F.col("best_abstract_id"))
+        .orderBy("title_id")
+        .limit(5)
+    )
+    title_text = F.array_join(
+        F.slice(tokenize(F.lower("text")), 1, TITLE_TOKENS), " "
+    )
+    t = docs.select(
+        F.col("doc_id").alias("title_id"),
+        title_text.alias("title_text"),
+        F.substring("text", 1, 60).alias("correct_abstract_prefix"),
+    )
+    w = docs.select(
+        F.col("doc_id").alias("best_abstract_id"),
+        F.substring("text", 1, 60).alias("wrong_abstract_prefix"),
+    )
+    return (
+        mism.join(F.broadcast(t), "title_id")
+        .join(F.broadcast(w), "best_abstract_id")
+        .select(
+            "title_id",
+            "best_abstract_id",
+            "cosine",
+            "title_text",
+            "wrong_abstract_prefix",
+            "correct_abstract_prefix",
+        )
+    )
