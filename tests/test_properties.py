@@ -1,0 +1,111 @@
+"""Property-based tests (SURVEY §5): the sparse-join reformulation must be
+extensionally equal to the reference's cartesian on arbitrary corpora, and
+the vector invariants must hold for any non-negative weights.
+
+hypothesis generates the corpora; examples are capped because every example
+is a full Spark job.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from similarity_analysis_big_data_spark.functions.tfidf import l2_normalize
+from similarity_analysis_big_data_spark.operators.similarity import (
+    all_pairs_cosine_exact,
+    sparse_cosine_join,
+)
+
+# small vocabulary so overlap patterns vary: disjoint, partial, identical
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=1, max_size=5),
+    min_size=2,
+    max_size=5,
+)
+
+_SPARK = {}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _capture_spark(spark):
+    # hand the session to hypothesis-driven tests (fixtures can't be
+    # parameters of @given functions)
+    _SPARK["s"] = spark
+    yield
+
+
+def _vectors(docs: list[list[str]]):
+    spark = _SPARK["s"]
+    rows = [
+        (i, term, float(doc.count(term)))
+        for i, doc in enumerate(docs)
+        for term in set(doc)
+    ]
+    tf = spark.createDataFrame(rows, ["id", "term", "weight"])
+    return l2_normalize(tf, ["id"])
+
+
+def _python_cosines(docs: list[list[str]]):
+    """Independent dense model: normalized TF vectors, full cartesian."""
+    vecs = []
+    for doc in docs:
+        w = {t: float(doc.count(t)) for t in set(doc)}
+        n = math.sqrt(sum(v * v for v in w.values()))
+        vecs.append({k: v / n for k, v in w.items()})
+    out = {}
+    for i, a in enumerate(vecs):
+        for j, b in enumerate(vecs):
+            out[(i, j)] = sum(w * b.get(t, 0.0) for t, w in a.items())
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus_strategy)
+def test_sparse_join_equals_cartesian(docs):
+    vectors = _vectors(docs)
+    expected = _python_cosines(docs)
+    got = {
+        (r["id_l"], r["id_r"]): r["cosine"]
+        for r in all_pairs_cosine_exact(vectors, "id").collect()
+    }
+    assert set(got) == set(expected)  # dense output incl. zero-overlap pairs
+    for pair, cos in expected.items():
+        assert got[pair] == pytest.approx(cos, abs=1e-9), pair
+        # invariants: range and self-similarity
+        assert -1e-9 <= got[pair] <= 1 + 1e-9
+    for i in range(len(docs)):
+        assert got[(i, i)] == pytest.approx(1.0, abs=1e-9)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus_strategy)
+def test_l2_normalization_unit_norm(docs):
+    vectors = _vectors(docs)
+    norms = (
+        vectors.groupBy("id")
+        .agg(F.sqrt(F.sum(F.pow("weight", 2))).alias("n"))
+        .collect()
+    )
+    for r in norms:
+        assert r["n"] == pytest.approx(1.0, abs=1e-9)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus_strategy)
+def test_sparse_join_symmetry(docs):
+    vectors = _vectors(docs)
+    lhs = vectors.withColumnRenamed("id", "id_l")
+    rhs = vectors.withColumnRenamed("id", "id_r")
+    pairs = {
+        (r["id_l"], r["id_r"]): r["cosine"]
+        for r in sparse_cosine_join(lhs, rhs, "id_l", "id_r").collect()
+    }
+    for (i, j), v in pairs.items():
+        assert pairs[(j, i)] == pytest.approx(v, abs=1e-12)
