@@ -24,6 +24,7 @@ def sparse_cosine_join(
     term_col: str = "term",
     weight_col: str = "weight",
     round_to: int | None = None,
+    spread_left: bool = False,
 ) -> DataFrame:
     """J3/J5 (lab2.py:227,239-246): cosine of L2-normalized sparse vectors.
 
@@ -34,8 +35,19 @@ def sparse_cosine_join(
     Scale: one shuffle on term for the join, one on the id pair for the
     aggregate. Hot terms (stopword-like) are the skew risk — remove
     stopwords upstream and/or cap df; AQE skew-join splits the rest.
+
+    ``spread_left=True`` pins the left side to an explicit hash
+    repartition on its id at default parallelism. Use it when the left
+    side is small and the join fans out: AQE sizes partitions by shuffle
+    WRITE bytes, so a kilobytes-sized probe side coalesces to one
+    partition and the entire multi-million-row join output runs in a
+    single task. An explicit user repartition is exempt from AQE
+    coalescing and keeps the explosion parallel.
     """
     lhs = left.select(F.col(left_id), F.col(term_col), F.col(weight_col).alias("_w_l"))
+    if spread_left:
+        n = left.sparkSession.sparkContext.defaultParallelism
+        lhs = lhs.repartition(n, F.col(left_id))
     rhs = right.select(F.col(right_id), F.col(term_col), F.col(weight_col).alias("_w_r"))
     dot = F.sum(F.col("_w_l") * F.col("_w_r"))
     cosine = F.round(dot, round_to) if round_to is not None else dot

@@ -194,7 +194,7 @@ def title_best_abstract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = sparse_cosine_join(
-        title_vec, abstract_vec, "title_id", "abstract_id", round_to=9
+        title_vec, abstract_vec, "title_id", "abstract_id", round_to=9, spread_left=True
     )
     all_titles = docs.filter(F.col("doc_id") % TITLE_SAMPLE_MOD == 0).select(
         F.col("doc_id").alias("title_id")

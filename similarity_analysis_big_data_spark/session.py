@@ -35,6 +35,14 @@ def get_session(
     if master is not None:
         builder = builder.master(master)
     conf = {
+        # local mode runs executors inside the driver JVM — the default 1g
+        # heap GC-thrashes 32 concurrent tasks. Keep the heap MODEST and
+        # pre-touched: empirically on this host, heaps >=8g hit
+        # multi-minute allocation stalls (THP/compaction) when a prior JVM
+        # recently exited, while 4g+AlwaysPreTouch is stable run-to-run.
+        # Cluster deploys override via spark-submit.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
+        "spark.driver.extraJavaOptions": "-XX:+AlwaysPreTouch",
         # AQE: runtime partition coalescing, skew-join splitting, dynamic
         # join-strategy switches — the scale levers SURVEY §4.2 lists.
         "spark.sql.adaptive.enabled": "true",
