@@ -1,0 +1,101 @@
+"""Connected components over candidate pairs + dedup survivor selection
+(SURVEY §7 step 6: "LSH self-join + connected components + anti-join").
+
+Large-Star/Small-Star-style label propagation, simplified to alternating
+min-label joins: each node adopts the minimum label in its neighborhood
+until fixpoint. Every iteration is a distributed join+agg (the driver only
+orchestrates the loop and checks convergence — no data moves through it);
+iterations are bounded by the component diameter, which for near-dup
+clusters is tiny (dups of one source link to each other).
+
+Reference parity note: the reference has no dedup at all — this implements
+the north-star extension; the algorithm follows the well-known
+alternating-star formulation from the MapReduce connected-components
+literature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _label_sum(labels: DataFrame):
+    # decimal(38,0) sum: overflow-safe fixpoint witness at any graph size
+    return labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id_l, id_r) undirected edges -> (id, component) with component =
+    min node id reachable.
+
+    Each iteration: label(v) <- min(label(v), min over neighbors of
+    label(n)). Converges in O(diameter) rounds; each round is one
+    shuffle-join plus one aggregate. ``localCheckpoint(eager=True)``
+    truncates the lineage every round — without it the logical plan doubles
+    per iteration and planning itself OOMs. Convergence is detected by the
+    label sum: labels only ever decrease, so the sum is strictly decreasing
+    until fixpoint — one cheap aggregate per round instead of a self-join
+    diff. Isolated nodes never appear in pairs — union the full node set
+    downstream if needed (dedup_survivors does).
+    """
+    edges = (
+        pairs.select(F.col(id_l).alias("src"), F.col(id_r).alias("dst"))
+        .union(pairs.select(F.col(id_r).alias("src"), F.col(id_l).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select("id", "component")
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    id_col: str,
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+) -> DataFrame:
+    """The deduplicated relation: per near-dup component keep the smallest
+    id; docs in no component survive untouched.
+
+    Anti-join formulation (SURVEY §2.3 [ext]): build the non-survivor set
+    (component members whose id != component min) and left_anti it away —
+    the docs relation streams through one join, never widens.
+    """
+    comp = connected_components(dup_pairs, id_l, id_r)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -281,3 +281,71 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "near_dup_survivors",
+    # the transitive-closure CTE needs the RECURSIVE keyword on the chain
+    oracle=(_SQL_SAMPLE_SHINGLES
+    + _SQL_MH
+    + _SQL_BANDS
+    + """
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+        FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS n_common
+        FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dup_pairs AS (
+        SELECT i.id_l, i.id_r
+        FROM inter i
+        JOIN cand c ON c.id_l = i.id_l AND c.id_r = i.id_r
+        JOIN sizes sl ON sl.doc_id = i.id_l
+        JOIN sizes sr ON sr.doc_id = i.id_r
+        WHERE CAST(i.n_common AS DOUBLE) / (sl.set_size + sr.set_size - i.n_common) >= 0.5
+    ),
+    edges AS (
+        SELECT id_l AS a, id_r AS b FROM dup_pairs
+        UNION SELECT id_r, id_l FROM dup_pairs
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+    ),
+    losers AS (SELECT id FROM comp WHERE id <> component)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % {mod} = 0
+      AND d.doc_id NOT IN (SELECT id FROM losers)
+    """.replace("{mod}", str(SAMPLE_MOD))).replace("WITH toks", "WITH RECURSIVE toks", 1),
+    doc="[ext] SURVEY §7 step 6 end to end: MinHash-LSH candidates -> exact-Jaccard "
+    "verify -> connected components -> anti-join survivors. Oracle uses a WITH "
+    "RECURSIVE transitive closure; the engine runs distributed min-label propagation.",
+)
+def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup dedup pipeline as one query: each stage is
+    the already-oracle-checked operator; components iterate distributed
+    joins (O(cluster diameter) rounds, tiny for dup clusters)."""
+    from ..operators.components import dedup_survivors
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % SAMPLE_MOD == 0)
+    shingles = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize(F.lower("text")))).alias("shingle")
+    )
+    sigs = minhash_signatures(shingles, "doc_id")
+    cand = lsh_candidate_pairs(sigs, "doc_id")
+    dup_pairs = jaccard_pairs(shingles, "doc_id", candidates=cand).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return dedup_survivors(docs, dup_pairs, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

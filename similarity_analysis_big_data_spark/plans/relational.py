@@ -843,3 +843,51 @@ def window_rank_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(F.col("c_acctbal") - F.lead("c_acctbal").over(w)).alias("gap_to_next"),
         _r4(F.avg("c_acctbal").over(w.rowsBetween(-2, 0))).alias("trailing3_avg"),
     )
+
+
+@register(
+    "setop_union_all",
+    oracle="""
+        SELECT c_custkey, 'building' AS cohort FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT c_custkey, 'rich' AS cohort FROM customer WHERE c_acctbal > 9000
+    """,
+    doc="[ext] §2.7: UNION ALL (bag union) with a provenance tag — the fuse used to "
+    "parameterize the reference's copy-pasted title/abstract pipelines.",
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", F.lit("building").alias("cohort")
+    )
+    b = cust.filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey", F.lit("rich").alias("cohort")
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "unpivot_order_measures",
+    oracle="""
+        SELECT o_orderkey, measure, round(value, 2) AS value FROM (
+            SELECT o_orderkey, o_totalprice,
+                   CAST(o_custkey AS DOUBLE) AS custkey_d
+            FROM orders WHERE o_orderkey % 100 = 0
+        ) UNPIVOT (value FOR measure IN (o_totalprice, custkey_d))
+    """,
+    doc="[ext] §2.7/pivot family: unpivot (melt) wide measures to long form — the "
+    "inverse of the category-matrix pivot.",
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    wide = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey_d"),
+    )
+    return wide.unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "custkey_d"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).select("o_orderkey", "measure", F.round("value", 2).alias("value"))

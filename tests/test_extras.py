@@ -91,3 +91,39 @@ def test_heatmap_render_or_clean_gate(spark, sf_smoke, tmp_path_factory):
     import os
 
     assert os.path.getsize(path) > 1000
+
+
+def test_connected_components_and_survivors(spark):
+    from similarity_analysis_big_data_spark.operators.components import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    # two components {1,2,3,9} (chain) and {5,6}; 7, 8 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 6)], ["id_l", "id_r"]
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+    docs = spark.createDataFrame([(i, f"doc{i}") for i in [1, 2, 3, 5, 6, 7, 8, 9]], ["doc_id", "text"])
+    kept = sorted(r["doc_id"] for r in dedup_survivors(docs, pairs, "doc_id").collect())
+    assert kept == [1, 5, 7, 8]  # component minima + isolated docs
+
+
+def test_streaming_dedup_drops_duplicates(spark, sf_smoke):
+    from similarity_analysis_big_data_spark.streaming.dedup import dedup_event_stream
+
+    stream = read_event_stream(spark, sf_smoke)
+    q = (
+        dedup_event_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT digest) AS d FROM dedup_stream").collect()[0]
+    assert got["n"] == got["d"]  # no duplicate digests survive
+    assert 0 < got["n"] <= 1000
