@@ -891,3 +891,28 @@ def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     ).select("o_orderkey", "measure", F.round("value", 2).alias("value"))
+
+
+@register(
+    "global_sorted_orders",
+    oracle="""
+        SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS orderdate,
+               round(o_totalprice, 2) AS totalprice
+        FROM orders WHERE o_orderkey % 50 = 0
+        ORDER BY o_orderdate, o_orderkey
+    """,
+    doc="[ext] §2.6: full global sort — executes as a sample-based "
+    "rangepartitioning Exchange + per-partition sort, the scalable total "
+    "order (contrast with the reference's repartition(1) writes).",
+)
+def global_sorted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .orderBy("o_orderdate", "o_orderkey")
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+            _r2(F.col("o_totalprice")).alias("totalprice"),
+        )
+    )

@@ -40,6 +40,33 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite", single_file: b
     _maybe_coalesce(df, single_file).write.mode(mode).json(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    num_buckets: int,
+    *bucket_cols: str,
+    sort: bool = True,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Bucketed parquet table ([ext] — the co-located-join scale path).
+
+    Both sides of a recurring large⋈large join written with the same
+    ``bucketBy(n, key)`` (+ ``sortBy`` for merge-join readiness) join with
+    ZERO exchanges: the shuffle is paid once at write time and amortized
+    over every subsequent join/aggregate on the key — at 100 TB that is the
+    difference between one shuffle per query and none. Registered through
+    the session catalog (``saveAsTable``) because bucket metadata lives in
+    the catalog, not in the parquet files.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    if path is not None:
+        writer = writer.option("path", path)  # external table: data outside the warehouse
+    writer.saveAsTable(table)
+
+
 def write_text(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = True) -> None:
     """Text sink (S3) — replaces rdd.saveAsTextFile (lab2.py:307).
 

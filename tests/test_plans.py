@@ -96,3 +96,9 @@ def test_asof_join_single_user_shuffle(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "asof_join_purchase_click")
     assert "NestedLoop" not in plan
     assert "Window" in plan
+
+
+def test_global_sort_is_range_partitioned(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "global_sorted_orders")
+    # total order via sampled range partitioning, never a single-task sort
+    assert "rangepartitioning" in plan and "Sort" in plan

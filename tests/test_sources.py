@@ -89,3 +89,36 @@ def test_partitioned_parquet_sink(spark, sf_smoke, tmp_path_factory):
     assert langs == {"lang=de", "lang=en", "lang=es", "lang=fr", "lang=zh"}
     back = spark.read.parquet(f"{out}/by_lang").filter(F.col("lang") == "en")
     assert back.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_smoke, tmp_path_factory):
+    """Co-located join ([ext]): both sides bucketed+sorted on the join key
+    merge-join with ZERO Exchange operators — the write-once shuffle that
+    every subsequent key-join amortizes at scale."""
+    from similarity_analysis_big_data_spark.sources.writers import write_bucketed
+
+    out = tmp_path_factory.mktemp("buckets")
+    lineitem = load_table(spark, sf_smoke, "lineitem")
+    orders = load_table(spark, sf_smoke, "orders")
+    write_bucketed(lineitem, "li_b", 8, "l_orderkey", path=f"{out}/li")
+    write_bucketed(orders, "ord_b", 8, "o_orderkey", path=f"{out}/ord")
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force SMJ so the test proves bucket co-location, not broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("li_b").join(
+            spark.table("ord_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
