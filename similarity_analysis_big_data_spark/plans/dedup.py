@@ -327,6 +327,7 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE d.doc_id % {mod} = 0
       AND d.doc_id NOT IN (SELECT id FROM losers)
     """.replace("{mod}", str(SAMPLE_MOD))).replace("WITH toks", "WITH RECURSIVE toks", 1),
+    headline=True,
     doc="[ext] SURVEY §7 step 6 end to end: MinHash-LSH candidates -> exact-Jaccard "
     "verify -> connected components -> anti-join survivors. Oracle uses a WITH "
     "RECURSIVE transitive closure; the engine runs distributed min-label propagation.",

@@ -916,3 +916,57 @@ def global_sorted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r2(F.col("o_totalprice")).alias("totalprice"),
         )
     )
+
+
+@register(
+    "approx_percentile_order_value",
+    oracle="""
+        SELECT o_orderpriority,
+               round(quantile_disc(o_totalprice, 0.5), 2) AS p50,
+               round(quantile_disc(o_totalprice, 0.9), 2) AS p90,
+               round(quantile_disc(o_totalprice, 0.99), 2) AS p99
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="[ext] sketch-percentile (GK): the 100 TB twin of percentile_order_value — "
+    "mergeable partial sketches instead of a full sort-shuffle. accuracy=1e5 makes "
+    "it exact at oracle scale (= DuckDB quantile_disc), approximate-by-choice at 100 TB.",
+)
+def approx_percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 100000).alias("q"))
+    )
+    return q.select(
+        "o_orderpriority",
+        _r2(F.col("q")[0]).alias("p50"),
+        _r2(F.col("q")[1]).alias("p90"),
+        _r2(F.col("q")[2]).alias("p99"),
+    )
+
+
+_SQL_TOP_NATIONS = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name
+"""
+
+
+@register(
+    "sql_surface_revenue",
+    oracle=_SQL_TOP_NATIONS,
+    doc="[ext] SURVEY §3: the spark.sql entry surface — the SAME ANSI text runs on "
+    "Spark (over register_views temp views) and on the DuckDB oracle; one dialect, "
+    "two engines. Catalyst still broadcasts the dims and partial-aggs the revenue.",
+)
+def sql_surface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "orders", "customer", "nation"))
+    return spark.sql(_SQL_TOP_NATIONS)

@@ -94,3 +94,15 @@ def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
 
 def _is_agg(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().logical().toString()
+
+
+def enriched_event_stream(events: DataFrame, users: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch hash-joins against
+    the (small, broadcast) static dimension — the canonical fact-stream ⋈
+    dim-table shape. Stateless, so append-mode with no watermark
+    requirement; the static side is re-resolved per batch, which is what
+    makes slowly-changing dims pick up updates between batches."""
+    dim = F.broadcast(users)
+    return events.join(dim, "user_id", "left").select(
+        "event_id", "ts", "user_id", "event_type", "value", "segment"
+    )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from similarity_analysis_big_data_spark.plans.registry import QUERIES, _load_all
 from similarity_analysis_big_data_spark.streaming.events import (
     read_event_stream,
@@ -35,3 +37,20 @@ def test_streaming_sessionization_runs(spark, sf_smoke):
     # session event counts must sum to the full event count
     total = sum(r["n_events"] for r in rows)
     assert total == 1000
+
+
+def test_stream_static_enrichment_join(spark, sf_smoke):
+    from similarity_analysis_big_data_spark.streaming.events import enriched_event_stream
+
+    users = spark.range(0, 200).select(
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("segment"),
+    )
+    stream = read_event_stream(spark, sf_smoke)
+    got = run_to_memory(enriched_event_stream(stream, users), "stream_enriched")
+    rows = got.collect()
+    assert len(rows) == 1000
+    matched = [r for r in rows if r["segment"] is not None]
+    assert matched and all(
+        r["segment"] == ("even" if r["user_id"] % 2 == 0 else "odd") for r in matched
+    )
