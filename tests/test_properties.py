@@ -109,3 +109,49 @@ def test_sparse_join_symmetry(docs):
     }
     for (i, j), v in pairs.items():
         assert pairs[(j, i)] == pytest.approx(v, abs=1e-12)
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=15,
+)
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress fully so every node maps to its root
+    return {x: find(x) for x in parent}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edges_strategy)
+def test_connected_components_match_union_find(edges):
+    """Distributed min-label propagation ≡ driver-side union-find on random
+    graphs (chains, stars, cycles, merging components — shapes a hand-built
+    case can miss). Root labels must both be the component MINIMUM."""
+    from similarity_analysis_big_data_spark.operators.components import connected_components
+
+    spark = _SPARK["s"]
+    pairs = spark.createDataFrame(edges, ["id_l", "id_r"])
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    want_root = _union_find_components(edges)
+    # union-find roots are component minima only after normalizing: map each
+    # root to the min member of its component
+    comp_min = {}
+    for node, root in want_root.items():
+        comp_min[root] = min(comp_min.get(root, node), node)
+    want = {node: comp_min[root] for node, root in want_root.items()}
+    assert got == want
