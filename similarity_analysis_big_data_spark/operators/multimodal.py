@@ -90,3 +90,84 @@ def extract_features(payloads: DataFrame) -> DataFrame:
                 yield _extract_batch(batch)
 
     return payloads.mapInPandas(gen, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id long, payload binary, width int, height int"
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary, n_frames int"
+
+
+def resize_image(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
+    """STUB: real resize needs PIL/opencv — not in this container.
+
+    ``fake=True`` returns a deterministic byte string of exactly
+    ``width*height`` bytes (md5-keyed stream), so sizing/schema plumbing is
+    testable without a codec.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image resize needs a codec library (PIL/opencv) — provision on the "
+            "cluster and replace this stub; the Spark plumbing is codec-agnostic"
+        )
+    out = bytearray()
+    counter = 0
+    while len(out) < width * height:
+        out += hashlib.md5(payload + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    return bytes(out[: width * height])
+
+
+def resize_images(payloads: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched resize: 1 row in -> 1 row out, payload replaced by the
+    resized bytes + declared dimensions (typed metadata travels with the
+    binary column — readers never guess)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if len(batch):
+                yield pd.DataFrame(
+                    {
+                        "doc_id": batch["doc_id"],
+                        "payload": batch["payload"].map(
+                            lambda b: resize_image(bytes(b), width, height, fake=True)
+                        ),
+                        "width": width,
+                        "height": height,
+                    }
+                )
+
+    return payloads.mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(payloads: DataFrame, frame_bytes: int = 16, every_n: int = 4) -> DataFrame:
+    """Frame sampling: 1 video row -> k frame rows (every ``every_n``-th
+    fixed-size chunk of the payload stands in for a decoded frame).
+
+    The row-EXPANDING mapInPandas shape: output cardinality differs from
+    input, which is exactly how real video frame extraction behaves — the
+    explicit output schema + per-frame index keep it join/window-ready
+    downstream. Deterministic, so partition-invariance is testable.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                raw = bytes(payload)
+                chunks = [
+                    raw[i : i + frame_bytes] for i in range(0, len(raw), frame_bytes)
+                ]
+                sampled = chunks[::every_n]
+                rows.extend(
+                    {
+                        "doc_id": doc_id,
+                        "frame_idx": i * every_n,
+                        "frame": chunk,
+                        "n_frames": len(chunks),
+                    }
+                    for i, chunk in enumerate(sampled)
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(gen, schema=FRAMES_SCHEMA)

@@ -50,3 +50,41 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(docs, "doc_id", "text")
     return extract_features(payloads)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH sizes AS (
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                   CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT) AS n_frames
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, n_bytes, n_frames,
+                   unnest(range(0, n_frames, 4)) AS frame_idx
+            FROM sizes
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(least(16, n_bytes - frame_idx * 16) AS BIGINT) AS frame_bytes,
+               n_frames
+        FROM idx
+    """,
+    doc="[ext] video-style frame sampling (every 4th 16-byte chunk) through the "
+    "row-EXPANDING mapInPandas path; the emitted frame METADATA (index, size, "
+    "count) is oracle-checked — the bytes themselves are pinned by unit tests "
+    "(DuckDB substr is character-based, so byte slices of multibyte text "
+    "can't cross engines).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs, "doc_id", "text")
+    return sample_frames(payloads, frame_bytes=16, every_n=4).select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.octet_length("frame").cast("long").alias("frame_bytes"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )

@@ -128,3 +128,37 @@ def test_multimodal_features_deterministic_and_partition_invariant(spark, docs):
     assert len(byid[1]["feature"]) == 8
     assert byid[1]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
     assert all(0.0 <= x <= 1.0 for x in byid[1]["feature"])
+
+
+def test_multimodal_resize_and_frame_sampling(spark, docs):
+    from similarity_analysis_big_data_spark.operators.multimodal import (
+        resize_image,
+        resize_images,
+        sample_frames,
+    )
+
+    with pytest.raises(NotImplementedError):
+        resize_image(b"bytes", 4, 4)
+
+    payloads = attach_binary_payload(docs, "doc_id", "text")
+
+    resized = resize_images(payloads, 8, 4).collect()
+    assert all(len(bytes(r["payload"])) == 8 * 4 for r in resized)
+    assert all((r["width"], r["height"]) == (8, 4) for r in resized)
+    # deterministic: identical payloads resize identically
+    byid = {r["doc_id"]: bytes(r["payload"]) for r in resized}
+    assert byid[1] == byid[2]
+
+    # frame sampling expands rows: every 4th 16-byte chunk, frame_idx stamped
+    one = sample_frames(payloads.coalesce(1)).orderBy("doc_id", "frame_idx").collect()
+    many = sample_frames(payloads.repartition(4)).orderBy("doc_id", "frame_idx").collect()
+    assert one == many  # partition invariance
+    frames_1 = [r for r in one if r["doc_id"] == 1]
+    text_len = len("the quick brown fox jumps over the lazy dog")
+    import math
+    n_chunks = math.ceil(text_len / 16)
+    assert frames_1[0]["n_frames"] == n_chunks
+    assert len(frames_1) == math.ceil(n_chunks / 4)
+    assert [r["frame_idx"] for r in frames_1] == [i * 4 for i in range(len(frames_1))]
+    # frames are real slices of the payload
+    assert bytes(frames_1[0]["frame"]) == b"the quick brown "
