@@ -970,3 +970,69 @@ def sql_surface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("lineitem", "orders", "customer", "nation"))
     return spark.sql(_SQL_TOP_NATIONS)
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        EXCEPT ALL
+        SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F' AND l_returnflag = 'R'
+              AND l_quantity > 25
+    """,
+    doc="[ext] §2.7: EXCEPT ALL (bag difference — multiplicities subtract, the "
+    "form dedup accounting needs; distinct EXCEPT would erase counts).",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    b = li.filter(
+        (F.col("l_linestatus") == "F") & (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 25)
+    ).select("l_partkey")
+    return a.exceptAll(b)
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        INTERSECT ALL
+        SELECT l_partkey FROM lineitem WHERE l_quantity > 25
+    """,
+    doc="[ext] §2.7: INTERSECT ALL (bag intersection, min multiplicity).",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    b = li.filter(F.col("l_quantity") > 25).select("l_partkey")
+    return a.intersectAll(b)
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS status_F,
+               CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS status_O,
+               CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS status_P
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="[ext] §2.4/§1.1: Spark-native groupBy().pivot() with EXPLICIT pivot values "
+    "(no discovery pass) — replaces the reference's driver-side pandas pivot "
+    "(lab2.py:303); one expand+hash-agg at any scale.",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit value list: skips the extra distinct-scan Spark otherwise runs
+    # to discover pivot columns — at 100 TB that pass costs a full shuffle
+    wide = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
