@@ -18,6 +18,15 @@ from pyspark.sql import functions as F
 # the (?U) UNICODE_CHARACTER_CLASS flag for parity (FIXTURES.md §C).
 CLEANUP_PATTERN = r"(?U)(\d|\W)+"
 # The reference's tokenizer split pattern (lab2.py:159): non-word runs.
+#
+# ORACLE-PARITY PRECONDITION (ADVICE r1): the DuckDB oracle SQL fragments
+# tokenize with RE2 ``[^\w]+`` whose \w is ASCII-only, while (?U)\w here is
+# Unicode-aware. The two agree exactly on ASCII corpora — which the
+# ``documents`` fixture is (verified: 0 non-ASCII rows) — but an accented/
+# CJK corpus would tokenize differently on the two engines. The (?U) side is
+# the REFERENCE-faithful one (Python re is Unicode); if you need oracle
+# parity on non-ASCII data, pass an explicit ASCII pattern
+# ``[^0-9A-Za-z_]+`` to both engines instead.
 TOKEN_SPLIT_PATTERN = r"(?U)[^\w]+"
 
 

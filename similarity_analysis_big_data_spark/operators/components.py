@@ -16,6 +16,8 @@ literature.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -57,6 +59,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -75,8 +78,21 @@ def connected_components(
         )
         new_sum = _label_sum(labels)
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # Exiting on the iteration cap with labels still moving means some
+        # component (diameter > max_iterations) is under-merged — dedup
+        # built on these labels would silently KEEP near-duplicates. Surface
+        # it loudly instead of returning as if converged (ADVICE r1).
+        warnings.warn(
+            f"connected_components: labels still changing after "
+            f"{max_iterations} iterations; long-chain components are "
+            f"under-merged — raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("id", "component")
 
 

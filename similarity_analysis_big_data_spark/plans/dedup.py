@@ -39,6 +39,10 @@ from .registry import register
 SAMPLE_MOD = 5  # pairwise queries: 1-in-5 docs
 
 # ---- shared SQL fragments -------------------------------------------------
+# NOTE: DuckDB's regexp engine (RE2) treats \w as ASCII-only while the Spark
+# side tokenizes with (?U)\w (Unicode). Parity holds because the documents
+# fixture is pure ASCII — see functions/text.py TOKEN_SPLIT_PATTERN for the
+# full precondition statement.
 
 _SQL_TOKS = r"""
 WITH toks AS (

@@ -39,17 +39,47 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_byte_sql(i: int) -> str:
+    """DuckDB SQL for byte ``i`` of md5(text) as a BIGINT (hex-pair decode
+    via strpos — portable, no 0x-cast dependence)."""
+    hi = f"strpos('0123456789abcdef', substr(md5(text), {2 * i + 1}, 1)) - 1"
+    lo = f"strpos('0123456789abcdef', substr(md5(text), {2 * i + 2}, 1)) - 1"
+    return f"CAST(({hi}) * 16 + ({lo}) AS BIGINT)"
+
+
+_FAKE_FEATURES_ORACLE = (
+    "SELECT doc_id,\n"
+    "       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,\n"
+    "       substr(lower(hex(encode(text))), 1, 8) AS header,\n"
+    + ",\n".join(f"       {_md5_byte_sql(i)} AS f{i}" for i in range(8))
+    + "\nFROM documents"
+)
+
+
 @register(
     "multimodal_fake_features",
-    oracle=None,  # mapInPandas path; value semantics pinned by unit tests
+    # The fake decoder's feature i is float32(md5_byte_i / 255); multiplying
+    # back by 255 and rounding recovers the exact byte (float32 error « 0.5),
+    # so the mapInPandas output is checkable against a pure-SQL md5 decode.
+    oracle=_FAKE_FEATURES_ORACLE,
     doc="[ext] Arrow-batched feature extraction over binary payloads "
     "(mapInPandas; decode stubbed behind a deterministic fake — the Spark "
-    "plumbing, schema and batching are real).",
+    "plumbing, schema and batching are real). Registered surface emits the "
+    "features as exact integer bytes f0..f7 so the output is scalar-sortable "
+    "AND fully oracle-checked; the raw array<float> form stays available via "
+    "operators.multimodal.extract_features for downstream ANN.",
 )
 def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(docs, "doc_id", "text")
-    return extract_features(payloads)
+    feats = extract_features(payloads)
+    byte_cols = [
+        F.round(F.element_at("feature", i + 1).cast("double") * 255.0, 0)
+        .cast("long")
+        .alias(f"f{i}")
+        for i in range(8)
+    ]
+    return feats.select("doc_id", "n_bytes", "header", *byte_cols)
 
 
 @register(

@@ -637,7 +637,10 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
-    return a.exceptAll(b).distinct()
+    # subtract == SQL EXCEPT (DISTINCT): any row present in b is removed.
+    # exceptAll().distinct() is NOT the same — a row occurring more often in
+    # a than in b would survive (ADVICE r1).
+    return a.subtract(b)
 
 
 # --------------------------------------------------------------------------

@@ -22,6 +22,45 @@ from ..schemas import PAPERS, TABLE_SCHEMAS
 
 TABLE_NAMES = tuple(TABLE_SCHEMAS)
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _read_parquet_portable(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` that survives ``TIMESTAMP(NANOS)`` columns on
+    ANY session — not just ones built by :mod:`..session`.
+
+    Spark's vectorized reader rejects parquet ``TIMESTAMP(NANOS)`` outright
+    (PARQUET_TYPE_ILLEGAL) unless ``spark.sql.legacy.parquet.nanosAsLong``
+    makes them arrive as epoch-nanos longs. Our session factory sets that
+    conf, but an externally-built session (the correctness harness, a user's
+    own notebook) will not have it — so retry with the conf set at runtime
+    (it is a per-query SQL conf, safe to flip mid-session), and as a last
+    resort read driver-side through pyarrow with a ns→µs cast. The pyarrow
+    path is for small fixtures only; at scale the conf path always wins.
+    """
+    try:
+        return spark.read.parquet(path)
+    except Exception as exc:  # AnalysisException: PARQUET_TYPE_ILLEGAL
+        msg = str(exc)
+        if "PARQUET_TYPE_ILLEGAL" not in msg and "TIMESTAMP(NANOS" not in msg:
+            raise
+    try:
+        spark.conf.set(_NANOS_CONF, "true")
+        return spark.read.parquet(path)
+    except Exception:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path)
+        fields = [
+            f.with_type(pa.timestamp("us"))
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+            else f
+            for f in tbl.schema
+        ]
+        tbl = tbl.cast(pa.schema(fields))
+        return spark.createDataFrame(tbl.to_pandas())
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table from ``{sf_dir}/{name}.parquet``.
@@ -33,7 +72,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _read_parquet_portable(spark, f"{sf_dir}/{name}.parquet")
     # events.ts is parquet TIMESTAMP(NANOS); with
     # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos LongType.
     # Convert with integer division (a double round-trip would lose precision

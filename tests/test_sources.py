@@ -122,3 +122,16 @@ def test_bucketed_tables_join_without_exchange(spark, sf_smoke, tmp_path_factory
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_load_table_events_portable_without_session_conf(spark, sf_smoke):
+    """The driver's harness builds its own SparkSession WITHOUT our factory's
+    nanosAsLong conf; load_table must still read the TIMESTAMP(NANOS) events
+    fixture (VERDICT r1: 5 driver failures traced here)."""
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = load_table(spark, sf_smoke, "events")
+        assert dict(df.dtypes)["ts"].startswith("timestamp")
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
