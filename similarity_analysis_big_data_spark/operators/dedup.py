@@ -191,9 +191,9 @@ def simhash_signatures(
 def simhash_pairs(signatures: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
     """All pairs with hamming(simhash_l, simhash_r) <= max_hamming.
 
-    Exact form is a cross join — kept for modest id domains (post-sampling
-    or post-LSH). The scale path buckets on signature prefixes first (same
-    banding idea as MinHash-LSH) so only prefix-sharing pairs compare.
+    EXACT O(n²) form — the small-scale oracle that ``simhash_banded_pairs``
+    is property-tested against. Never the production path: use the banded
+    form, which returns the identical pair set without a cross join.
     """
     lhs = signatures.select(F.col(id_col).alias("id_l"), F.col("simhash").alias("sh_l"))
     rhs = signatures.select(F.col(id_col).alias("id_r"), F.col("simhash").alias("sh_r"))
@@ -204,4 +204,60 @@ def simhash_pairs(signatures: DataFrame, id_col: str, max_hamming: int) -> DataF
         .filter(F.col("id_l") < F.col("id_r"))
         .select("id_l", "id_r", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_banded_pairs(
+    signatures: DataFrame, id_col: str, max_hamming: int, bits: int = 32
+) -> DataFrame:
+    """Banded (LSH-style) SimHash pairing — same result set as
+    ``simhash_pairs``, no cross join.
+
+    Pigeonhole recall guarantee: split the ``bits`` signature bits into
+    ``max_hamming + 1`` disjoint bands; a pair within hamming distance
+    ``max_hamming`` has at most ``max_hamming`` differing bits, so at least
+    one band is bit-identical — every qualifying pair collides in some
+    band's bucket. The equi-join on (band, band_bits) generates candidates;
+    exact hamming on the carried signatures then removes false positives.
+
+    Scale: candidates come only from shared buckets — the corpus never
+    all-pairs. Selectivity grows with band width (bits/(h+1)); a tight
+    threshold (h=3 on 32 bits → 8-bit bands, 256-way split) is the sweet
+    spot. Wide thresholds like h=12 leave 2-3-bit bands — still a large
+    constant-factor win over n² and AQE splits the hot buckets, but if you
+    need h≈bits/2 at 100 TB, widen the signature (64/128 bits) so bands
+    stay selective.
+    """
+    if not 0 <= max_hamming < bits:
+        raise ValueError(f"max_hamming must be in [0, {bits}); got {max_hamming}")
+    n_bands = max_hamming + 1
+    base, rem = divmod(bits, n_bands)
+    entries = []
+    off = 0
+    for b in range(n_bands):
+        width = base + (1 if b < rem else 0)
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"shiftright(simhash, {off}) & {(1 << width) - 1}").alias("key"),
+            )
+        )
+        off += width
+    banded = signatures.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*entries)).alias("bk")
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    lhs = banded.select(
+        F.col(id_col).alias("id_l"), F.col("simhash").alias("sh_l"), "band", "key"
+    )
+    rhs = banded.select(
+        F.col(id_col).alias("id_r"), F.col("simhash").alias("sh_r"), "band", "key"
+    )
+    hamming = F.bit_count(F.col("sh_l").bitwiseXOR(F.col("sh_r"))).cast("long")
+    return (
+        lhs.join(rhs, ["band", "key"])
+        .filter(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # collapse multi-band collisions of the same pair
     )

@@ -18,7 +18,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, cosine_sql, dot, l2_norm
+from ..functions.vectors import cosine_similarity, cosine_sql, dot, dot_sql, l2_norm
 from ..sources.readers import load_table
 from .registry import register
 
@@ -207,12 +207,30 @@ def _hyperplanes(dim: int = 64) -> list[list[float]]:
     return rng.standard_normal((N_PLANES, dim)).tolist()
 
 
+def _hyperplane_bucket_sql() -> str:
+    """DuckDB rendering of the bucket assignment: the seeded plane matrix is
+    folded into the SQL as literal double lists (repr round-trips each
+    float64 exactly), and each dot is the SAME in-order double fold as the
+    Spark side — so even the sign decisions at the bucket boundary agree
+    bit-for-bit."""
+    terms = []
+    for i, plane in enumerate(_hyperplanes()):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN {dot_sql('embedding', lit)} > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
 @register(
     "ann_hyperplane_lsh_buckets",
-    oracle=None,  # seeded-constant planes; verified by property tests instead
+    oracle="SELECT vec_id, "
+    + _hyperplane_bucket_sql()
+    + " AS bucket, label FROM embeddings",
     doc="[ext] random-hyperplane (SimHash-for-vectors) LSH: 8-bit sign bucket per "
-    "vector — the bucketed ANN candidate generator (rows-only check; "
-    "tests assert bucket-mates have higher mean cosine than non-mates).",
+    "vector — the bucketed ANN candidate generator. Fully oracle-checked: the "
+    "seeded plane constants are SQL literals, so DuckDB reproduces every "
+    "bucket bit (plus property tests on bucket-mate cosine).",
 )
 def ann_hyperplane_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: one narrow map — each vector dots 8 constant planes folded into

@@ -30,7 +30,7 @@ from ..operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
-    simhash_pairs,
+    simhash_banded_pairs,
     simhash_signatures,
 )
 from ..sources.readers import load_table
@@ -262,16 +262,20 @@ sig AS (
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
     """,
     doc="[ext] SimHash near-dup: 32-bit weighted bit-majority signatures, pairs "
-    "within hamming distance 12 (sampled; prefix-bucketing is the scale path).",
+    "within hamming distance 12 via BANDED bucketing (pigeonhole over 13 "
+    "bit-bands — no cross join; the oracle's self-join is the exactness check).",
 )
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: candidate pairs come only from shared (band, bits) buckets;
+    the O(n²) cross-join form survives only as the property-test oracle
+    (operators.dedup.simhash_pairs)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % SAMPLE_MOD == 0)
     terms = docs.select(
         "doc_id", F.explode(tokenize(F.lower("text"))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("weight"))
     sigs = simhash_signatures(tf, "doc_id")
-    return simhash_pairs(sigs, "doc_id", max_hamming=12)
+    return simhash_banded_pairs(sigs, "doc_id", max_hamming=12)
 
 
 @register(

@@ -228,3 +228,37 @@ def sessionization_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("session_id"),
     )
     return sessions.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+
+
+@register(
+    "salted_heavy_hitter_terms",
+    oracle=_SQL_TOKS
+    + """
+    SELECT term, count(*) AS n_occurrences
+    FROM toks, unnest(tokens) AS t(term)
+    GROUP BY term
+    HAVING count(*) >= 100
+    """,
+    doc="[ext] heavy-hitter term counts through the SALTED two-phase "
+    "aggregation (operators.skew.salted_aggregate): phase 1 aggregates on "
+    "(term, salt) so one hot term spreads over 16 reducers, phase 2 merges "
+    "partials — the 100 TB hot-key lever, driver-visible. Salting is "
+    "internal: the oracle is a plain GROUP BY.",
+)
+def salted_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: word frequencies are Zipfian — an unsalted groupBy sends every
+    occurrence of 'the' to ONE reducer. The salt bounds any reducer's share
+    of a hot key at 1/n_salts of its rows; the merge phase moves only
+    (term, salt) partials, n_salts rows per distinct term."""
+    from ..operators.skew import salted_aggregate
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(tokenize(F.lower("text"))).alias("term"))
+    counts = salted_aggregate(
+        terms,
+        ["term"],
+        partial_aggs=[F.count("*").alias("c")],
+        merge_aggs=[F.sum("c").alias("n_occurrences")],
+        n_salts=16,
+    )
+    return counts.filter(F.col("n_occurrences") >= 100)

@@ -102,3 +102,21 @@ def test_global_sort_is_range_partitioned(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "global_sorted_orders")
     # total order via sampled range partitioning, never a single-task sort
     assert "rangepartitioning" in plan and "Sort" in plan
+
+
+def test_simhash_pairing_has_no_cartesian(spark, sf_oracle):
+    """VERDICT r1 #3: the registered SimHash query must use the banded
+    equi-join, never the O(n²) cross-join exactness oracle."""
+    plan = _plan(spark, sf_oracle, "simhash_hamming_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_heavy_hitters_two_phase_agg(spark, sf_oracle):
+    """The salted aggregation must shuffle twice — once on (term, _salt),
+    once on term — so a hot key never lands on a single reducer whole."""
+    plan = _plan(spark, sf_oracle, "salted_heavy_hitter_terms")
+    assert "CartesianProduct" not in plan
+    exchanges = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert any("_salt" in l for l in exchanges), exchanges
+    assert any("_salt" not in l and "term" in l for l in exchanges), exchanges

@@ -155,3 +155,31 @@ def test_connected_components_match_union_find(edges):
         comp_min[root] = min(comp_min.get(root, node), node)
     want = {node: comp_min[root] for node, root in want_root.items()}
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=(1 << 32) - 1), min_size=2, max_size=12),
+    st.integers(min_value=0, max_value=14),
+)
+def test_simhash_banded_equals_cross_join(sigs, max_hamming):
+    """Pigeonhole recall: the banded pairing returns EXACTLY the cross-join
+    pair set at any hamming threshold (VERDICT r1 #3)."""
+    from similarity_analysis_big_data_spark.operators.dedup import (
+        simhash_banded_pairs,
+        simhash_pairs,
+    )
+
+    spark = _SPARK["s"]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "id long, simhash long"
+    )
+    exact = {
+        (r["id_l"], r["id_r"], r["hamming"])
+        for r in simhash_pairs(df, "id", max_hamming).collect()
+    }
+    banded = {
+        (r["id_l"], r["id_r"], r["hamming"])
+        for r in simhash_banded_pairs(df, "id", max_hamming).collect()
+    }
+    assert banded == exact
