@@ -54,3 +54,40 @@ def test_stream_static_enrichment_join(spark, sf_smoke):
     assert matched and all(
         r["segment"] == ("even" if r["user_id"] % 2 == 0 else "odd") for r in matched
     )
+
+
+def test_foreachbatch_output_matches_batch_oracle(spark, sf_smoke):
+    """VERDICT r1 #8: drive the streaming rollup through a foreachBatch sink
+    and compare the emitted result against the DUCKDB oracle of the batch
+    twin (hourly_event_rollup) — stream, batch, and oracle all agree."""
+    from .oracle import duckdb_conn
+
+    collected = []
+
+    def sink(batch_df, _batch_id):
+        collected.extend(batch_df.collect())
+
+    stream = read_event_stream(spark, sf_smoke)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    stream_rows = {
+        (r["hour_bucket"], r["event_type"]): (r["n_events"], round(r["total_value"], 4))
+        for r in collected
+    }
+    conn = duckdb_conn(sf_smoke)
+    try:
+        oracle = conn.execute(QUERIES["hourly_event_rollup"].oracle).fetchdf()
+    finally:
+        conn.close()
+    oracle_rows = {
+        (r.hour_bucket, r.event_type): (r.n_events, round(r.total_value, 4))
+        for r in oracle.itertuples()
+    }
+    assert stream_rows == oracle_rows
