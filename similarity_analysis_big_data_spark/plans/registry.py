@@ -82,6 +82,7 @@ def _load_all() -> None:
         dedup,
         multimodal,
         relational,
+        sampling,
         similarity,
         textstats,
         udaf_queries,

@@ -1039,3 +1039,95 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
     )
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregates / window analytics / sliding time windows [ext]
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corr_stats_by_returnflag",
+    oracle="""
+        SELECT l_returnflag,
+               round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+               round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_price_qty,
+               round(stddev_samp(l_quantity), 6) AS std_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="[ext] statistical aggregate family: Pearson correlation, sample "
+    "covariance, sample stddev per group — single-pass co-moment "
+    "aggregation (partial+final), the distributed form of feature-stats "
+    "profiling.",
+)
+def corr_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: co-moments are algebraic — partials merge exactly like sums,
+    so the shuffle carries one small state row per (group, task)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("covar_price_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "ntile_customer_quartiles",
+    oracle="""
+        SELECT c_custkey, c_nationkey,
+               CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey) AS INTEGER)
+                   AS balance_quartile
+        FROM customer
+    """,
+    doc="[ext] ntile window ranking: within-nation account-balance quartiles "
+    "(deterministic tie-break on the unique key).",
+)
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: PARTITIONED ntile — each nation ranks independently in its own
+    task. A GLOBAL ntile would serialize into one task; for whole-table
+    quantiles at 100 TB use approx-percentile cutpoints (see
+    approx_percentile_order_value) or range-partitioned rank instead."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey", "c_nationkey", F.ntile(4).over(w).alias("balance_quartile")
+    )
+
+
+@register(
+    "sliding_window_event_counts",
+    oracle="""
+        WITH slots AS (
+            SELECT event_type, value,
+                   time_bucket(INTERVAL '15 minutes', ts)
+                       - k.k * INTERVAL '15 minutes' AS win_start
+            FROM events, (SELECT unnest(range(0, 4)) AS k) k
+        )
+        SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM slots GROUP BY 1, 2
+    """,
+    doc="[ext] SLIDING (overlapping) time windows: 1-hour window every 15 "
+    "minutes — each event lands in 4 epoch-aligned windows; the batch twin "
+    "of streaming hopping-window aggregation (same F.window operator).",
+)
+def sliding_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the window expand is map-side (4 rows per event before the
+    partial agg), so the shuffle moves pre-combined (window, type) partials,
+    not the 4x event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), _r4(F.sum("value")).alias("total_value"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -262,3 +262,67 @@ def salted_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16,
     )
     return counts.filter(F.col("n_occurrences") >= 100)
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+        SELECT CAST(floor(n_chars / 100.0) * 100 AS BIGINT) AS bucket_lo,
+               count(*) AS n_docs,
+               round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+        FROM documents GROUP BY 1
+    """,
+    doc="[ext] document-length histogram (fixed 100-char buckets): the "
+    "distribution profile a corpus-curation pass reads before choosing "
+    "length filters; one partial+final agg over ~tens of buckets.",
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 100.0) * 100).cast("long")
+    return (
+        docs.groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "training_corpus_filtered",
+    oracle=_SQL_TOKS
+    + """
+    , surv AS (
+        SELECT doc_id, lang, source, n_chars, tokens,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM toks
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM surv
+    WHERE doc_id = keep_id
+      AND len(tokens) >= 10
+      AND CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) >= 0.3
+    """,
+    doc="[ext] the end-to-end corpus-curation gate in ONE plan: exact-dedup "
+    "survivor (window-min over content digest) + minimum length + token "
+    "uniqueness threshold — the composed quality filter a training-data "
+    "pipeline runs before tokenization.",
+)
+def training_corpus_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one window shuffle on the content digest (same key a dedup
+    pass needs anyway); the quality predicates are narrow column math
+    evaluated in the same stage — no extra pass over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.withColumn("tokens", tokenize(F.lower("text")))
+    w = W.partitionBy(F.md5("text"))
+    n = F.size("tokens")
+    uniq_ratio = F.size(F.array_distinct("tokens")).cast("double") / n
+    return (
+        toks.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(
+            (F.col("doc_id") == F.col("keep_id"))
+            & (n >= 10)
+            & (uniq_ratio >= 0.3)
+        )
+        .select("doc_id", "lang", "source", "n_chars")
+    )
