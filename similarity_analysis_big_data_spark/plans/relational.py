@@ -1131,3 +1131,110 @@ def sliding_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "hourly_rollup_gapfilled",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts FROM bounds
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        counts AS (
+            SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT strftime(s.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+               t.event_type,
+               CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+        FROM spine s
+        CROSS JOIN types t
+        LEFT JOIN counts c ON c.hour_ts = s.hour_ts AND c.event_type = t.event_type
+    """,
+    doc="[ext] time-series GAP FILLING: an hour×type date spine (sequence + "
+    "explode) left-joined to the rollup so silent hours surface as explicit "
+    "zeros — the shape every downstream time-series consumer (anomaly "
+    "detection, charting) needs.",
+)
+def hourly_rollup_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the spine is hours×types — thousands of rows at any data size
+    (it grows with TIME RANGE, not volume), so it broadcasts; the only big
+    shuffle is the same partial+final rollup hourly_event_rollup pays."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    counts = ev.groupBy(hour.alias("hour_ts"), "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    bounds = ev.agg(F.min(hour).alias("lo"), F.max(hour).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_ts")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(F.broadcast(counts), ["hour_ts", "event_type"], "left")
+        .select(
+            F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "supplier_part_list",
+    oracle="""
+        SELECT l_suppkey,
+               array_to_string(list_sort(list_distinct(list(CAST(l_partkey AS VARCHAR)))), ',')
+                   AS part_list,
+               count(DISTINCT l_partkey) AS n_parts
+        FROM lineitem GROUP BY l_suppkey
+    """,
+    doc="A4 [ext] group-to-collection with DETERMINISTIC presentation: "
+    "per-supplier sorted part list serialized to a string (collect_set is "
+    "partition-order-dependent; sort_array + array_join pins the order, so "
+    "even the collection op is oracle-hash-checkable).",
+)
+def supplier_part_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: collect_set is a hash-agg whose state is the distinct set —
+    bounded here by parts-per-supplier (a catalog property, not data
+    volume); for unbounded groups prefer the long format and cap with a
+    windowed top-k before collecting."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("l_partkey").cast("string"))), ","
+            ).alias("part_list"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
+@register(
+    "window_percent_rank",
+    oracle="""
+        SELECT c_custkey, c_nationkey,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+    """,
+    doc="[ext] relative-position window functions: percent_rank + cume_dist "
+    "within nation by balance (value-based semantics, so ties resolve "
+    "identically on any engine/partitioning).",
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

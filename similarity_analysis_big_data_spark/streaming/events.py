@@ -46,14 +46,22 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def windowed_event_counts(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
     """Streaming twin of hourly_event_rollup: tumbling event-time windows
     with a watermark bounding state. Append-mode safe: a window closes
-    (and emits exactly once) when the watermark passes its end."""
+    (and emits exactly once) when the watermark passes its end.
+
+    ``slide`` turns it into the HOPPING form (overlapping windows, the
+    streaming twin of the batch ``sliding_window_event_counts``) — state
+    grows by the window/slide overlap factor, still watermark-bounded."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .groupBy(win.alias("win"), "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
         .select(
             F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),

@@ -91,3 +91,21 @@ def test_foreachbatch_output_matches_batch_oracle(spark, sf_smoke):
         for r in oracle.itertuples()
     }
     assert stream_rows == oracle_rows
+
+
+def test_streaming_sliding_windows_match_batch(spark, sf_smoke):
+    """Hopping (1h window / 15min slide) streaming aggregation equals the
+    batch sliding_window_event_counts query on the same fixture."""
+    stream = read_event_stream(spark, sf_smoke)
+    got = run_to_memory(
+        windowed_event_counts(stream, slide="15 minutes"), "stream_sliding"
+    )
+    stream_rows = {
+        (r["hour_bucket"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in got.collect()
+    }
+    batch_rows = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in QUERIES["sliding_window_event_counts"].fn(spark, sf_smoke).collect()
+    }
+    assert stream_rows == batch_rows
