@@ -326,3 +326,34 @@ def training_corpus_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+@register(
+    "zscore_doclen_by_lang",
+    oracle="""
+        SELECT doc_id, lang,
+               round(CASE WHEN count(*) OVER w > 1
+                           AND stddev_samp(CAST(n_chars AS DOUBLE)) OVER w > 0
+                     THEN (n_chars - avg(CAST(n_chars AS DOUBLE)) OVER w)
+                          / stddev_samp(CAST(n_chars AS DOUBLE)) OVER w
+                     ELSE 0.0 END, 6) AS zscore
+        FROM documents
+        WINDOW w AS (PARTITION BY lang)
+    """,
+    doc="[ext] the applyInPandas GROUPED-MAP surface: per-language z-score "
+    "normalization of document length through an Arrow grouped batch — "
+    "deliberately window-expressible so the Python path is oracle-checked "
+    "bit-for-bit against independent SQL.",
+)
+def zscore_doclen_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on lang (the applyInPandas group key); each group
+    is one Arrow batch in a worker. Production per-group logic that IS
+    window-expressible should use the window (JVM-side); this query exists
+    to pin the grouped-map plumbing against an oracle."""
+    from ..operators.grouped import grouped_zscore
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("n_chars")
+    )
+    z = grouped_zscore(docs, ["lang"], "n_chars")
+    return z.select("doc_id", "lang", F.round("zscore", 6).alias("zscore"))

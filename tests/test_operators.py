@@ -162,3 +162,20 @@ def test_multimodal_resize_and_frame_sampling(spark, docs):
     assert [r["frame_idx"] for r in frames_1] == [i * 4 for i in range(len(frames_1))]
     # frames are real slices of the payload
     assert bytes(frames_1[0]["frame"]) == b"the quick brown "
+
+
+def test_grouped_zscore_degenerate_groups(spark):
+    """applyInPandas grouped-map: size-1 and zero-variance groups emit 0.0
+    (no NaN leaks into a feature pipeline)."""
+    from similarity_analysis_big_data_spark.operators.grouped import grouped_zscore
+
+    df = spark.createDataFrame(
+        [("solo", 5.0), ("flat", 2.0), ("flat", 2.0), ("ok", 1.0), ("ok", 3.0)],
+        "grp string, x double",
+    )
+    rows = {(r["grp"], r["x"]): r["zscore"] for r in grouped_zscore(df, ["grp"], "x").collect()}
+    assert rows[("solo", 5.0)] == 0.0
+    assert rows[("flat", 2.0)] == 0.0
+    import math
+
+    assert math.isclose(abs(rows[("ok", 1.0)]), 0.7071067811865475, rel_tol=1e-12)
