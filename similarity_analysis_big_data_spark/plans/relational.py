@@ -1238,3 +1238,35 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "variant_props_profile",
+    oracle="""
+        SELECT event_type,
+               count(*) FILTER (CAST(json_extract_string(props, '$.k') AS INTEGER) > 50)
+                   AS n_high,
+               round(avg(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+                         THEN CAST(json_extract_string(props, '$.k') AS DOUBLE) END), 4)
+                   AS avg_high_k
+        FROM events GROUP BY event_type
+    """,
+    doc="[ext] §2.8 modern path: semi-structured props through Spark 4 "
+    "VariantType (parse_json once -> typed variant_get extractions) instead "
+    "of per-field string re-parsing — the open-JSON column format a "
+    "training-metadata pipeline stores; conditional aggregation on the "
+    "extracted field.",
+)
+def variant_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: parse_json runs ONCE per row into a binary variant; each
+    variant_get is a cheap typed probe (contrast get_json_object, which
+    re-parses the string per extraction). For many-field profiles this is
+    the difference between 1 and N parses of every payload."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("pv"))
+    k_int = F.variant_get("pv", "$.k", "int")
+    k_dbl = F.variant_get("pv", "$.k", "double")
+    return v.groupBy("event_type").agg(
+        F.count(F.when(k_int > 50, 1)).alias("n_high"),
+        _r4(F.avg(F.when(k_int > 50, k_dbl))).alias("avg_high_k"),
+    )
