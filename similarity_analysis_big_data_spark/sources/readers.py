@@ -115,6 +115,37 @@ def read_papers_json(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan ([ext]): explicit schema (inference costs an extra full pass
+    and guesses types at 100 TB), PERMISSIVE mode with a ``_corrupt_record``
+    column so malformed lines quarantine instead of failing the job — the
+    same contract as the JSON scan."""
+    out_schema = schema
+    if "_corrupt_record" not in out_schema.fieldNames():
+        # build a new StructType — .add() mutates the caller's schema object
+        out_schema = T.StructType(
+            list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+        )
+    return (
+        spark.read.schema(out_schema)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan ([ext]) — self-describing like parquet; pushdown/pruning
+    apply identically."""
+    return spark.read.orc(path)
+
+
 def read_stopwords(spark: SparkSession, path: str) -> list[str]:
     """Read a newline-delimited stopword list to a small driver-side list.
 

@@ -40,6 +40,21 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite", single_file: b
     _maybe_coalesce(df, single_file).write.mode(mode).json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    single_file: bool = False,
+) -> None:
+    """ORC sink ([ext]) — the second columnar format; same pushdown/pruning
+    contract as parquet for warehouses standardized on ORC."""
+    writer = _maybe_coalesce(df, single_file).write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -135,3 +135,31 @@ def test_load_table_events_portable_without_session_conf(spark, sf_smoke):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_orc_roundtrip_and_csv_scan(spark, sf_smoke, tmp_path_factory):
+    """[ext] ORC sink/scan roundtrip + schema'd PERMISSIVE CSV scan with
+    corrupt-record quarantine (same contract as the JSON scan)."""
+    from pyspark.sql import types as T
+
+    from similarity_analysis_big_data_spark.sources.readers import read_csv, read_orc
+    from similarity_analysis_big_data_spark.sources.writers import write_orc
+
+    base = tmp_path_factory.mktemp("formats")
+    nation = load_table(spark, sf_smoke, "nation")
+    write_orc(nation, str(base / "nation_orc"), partition_by=("n_regionkey",))
+    back = read_orc(spark, str(base / "nation_orc"))
+    assert back.count() == nation.count()
+    assert {r["n_name"] for r in back.collect()} == {r["n_name"] for r in nation.collect()}
+
+    csv_path = base / "rows.csv"
+    csv_path.write_text("id,score\n1,0.5\n2,not_a_number\n3,1.25\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("score", T.DoubleType())]
+    )
+    df = read_csv(spark, str(csv_path), schema)
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["id"] for r in good} == {1, 3}
+    assert len(bad) == 1 and "not_a_number" in bad[0]["_corrupt_record"]
