@@ -92,6 +92,41 @@ def extract_features(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(gen, schema=FEATURES_SCHEMA)
 
 
+def extract_features_arrow(payloads: DataFrame) -> DataFrame:
+    """``mapInArrow`` twin of :func:`extract_features`: the batch arrives as
+    a ``pyarrow.RecordBatch`` — no pandas conversion at all. For BINARY
+    payload columns that conversion is a real cost (pandas boxes every
+    payload into a Python ``bytes`` object; Arrow keeps one contiguous
+    buffer), so this is the preferred crossing for decode-heavy multimodal
+    work. Output values are IDENTICAL to the pandas path (tested)."""
+    import pyarrow as pa
+
+    def gen(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            doc_ids = batch.column("doc_id")
+            payloads_col = batch.column("payload")
+            n_bytes, headers, feats = [], [], []
+            for buf in payloads_col:
+                raw = buf.as_py()
+                n_bytes.append(len(raw))
+                headers.append(raw[:4].hex())
+                pixels = decode_image(raw, fake=True)
+                feats.append((pixels[:FEATURE_DIM] / 255.0).astype(np.float32).tolist())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array(n_bytes, pa.int64()),
+                    pa.array(headers, pa.string()),
+                    pa.array(feats, pa.list_(pa.float32())),
+                ],
+                names=["doc_id", "n_bytes", "header", "feature"],
+            )
+
+    return payloads.mapInArrow(gen, schema=FEATURES_SCHEMA)
+
+
 RESIZED_SCHEMA = "doc_id long, payload binary, width int, height int"
 
 FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary, n_frames int"
