@@ -219,3 +219,28 @@ def test_map_in_arrow_features_match_pandas_path(spark, sf_smoke):
     b = {r["doc_id"]: (r["n_bytes"], r["header"], r["feature"])
          for r in extract_features_arrow(payloads).collect()}
     assert a == b
+
+
+def test_udtf_sentence_segments_matches_explode_form(spark):
+    """Python UDTF (Spark 4): lateral sentence segmentation agrees with the
+    equivalent explode+split Catalyst composition on every row."""
+    from similarity_analysis_big_data_spark.functions.udtf_ops import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "One two. Three!  Four five six? "), (2, "..."), (3, None), (4, "Solo")],
+        "id long, text string",
+    )
+    df.createOrReplaceTempView("udtf_docs")
+    got = {
+        (r["id"], r["sentence_idx"]): (r["sentence"], r["n_tokens"])
+        for r in spark.sql(
+            "SELECT d.id, s.* FROM udtf_docs d, LATERAL sentence_segments(d.text) s"
+        ).collect()
+    }
+    assert got == {
+        (1, 0): ("One two", 2),
+        (1, 1): ("Three", 1),
+        (1, 2): ("Four five six", 3),
+        (4, 0): ("Solo", 1),
+    }
