@@ -29,6 +29,7 @@ and single-file output only where the result is provably tiny.
 
 from __future__ import annotations
 
+import os
 import sys
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,7 +42,7 @@ from .plans.pipeline import (
     task1_best_abstract,
     task2_category_matrix,
 )
-from .session import get_local_session
+from .session import get_local_session, get_session
 from .sources.readers import read_papers_json, read_stopwords
 from .sources.writers import write_csv, write_parquet, write_text
 
@@ -128,7 +129,17 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         return 2
-    spark = get_local_session("similarity-analysis-cli")
+    app = "similarity-analysis-cli"
+    master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master:
+        spark = get_session(app, master=master)
+    else:
+        try:
+            # master=None inherits spark-submit's cluster master (or joins
+            # an already-active session)
+            spark = get_session(app)
+        except Exception:
+            spark = get_local_session(app)  # plain `python -m` on one box
     run_pipeline(spark, *args)
     return 0
 
