@@ -1270,3 +1270,66 @@ def variant_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(k_int > 50, 1)).alias("n_high"),
         _r4(F.avg(F.when(k_int > 50, k_dbl))).alias("avg_high_k"),
     )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+               round(value, 4) AS value
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    doc="[ext] CDC/upsert compaction shape: latest event per key via "
+    "windowed row_number (deterministic tie-break on event_id) — the "
+    "keep-newest dedup every changelog consumer runs.",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: compiles to WindowGroupLimit — each task prunes to its local
+    top-1 per key BEFORE the shuffle, so the exchange carries ~|keys| rows,
+    not the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            _r4(F.col("value")).alias("value"),
+        )
+    )
+
+
+@register(
+    "docs_above_p95_length",
+    oracle="""
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+        WHERE n_chars > (SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.95)
+                         FROM documents)
+    """,
+    doc="[ext] scalar-subquery filter: keep documents above the corpus's own "
+    "p95 length — the data-derived-threshold pattern (the cutpoint is "
+    "computed, broadcast, and compared in one plan; no hardcoded magic "
+    "number).",
+)
+def docs_above_p95_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the aggregate reduces to ONE row which broadcasts to the
+    filter — two passes over the column (one narrow agg, one filtered scan),
+    zero shuffles of the corpus itself. At 100 TB swap the exact percentile
+    for approx_percentile; here it stays exact so the oracle can match."""
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg(
+        F.percentile(F.col("n_chars").cast("double"), 0.95).alias("cut")
+    )
+    return (
+        docs.join(F.broadcast(cut))
+        .filter(F.col("n_chars") > F.col("cut"))
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    )

@@ -120,3 +120,9 @@ def test_salted_heavy_hitters_two_phase_agg(spark, sf_oracle):
     exchanges = [l for l in plan.splitlines() if "hashpartitioning" in l]
     assert any("_salt" in l for l in exchanges), exchanges
     assert any("_salt" not in l and "term" in l for l in exchanges), exchanges
+
+
+def test_latest_event_compaction_uses_window_group_limit(spark, sf_oracle):
+    """Keep-newest dedup must prune per-task top-1 BEFORE the shuffle."""
+    plan = _plan(spark, sf_oracle, "latest_event_per_user")
+    assert "WindowGroupLimit" in plan
