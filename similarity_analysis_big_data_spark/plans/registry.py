@@ -84,6 +84,7 @@ def _load_all() -> None:
         relational,
         sampling,
         similarity,
+        subqueries,
         textstats,
         udaf_queries,
     )

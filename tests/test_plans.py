@@ -126,3 +126,24 @@ def test_latest_event_compaction_uses_window_group_limit(spark, sf_oracle):
     """Keep-newest dedup must prune per-task top-1 BEFORE the shuffle."""
     plan = _plan(spark, sf_oracle, "latest_event_per_user")
     assert "WindowGroupLimit" in plan
+
+
+def test_subquery_decorrelation(spark, sf_oracle):
+    """Catalyst must rewrite every subquery form to a join — no per-outer-row
+    re-evaluation, no CartesianProduct — or the form dies at scale."""
+    plan = _plan(spark, sf_oracle, "subq_exists_returned")
+    assert "LeftSemi" in plan or "Semi" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(spark, sf_oracle, "subq_not_exists_unreturned_parts")
+    assert "LeftAnti" in plan or "Anti" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(spark, sf_oracle, "subq_correlated_small_qty")
+    # correlated scalar → per-partkey aggregate joined on the correlation key
+    assert "partial_avg" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(spark, sf_oracle, "subq_not_in_quiet_suppliers")
+    # NOT IN is the null-aware anti form
+    assert "LeftAnti" in plan or "Anti" in plan
