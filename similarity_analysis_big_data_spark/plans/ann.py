@@ -248,3 +248,126 @@ def ann_hyperplane_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
     return emb.select("vec_id", bucket.alias("bucket"), "label")
+
+
+N_PROBE = 2  # multi-probe IVF: search the query's 2 nearest cells
+
+_SUM_FOLD_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform({a}, x -> CAST(x AS DOUBLE))), (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "hof_embedding_stats",
+    oracle=f"""
+        SELECT vec_id,
+               round(sqrt({dot_sql('embedding', 'embedding')}), 6)        AS l2,
+               round({_SUM_FOLD_SQL.format(a='embedding')} / len(embedding), 6) AS mean_val,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)    AS pos_count,
+               round(CAST(list_max(embedding) AS DOUBLE), 6)              AS max_val,
+               len(list_filter(embedding, x -> abs(x) > 3)) > 0           AS has_extreme
+        FROM embeddings
+    """,
+    doc="[ext] higher-order array functions as the vector feature path: "
+    "transform/filter/aggregate/exists evaluated JVM-side per row — the "
+    "column math a feature-store derives from raw embeddings without a UDF.",
+)
+def hof_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one narrow projection, no shuffle, no Python. Folds are
+    index-ordered double sums, identical to the DuckDB list_reduce — so
+    even the last float bit agrees before the rounding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    total = F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm("embedding"), 6).alias("l2"),
+        F.round(total / F.size("embedding"), 6).alias("mean_val"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("pos_count"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.exists("embedding", lambda x: F.abs(x) > 3).alias("has_extreme"),
+    )
+
+
+@register(
+    "ann_ivf_multiprobe_topk",
+    oracle=f"""
+        WITH cent AS (
+            SELECT vec_id AS cell_id, embedding AS cell_vec
+            FROM embeddings WHERE vec_id < {N_CELLS}
+        ),
+        ranked_cells AS (
+            SELECT e.vec_id, e.embedding, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cosine_sql('e.embedding', 'c.cell_vec')}, 6) DESC,
+                                c.cell_id) AS rn
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cell_id FROM ranked_cells WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, embedding AS query_vec, cell_id
+            FROM ranked_cells
+            WHERE vec_id % {QUERY_MOD} = 0 AND rn <= {N_PROBE}
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   round({cosine_sql('p.query_vec', 'a.embedding')}, 6) AS cosine
+            FROM probes p JOIN assigned a
+              ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rnk
+        FROM (SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rnk
+              FROM scored)
+        WHERE rnk <= {TOP_K}
+    """,
+    doc=f"[ext] multi-probe IVF ANN: each query searches its {N_PROBE} nearest "
+    "cells instead of 1 — the standard recall lever (candidates scale with "
+    "n_probe/cells, never with n²); cell assignment stays oracle-checked.",
+)
+def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: identical layout to ann_ivf_topk — the probe list is a ≤2-rows-
+    per-query broadcast, the corpus stays put, and each query scores
+    ~N_PROBE·n/cells vectors. Recall rises without touching the corpus side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.desc(F.round(cosine_similarity("embedding", "cell_vec"), 6)), F.asc("cell_id")
+    )
+    ranked = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "embedding", "cell_id")
+    probes = (
+        ranked.filter((F.col("vec_id") % QUERY_MOD == 0) & (F.col("rn") <= N_PROBE))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            "cell_id",
+        )
+        .withColumn("q_norm", l2_norm("query_vec"))
+    )
+    corpus = assigned.withColumn("n_norm", l2_norm("embedding"))
+    cosine = F.when(
+        (F.col("q_norm") > 0) & (F.col("n_norm") > 0),
+        dot("query_vec", "embedding") / (F.col("q_norm") * F.col("n_norm")),
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine, 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(F.col("rnk") <= TOP_K)
