@@ -358,3 +358,54 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_survivors(docs, dup_pairs, "doc_id").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# Blocked edit-distance dedup: levenshtein is O(len_a·len_b) per pair, so it
+# can NEVER run all-pairs; the block key (lang, n_chars//16) bounds candidates
+# to near-equal-length same-language docs. Pairs straddling a length-bucket
+# boundary are missed by design — the standard blocking trade-off, stated
+# here and mirrored exactly in the oracle (MinHash-LSH is the recall-safe
+# path; this is the precision verifier for edit-level twins).
+FUZZY_BUCKET = 16
+FUZZY_MAX_EDIT = 20
+
+
+@register(
+    "fuzzy_levenshtein_pairs",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, text, lang, n_chars // {FUZZY_BUCKET} AS bkt
+            FROM documents
+        )
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.text, b.text) <= {FUZZY_MAX_EDIT}
+    """,
+    doc="[ext] fuzzy dedup: blocked Levenshtein pairs — same language, "
+    f"same {FUZZY_BUCKET}-char length bucket, edit distance ≤ {FUZZY_MAX_EDIT}. "
+    "The edit-distance metric itself is identical on both engines.",
+)
+def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the (lang, length-bucket) equi-join keeps the quadratic
+    levenshtein off the hot path — candidates are per-block, and blocks are
+    bounded by the corpus's length histogram. At 100 TB the block key
+    becomes the shuffle key; a hot block (boilerplate-length docs) is the
+    salting case operators/skew.py covers."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", (F.col("n_chars") / FUZZY_BUCKET).cast("long").alias("bkt")
+    )
+    lhs = d.select(
+        F.col("doc_id").alias("id_l"), F.col("text").alias("text_l"), "lang", "bkt"
+    )
+    rhs = d.select(
+        F.col("doc_id").alias("id_r"), F.col("text").alias("text_r"), "lang", "bkt"
+    )
+    return (
+        lhs.join(rhs, ["lang", "bkt"])
+        .filter(F.col("id_l") < F.col("id_r"))
+        .withColumn("edit_dist", F.levenshtein("text_l", "text_r").cast("long"))
+        .filter(F.col("edit_dist") <= FUZZY_MAX_EDIT)
+        .select("id_l", "id_r", "edit_dist")
+    )

@@ -1333,3 +1333,68 @@ def docs_above_p95_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_chars") > F.col("cut"))
         .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
     )
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               round(first_value(o_totalprice) OVER w_run, 2)  AS first_price,
+               round(last_value(o_totalprice)  OVER w_full, 2) AS last_price,
+               round(cume_dist() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY o_totalprice), 6) AS price_cume
+        FROM orders
+        WINDOW w_run  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="[ext] §2.5 window value functions: first_value / last_value (full "
+    "frame — the default running frame would make last_value degenerate) and "
+    "cume_dist, deterministic via the o_orderkey tiebreak.",
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two window specs share the (o_custkey, o_orderdate) sort; the
+    cume_dist spec shuffles once on o_orderpriority. All three functions run
+    in the JVM window operator — no per-row state outside the frame."""
+    o = load_table(spark, sf_dir, "orders")
+    w_run = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w_run.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_cume = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        _r2(F.first("o_totalprice").over(w_run)).alias("first_price"),
+        _r2(F.last("o_totalprice").over(w_full)).alias("last_price"),
+        F.round(F.cume_dist().over(w_cume), 6).alias("price_cume"),
+    )
+
+
+@register(
+    "window_range_7day_spend",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY epoch(o_orderdate)
+                   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS spend_7d
+        FROM orders
+    """,
+    doc="[ext] §2.5 RANGE frame over event time: per-customer trailing-7-day "
+    "spend — the time-decayed feature shape. RANGE (value-based, ties share a "
+    "frame) not ROWS, so same-epoch orders aggregate identically on both engines.",
+)
+def window_range_7day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on o_custkey, one sort by epoch; the frame is
+    evaluated with a sliding two-pointer inside the JVM window operator —
+    O(rows), not O(rows·frame)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        _r2(F.sum("o_totalprice").over(w)).alias("spend_7d"),
+    )
