@@ -20,3 +20,19 @@ def dedup_event_stream(events: DataFrame, watermark: str = "1 hour") -> DataFram
         "digest", F.md5(F.concat_ws("|", "user_id", "event_type", F.col("value").cast("string")))
     )
     return keyed.withWatermark("ts", watermark).dropDuplicates(["digest"])
+
+
+def dedup_event_stream_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` flavor: unlike ``dropDuplicates``
+    (which keys state on the exact dedup columns forever unless an event-time
+    column is part of the key), this guarantees dedup only for duplicates
+    arriving within the watermark delay of each other — and in exchange can
+    EVICT state as the watermark advances even though ``ts`` is not part of
+    the dedup key. That is the production shape for at-least-once sources
+    (kafka redeliveries land seconds apart, not hours)."""
+    keyed = events.withColumn(
+        "digest", F.md5(F.concat_ws("|", "user_id", "event_type", F.col("value").cast("string")))
+    )
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["digest"])

@@ -48,3 +48,71 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- Spark 4.x transformWithStateInPandas twin -----------------------------
+# The successor API to applyInPandasWithState: typed state handles
+# (ValueState/ListState/MapState), optional TTL, and timers — the operator
+# contract Spark standardizes on going forward. Same semantics as
+# running_user_totals above; tests assert the two agree with the batch agg.
+
+try:  # pragma: no cover - import surface depends on pyspark build
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # the state-server protocol is protobuf-framed; without google.protobuf
+    # the driver-side pre-init worker dies before init() runs
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAS_TWS = True
+except ImportError:  # older pyspark / no protobuf: applyInPandasWithState path
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = None  # type: ignore[assignment]
+    HAS_TWS = False
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-user (count, sum) with a typed ValueState handle.
+
+    State is one fixed-width row per key — identical memory posture to the
+    applyInPandasWithState form; the handle API adds TTL/timers when a
+    production deploy needs idle-key expiry.
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total = self._state.get() if self._state.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """``running_user_totals`` on the transformWithStateInPandas API."""
+    if not HAS_TWS:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires pyspark >= 4.0 plus "
+            "google.protobuf; use running_user_totals "
+            "(applyInPandasWithState) instead"
+        )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotalsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
