@@ -1398,3 +1398,83 @@ def window_range_7day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         _r2(F.sum("o_totalprice").over(w)).alias("spend_7d"),
     )
+
+
+@register(
+    "null_semantics_audit",
+    oracle="""
+        SELECT c.c_nationkey,
+               count(*)                                            AS n_customers,
+               count(o.o_orderkey)                                 AS n_with_orders,
+               count(*) FILTER (WHERE o.o_orderkey IS NULL)        AS n_orderless,
+               count(*) FILTER (WHERE c.c_acctbal IS NOT DISTINCT FROM o.o_totalprice)
+                                                                   AS n_nullsafe_eq,
+               round(sum(coalesce(o.o_totalprice, 0.0)), 2)        AS total_filled
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey,
+                          min(o_orderkey)  AS o_orderkey,
+                          max(o_totalprice) AS o_totalprice
+                   FROM orders GROUP BY o_custkey) o
+          ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey
+    """,
+    doc="[ext] SQL null semantics as a first-class audit: count(col) skips "
+    "NULLs while count(*) does not, FILTER aggregates, null-safe equality "
+    "(<=> / IS NOT DISTINCT FROM treats NULL=NULL as true), and coalesce "
+    "fill — the three-valued-logic corners every engine must agree on.",
+)
+def null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the orders side pre-aggregates to one row per customer before
+    the join (shuffle moves |customers| rows, not |orders|), then a single
+    hash agg per nation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min("o_orderkey").alias("o_orderkey"),
+            F.max("o_totalprice").alias("o_totalprice"),
+        )
+    )
+    joined = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return joined.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.count("o_orderkey").alias("n_with_orders"),
+        F.count_if(F.col("o_orderkey").isNull()).alias("n_orderless"),
+        F.count_if(F.col("c_acctbal").eqNullSafe(F.col("o_totalprice"))).alias(
+            "n_nullsafe_eq"
+        ),
+        _r2(F.sum(F.coalesce("o_totalprice", F.lit(0.0)))).alias("total_filled"),
+    )
+
+
+@register(
+    "disjunctive_filter_revenue",
+    oracle="""
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE (l_quantity BETWEEN 1 AND 11 AND l_discount >= 0.05 AND l_returnflag = 'R')
+           OR (l_quantity BETWEEN 20 AND 30 AND l_discount <= 0.03 AND l_linestatus = 'F')
+           OR (l_quantity >= 45 AND l_tax > 0.06)
+    """,
+    doc="[ext] TPC-H Q19 shape: an OR-of-AND-clauses predicate — the case "
+    "where naive engines give up on pushdown. Catalyst pushes the full "
+    "disjunction to the parquet scan (Or(And(...),...) in PushedFilters) and "
+    "row groups outside every branch's min/max never decompress.",
+)
+def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: single scan + single-row aggregate; the whole cost model is
+    how much of the scan the pushed disjunction skips."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, d = F.col("l_quantity"), F.col("l_discount")
+    branch1 = q.between(1, 11) & (d >= 0.05) & (F.col("l_returnflag") == "R")
+    branch2 = q.between(20, 30) & (d <= 0.03) & (F.col("l_linestatus") == "F")
+    branch3 = (q >= 45) & (F.col("l_tax") > 0.06)
+    return (
+        li.filter(branch1 | branch2 | branch3)
+        .agg(
+            _r2(F.sum(F.col("l_extendedprice") * (1 - d))).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

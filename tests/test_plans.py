@@ -147,3 +147,11 @@ def test_subquery_decorrelation(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "subq_not_in_quiet_suppliers")
     # NOT IN is the null-aware anti form
     assert "LeftAnti" in plan or "Anti" in plan
+
+
+def test_disjunctive_filter_pushes_down(spark, sf_oracle):
+    """The Q19-shape OR-of-ANDs must reach the parquet scan as one pushed
+    Or(...) filter, not evaluate post-scan only."""
+    plan = _plan(spark, sf_oracle, "disjunctive_filter_revenue")
+    read = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "Or(" in read and "l_quantity" in read
