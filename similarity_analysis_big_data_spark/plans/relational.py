@@ -1478,3 +1478,171 @@ def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "interval_join_click_purchase",
+    oracle="""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS micros_to_purchase
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    doc="[ext] time-interval self-join: every purchase within 30 minutes "
+    "after a click by the same user — the attribution-window join (as-of "
+    "keeps only the nearest; the interval form keeps ALL pairs in the band).",
+)
+def interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: an equi-join on user_id with the time band as a post-join
+    predicate — hash-partitioned by user, never a cross product. Streaming
+    twin: the same plan shape is Spark's stream-stream interval join, with
+    the band bounding watermark state."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+                "micros_to_purchase"
+            ),
+        )
+    )
+
+
+@register(
+    "profile_orders_columns",
+    oracle="""
+        SELECT 'o_orderkey' AS col_name, count(*) - count(o_orderkey) AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               round(min(o_orderkey), 4) AS min_num, round(max(o_orderkey), 4) AS max_num
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*) - count(o_custkey), count(DISTINCT o_custkey),
+               round(min(o_custkey), 4), round(max(o_custkey), 4) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*) - count(o_totalprice), count(DISTINCT o_totalprice),
+               round(min(o_totalprice), 4), round(max(o_totalprice), 4) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+               NULL, NULL FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),
+               NULL, NULL FROM orders
+    """,
+    doc="[ext] column profiling (the describe/summary utility): null count, "
+    "exact distinct count, numeric min/max per column in ONE pass — the "
+    "pre-ingest audit a data pipeline runs before accepting a drop.",
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: a single multi-aggregate pass; the exact distincts expand the
+    aggregate (one shuffle per distinct domain) — Spark's expand operator
+    handles this without rescanning the input. At 100 TB swap exact distinct
+    for approx_count_distinct per the approx_distinct_parts pattern."""
+    o = load_table(spark, sf_dir, "orders")
+    numeric = {"o_orderkey", "o_custkey", "o_totalprice"}
+    aggs = []
+    for col in ("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"):
+        aggs += [
+            (F.count("*") - F.count(col)).alias(f"{col}__nulls"),
+            F.count_distinct(F.col(col)).alias(f"{col}__distinct"),
+        ]
+        if col in numeric:
+            aggs += [
+                F.round(F.min(col).cast("double"), 4).alias(f"{col}__min"),
+                F.round(F.max(col).cast("double"), 4).alias(f"{col}__max"),
+            ]
+    wide = o.agg(*aggs)
+    parts = []
+    for col in ("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"):
+        min_c = (
+            F.col(f"{col}__min") if col in numeric else F.lit(None).cast("double")
+        )
+        max_c = (
+            F.col(f"{col}__max") if col in numeric else F.lit(None).cast("double")
+        )
+        parts.append(
+            wide.select(
+                F.lit(col).alias("col_name"),
+                F.col(f"{col}__nulls").alias("n_nulls"),
+                F.col(f"{col}__distinct").alias("n_distinct"),
+                min_c.alias("min_num"),
+                max_c.alias("max_num"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@register(
+    "dq_violations_lineitem",
+    oracle="""
+        WITH t AS (SELECT count(*) AS n FROM lineitem)
+        SELECT 'discount_gt_8pct' AS rule,
+               count(*) FILTER (WHERE l_discount > 0.08) AS n_bad,
+               round(count(*) FILTER (WHERE l_discount > 0.08) * 100.0 / max(t.n), 4) AS pct_bad
+        FROM lineitem, t
+        UNION ALL
+        SELECT 'tax_gt_7pct', count(*) FILTER (WHERE l_tax > 0.07),
+               round(count(*) FILTER (WHERE l_tax > 0.07) * 100.0 / max(t.n), 4)
+        FROM lineitem, t
+        UNION ALL
+        SELECT 'qty_out_of_range', count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50),
+               round(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) * 100.0 / max(t.n), 4)
+        FROM lineitem, t
+        UNION ALL
+        SELECT 'negative_price', count(*) FILTER (WHERE l_extendedprice <= 0),
+               round(count(*) FILTER (WHERE l_extendedprice <= 0) * 100.0 / max(t.n), 4)
+        FROM lineitem, t
+    """,
+    doc="[ext] data-quality expectation gate: declared rules evaluated as "
+    "FILTER aggregates in one pass, emitting violation counts + rates — the "
+    "accept/reject audit before a training-data drop is admitted (zero rows "
+    "for a rule is the healthy state, and the gate proves it).",
+)
+def dq_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one scan, all rules as conditional aggregates — adding a rule
+    adds a column, not a pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = {
+        "discount_gt_8pct": F.col("l_discount") > 0.08,
+        "tax_gt_7pct": F.col("l_tax") > 0.07,
+        "qty_out_of_range": (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        "negative_price": F.col("l_extendedprice") <= 0,
+    }
+    aggs = [F.count("*").alias("__n")]
+    for name, cond in rules.items():
+        aggs.append(F.count_if(cond).alias(name))
+    wide = li.agg(*aggs)
+    parts = [
+        wide.select(
+            F.lit(name).alias("rule"),
+            F.col(name).alias("n_bad"),
+            F.round(F.col(name) * 100.0 / F.col("__n"), 4).alias("pct_bad"),
+        )
+        for name in rules
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
