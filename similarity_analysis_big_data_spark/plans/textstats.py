@@ -357,3 +357,60 @@ def zscore_doclen_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = grouped_zscore(docs, ["lang"], "n_chars")
     return z.select("doc_id", "lang", F.round("zscore", 6).alias("zscore"))
+
+
+@register(
+    "top_trigrams_per_lang",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(lower(text), '[^\w]+'),
+                               x -> x <> '') AS tokens
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, lang, unnest(tokens) AS term,
+                   generate_subscripts(tokens, 1) AS i
+            FROM toks
+        ),
+        grams AS (
+            SELECT a.lang, a.term || ' ' || b.term || ' ' || c.term AS trigram
+            FROM pos a
+            JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+        ),
+        counted AS (
+            SELECT lang, trigram, count(*) AS n_occurrences
+            FROM grams GROUP BY lang, trigram
+        )
+        SELECT lang, trigram, n_occurrences, rnk
+        FROM (SELECT lang, trigram, n_occurrences,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_occurrences DESC, trigram) AS rnk
+              FROM counted)
+        WHERE rnk <= 5
+    """,
+    doc="[ext] corpus phrase mining: top-5 word trigrams per language — "
+    "boilerplate detection's first pass (a trigram that dominates a corpus "
+    "slice is template text, not content).",
+)
+def top_trigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: shingles explode map-side from each doc (no join against a
+    position table — the Spark side builds n-grams with a per-row transform),
+    then one partial+final count per (lang, trigram) and a top-k window per
+    lang. Trigram skew (template boilerplate) is exactly the salted-agg case."""
+    from ..functions.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "lang",
+        F.explode(word_ngrams(tokenize(F.lower(F.col("text"))), 3)).alias("trigram"),
+    )
+    counted = grams.groupBy("lang", "trigram").agg(
+        F.count("*").alias("n_occurrences")
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("n_occurrences"), F.asc("trigram"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
