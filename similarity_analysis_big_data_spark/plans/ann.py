@@ -371,3 +371,72 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(F.col("rnk") <= TOP_K)
+
+
+@register(
+    "embedding_int8_quantization",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings
+        ),
+        scaled AS (
+            SELECT vec_id, vec,
+                   -- step is DEFINED at 9-decimal precision so downstream
+                   -- math is identical cross-engine (and Spark's projection
+                   -- collapse folding the output rounding into the shared
+                   -- expression is then semantics-preserving)
+                   CASE WHEN list_max(list_transform(vec, x -> abs(x))) > 0
+                        THEN round(list_max(list_transform(vec, x -> abs(x))) / 127.0, 9)
+                        ELSE 1.0 END AS step
+            FROM v
+        ),
+        err AS (
+            SELECT vec_id, step,
+                   list_transform(
+                       vec,
+                       x -> (x - greatest(least(round(x / step), 127.0), -127.0) * step)
+                            * (x - greatest(least(round(x / step), 127.0), -127.0) * step)
+                   ) AS sq,
+                   len(list_filter(
+                       vec, x -> abs(round(x / step)) >= 127.0)) AS n_sat
+            FROM scaled
+        )
+        SELECT vec_id,
+               step,
+               CAST(n_sat AS BIGINT) AS n_sat,
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE), sq),
+                                 (acc, x) -> acc + x) / len(sq), 12) AS mse
+        FROM err
+    """,
+    doc="[ext] int8 symmetric scalar quantization of the embedding column: "
+    "per-vector step size (absmax/127), saturation count, and "
+    "reconstruction MSE — the compression audit a vector store runs before "
+    "committing to a quantized index (4x memory cut at 100 TB).",
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one narrow projection, no shuffle, no Python — quantize,
+    dequantize, and error-fold are all element-wise higher-order functions
+    in whole-stage codegen. Fold order is index order on both engines, so
+    values agree to the last bit before rounding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    absmax = F.array_max(F.transform(vec, F.abs))
+    step = F.when(absmax > 0, F.round(absmax / F.lit(127.0), 9)).otherwise(F.lit(1.0))
+    scaled = emb.select("vec_id", vec.alias("vec"), step.alias("step"))
+
+    def sq_err(x):
+        q = F.greatest(F.least(F.round(x / F.col("step")), F.lit(127.0)), F.lit(-127.0))
+        d = x - q * F.col("step")
+        return d * d
+
+    sq = F.transform("vec", sq_err)
+    n_sat = F.size(F.filter("vec", lambda x: F.abs(F.round(x / F.col("step"))) >= 127.0))
+    mse = F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x) / F.size(sq)
+    return scaled.select(
+        "vec_id",
+        "step",
+        n_sat.cast("long").alias("n_sat"),
+        F.round(mse, 12).alias("mse"),
+    )
