@@ -409,3 +409,66 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= FUZZY_MAX_EDIT)
         .select("id_l", "id_r", "edit_dist")
     )
+
+
+@register(
+    "passage_dup_stats",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^\w]+'),
+                               x -> x <> '') AS tokens
+            FROM documents
+        ),
+        win AS (
+            SELECT doc_id, md5(array_to_string(tokens[i:i+7], ' ')) AS w
+            FROM (SELECT doc_id, tokens,
+                         unnest(generate_series(1, len(tokens) - 7)) AS i
+                  FROM toks WHERE len(tokens) >= 8)
+        ),
+        shared AS (
+            SELECT w, count(DISTINCT doc_id) AS nd FROM win GROUP BY w
+        )
+        SELECT win.doc_id,
+               count(*) AS n_windows,
+               CAST(sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+               round(CAST(sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS shared_frac
+        FROM win JOIN shared s USING (w)
+        GROUP BY win.doc_id
+    """,
+    doc="[ext] repeated-passage detection (Lee et al. 2022, exact substring "
+    "dedup at token-window granularity): per doc, the fraction of its "
+    "8-token windows that also occur in at least one OTHER document — the "
+    "signal for cutting boilerplate passages out of a training corpus.",
+)
+def passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: windows explode map-side and are immediately md5-hashed to a
+    fixed 32-char key (the raw 8-gram string never shuffles). One count per
+    window hash, one join back, one per-doc agg — all keyed shuffles.
+    Template passages make hot window keys: the countDistinct side is the
+    salted-agg case, and the join back is AQE-skew-split. A 100 TB corpus
+    would bucket the window table by ``w`` and keep it as the reusable
+    passage index."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.lower("text")).alias("tokens"))
+    win = (
+        toks.filter(F.size("tokens") >= 8)
+        .select("doc_id", F.explode(word_ngrams("tokens", 8)).alias("gram"))
+        .select("doc_id", F.md5("gram").alias("w"))
+    )
+    shared = win.groupBy("w").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        win.join(shared, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("long").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_windows"), 6).alias("shared_frac"),
+        )
+    )

@@ -1646,3 +1646,123 @@ def dq_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shape analytic analogs ([ext]) — adapted to the fixture's columns
+# (no l_shipmode/p_type-prefix variants; plain p_type values, same plans)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    doc="[ext] TPC-H Q6 shape: highly selective conjunctive scan -> single "
+    "global aggregate. The canonical predicate-pushdown showcase.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: every predicate reaches the parquet scan (PushedFilters:
+    shipdate range + discount range + quantity bound), so row groups whose
+    min/max stats miss the window never decompress. The aggregate is a
+    partial+final pair over ~2% of rows — driver receives one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+        SELECT round(
+                 100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1996-07-01'
+    """,
+    doc="[ext] TPC-H Q14 shape: fact-dim join + conditional-aggregate ratio "
+    "(share of promo revenue in a shipping window).",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: part is the dimension side — broadcast it so the fact table
+    never shuffles; the date filter pushes to the lineitem scan first. The
+    ratio is two conditional sums in ONE aggregate pass, not two jobs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            _r4(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", net).otherwise(F.lit(0)))
+                / F.sum(net)
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+               o.o_totalprice, round(t.total_qty, 2) AS total_qty
+        FROM orders o
+        JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 250) t
+          ON t.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc="[ext] TPC-H Q18 shape: group-filter on the fact (orders whose "
+    "line quantities total > 250), joined back to order + customer detail.",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the HAVING aggregate runs partial+final on l_orderkey FIRST,
+    shrinking the fact to the ~1% qualifying orders; the survivors then
+    broadcast against orders/customer. Never joins the raw fact twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_name")), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            _r2(F.col("total_qty")).alias("total_qty"),
+        )
+    )

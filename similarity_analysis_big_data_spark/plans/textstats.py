@@ -414,3 +414,92 @@ def top_trigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+@register(
+    "gopher_repetition_metrics",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^\w]+'),
+                               x -> x <> '') AS tokens
+            FROM documents
+        ),
+        uni AS (
+            SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS max_word_frac
+            FROM (SELECT doc_id, g, count(*) AS c
+                  FROM (SELECT doc_id, unnest(tokens) AS g FROM toks)
+                  GROUP BY doc_id, g)
+            GROUP BY doc_id
+        ),
+        bi AS (
+            SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+            FROM (SELECT doc_id, g, count(*) AS c
+                  FROM (SELECT doc_id, array_to_string(tokens[i:i+1], ' ') AS g
+                        FROM (SELECT doc_id, tokens,
+                                     unnest(generate_series(1, len(tokens) - 1)) AS i
+                              FROM toks WHERE len(tokens) >= 2))
+                  GROUP BY doc_id, g)
+            GROUP BY doc_id
+        ),
+        tri AS (
+            SELECT doc_id,
+                   round(CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+                         / sum(c), 6) AS dup_trigram_frac
+            FROM (SELECT doc_id, g, count(*) AS c
+                  FROM (SELECT doc_id, array_to_string(tokens[i:i+2], ' ') AS g
+                        FROM (SELECT doc_id, tokens,
+                                     unnest(generate_series(1, len(tokens) - 2)) AS i
+                              FROM toks WHERE len(tokens) >= 3))
+                  GROUP BY doc_id, g)
+            GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               coalesce(u.max_word_frac, 0.0)    AS max_word_frac,
+               coalesce(b.top_bigram_frac, 0.0)  AS top_bigram_frac,
+               coalesce(r.dup_trigram_frac, 0.0) AS dup_trigram_frac
+        FROM toks t
+        LEFT JOIN uni u USING (doc_id)
+        LEFT JOIN bi  b USING (doc_id)
+        LEFT JOIN tri r USING (doc_id)
+    """,
+    doc="[ext] Gopher-style repetition quality gates: most-frequent-word "
+    "fraction, top-bigram fraction, duplicated-trigram fraction — the "
+    "standard reject signals for template/boilerplate docs in an LLM "
+    "training corpus (Rae et al. 2021 §A1.1).",
+)
+def gopher_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each granularity is explode -> partial+final count on
+    (doc_id, gram) -> per-doc ratio; grams never cross docs, so the shuffle
+    keys are doc-scoped and uniformly distributed (no corpus-wide hot key —
+    unlike corpus term counts, which need the salted path). The three
+    granularities then join on doc_id, already the partitioning key."""
+    from ..functions.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.lower("text")).alias("tokens"))
+
+    def frac(gram_col, n, agg_expr, out):
+        grams = toks.filter(F.size("tokens") >= n).select(
+            "doc_id", F.explode(gram_col).alias("g")
+        )
+        per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        return per_gram.groupBy("doc_id").agg(F.round(agg_expr, 6).alias(out))
+
+    max_frac = F.max("c") / F.sum("c")
+    dup_frac = F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))) / F.sum("c")
+    uni = frac(F.col("tokens"), 1, max_frac, "max_word_frac")
+    bi = frac(word_ngrams("tokens", 2), 2, max_frac, "top_bigram_frac")
+    tri = frac(word_ngrams("tokens", 3), 3, dup_frac, "dup_trigram_frac")
+    return (
+        toks.select("doc_id")
+        .join(uni, "doc_id", "left")
+        .join(bi, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("max_word_frac", F.lit(0.0)).alias("max_word_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+    )
