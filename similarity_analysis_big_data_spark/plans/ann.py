@@ -373,6 +373,81 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(F.col("rnk") <= TOP_K)
 
 
+SEMDEDUP_TAU = 0.3  # within-cell cosine threshold (fixture vectors are near-orthogonal)
+
+
+@register(
+    "semdedup_cell_survivors",
+    oracle=f"""
+        WITH cent AS (
+            SELECT vec_id AS cell_id, embedding AS cell_vec
+            FROM embeddings WHERE vec_id < {N_CELLS}
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cell_id
+            FROM (
+                SELECT e.vec_id, e.embedding, c.cell_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round({cosine_sql('e.embedding', 'c.cell_vec')}, 6) DESC,
+                                    c.cell_id) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn = 1
+        )
+        SELECT a.vec_id, a.cell_id
+        FROM assigned a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM assigned b
+            WHERE b.cell_id = a.cell_id AND b.vec_id < a.vec_id
+              AND round({cosine_sql('a.embedding', 'b.embedding')}, 6) > {SEMDEDUP_TAU}
+        )
+    """,
+    doc="[ext] SemDeDup-style semantic dedup: vectors cluster to their "
+    f"nearest of {N_CELLS} deterministic centroids, then any vector with a "
+    f"lower-id cell-mate above cosine {SEMDEDUP_TAU} is dropped (one-pass "
+    "lowest-id-keeper variant; the transitive-closure variant is the "
+    "connected-components path in operators/components.py).",
+)
+def semdedup_cell_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the clustering bounds every comparison to cell-mates — the
+    pair count is sum(|cell|^2), never n^2, and cells are the partition key
+    (each executor dedups its own cells; no cross-cell traffic). The dup
+    set stays (id) pairs-thin and the final anti-join never widens the
+    vector relation. This is the embedding twin of the MinHash-LSH doc
+    path: cluster -> compare-within-bucket -> survivor anti-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.desc(F.round(cosine_similarity("embedding", "cell_vec"), 6)), F.asc("cell_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+    lhs = assigned.select(
+        "cell_id", F.col("vec_id").alias("id_l"), F.col("embedding").alias("emb_l")
+    ).withColumn("norm_l", l2_norm("emb_l"))
+    rhs = assigned.select(
+        "cell_id", F.col("vec_id").alias("id_r"), F.col("embedding").alias("emb_r")
+    ).withColumn("norm_r", l2_norm("emb_r"))
+    cos = F.when(
+        (F.col("norm_l") > 0) & (F.col("norm_r") > 0),
+        dot("emb_l", "emb_r") / (F.col("norm_l") * F.col("norm_r")),
+    )
+    dups = (
+        lhs.join(rhs, "cell_id")
+        .filter(F.col("id_l") < F.col("id_r"))
+        .filter(F.round(cos, 6) > SEMDEDUP_TAU)
+        .select(F.col("id_r").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(dups, "vec_id", "left_anti").select("vec_id", "cell_id")
+
+
 @register(
     "embedding_int8_quantization",
     oracle="""

@@ -1,0 +1,207 @@
+"""Corpus language-model scoring + inverted index (north-star [ext]).
+
+LLM-data pipelines gate documents on *statistical surprise* — a cheap
+perplexity proxy computed from the corpus itself, no trained model needed
+(the Gopher/C4 lineage of quality filters). Two estimators here:
+
+- unigram surprisal: -log2 p(term) under the corpus unigram distribution;
+- bigram surprisal: -log2 p(w2 | w1) under the corpus bigram counts.
+
+Both are two-aggregation DataFrame plans: explode tokens, build the
+(small) model relation by a term-keyed aggregate, join it back onto the
+exploded corpus, and re-aggregate per document. At 100 TB the model
+relation is vocabulary-sized (millions of rows, not corpus-sized) so the
+join-back broadcasts; the two corpus-sized aggregations are partial+final
+hash aggs on (term) and (doc_id).
+
+The inverted index is the retrieval-side twin: term -> document-frequency,
+collection-frequency, and the sorted posting list itself.
+
+No reference counterpart (the reference stops at TF-IDF, ``lab2.py:187``);
+these extend the same exploded-token relation the TF-IDF path uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+from ..sources.readers import load_table
+from .registry import register
+
+# Shared oracle CTE: identical tokenization to functions/text.py (ASCII
+# corpus precondition documented there).
+_SQL_TERMS = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^\w]+'), x -> x <> '') AS tokens
+    FROM documents
+),
+terms AS (
+    SELECT doc_id, unnest(tokens) AS term FROM toks
+)
+"""
+
+
+def _doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", tokenize(F.lower("text")).alias("tokens"))
+        .select("doc_id", F.explode("tokens").alias("term"))
+    )
+
+
+@register(
+    "unigram_surprisal_scores",
+    oracle=_SQL_TERMS
+    + """
+    , stats AS (SELECT term, count(*) AS cf FROM terms GROUP BY term),
+    tot AS (SELECT sum(cf) AS total FROM stats),
+    surp AS (
+        SELECT term, round(-log2(CAST(cf AS DOUBLE) / total), 9) AS s
+        FROM stats, tot
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(s.s), 6) AS mean_surprisal,
+           round(max(s.s), 6) AS max_surprisal
+    FROM terms t JOIN surp s USING (term)
+    GROUP BY t.doc_id
+    """,
+    doc="[ext] unigram-LM surprisal per document: mean/max -log2 p(term) "
+    "under the corpus unigram distribution — the zero-training perplexity "
+    "proxy an LLM-data quality gate thresholds on.",
+)
+def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two corpus-sized hash aggs (by term, then by doc_id), both
+    partial+final; the model relation is |vocab| rows and BROADCASTs back
+    onto the exploded corpus — no corpus-sized shuffle for the join. The
+    1-row total joins the vocab relation, not the corpus."""
+    terms = _doc_terms(spark, sf_dir)
+    stats = terms.groupBy("term").agg(F.count("*").alias("cf"))
+    total = stats.agg(F.sum("cf").alias("total"))
+    surp = (
+        stats.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.round(-F.log2(F.col("cf").cast("double") / F.col("total")), 9).alias("s"),
+        )
+    )
+    return (
+        terms.join(F.broadcast(surp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("s"), 6).alias("mean_surprisal"),
+            F.round(F.max("s"), 6).alias("max_surprisal"),
+        )
+    )
+
+
+# Bigrams as 'w1 w2' strings: tokens never contain spaces (split on \W+),
+# so split_part round-trips w1 exactly on both engines.
+_SQL_BIGRAMS = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^\w]+'), x -> x <> '') AS tokens
+    FROM documents
+),
+bigs AS (
+    SELECT doc_id, unnest(list_transform(range(2, len(tokens) + 1),
+                                         i -> tokens[i - 1] || ' ' || tokens[i])) AS bg
+    FROM toks
+)
+"""
+
+
+@register(
+    "bigram_surprisal_scores",
+    oracle=_SQL_BIGRAMS
+    + """
+    , bg_counts AS (SELECT bg, count(*) AS c2 FROM bigs GROUP BY bg),
+    ctx_counts AS (
+        SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM bigs GROUP BY 1
+    ),
+    surp AS (
+        SELECT b.bg, round(-log2(CAST(b.c2 AS DOUBLE) / x.c1), 9) AS s
+        FROM bg_counts b JOIN ctx_counts x ON split_part(b.bg, ' ', 1) = x.w1
+    )
+    SELECT g.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(s.s), 6) AS mean_surprisal,
+           round(max(s.s), 6) AS max_surprisal
+    FROM bigs g JOIN surp s USING (bg)
+    GROUP BY g.doc_id
+    """,
+    doc="[ext] bigram-LM surprisal per document: mean/max -log2 p(w2|w1) "
+    "from corpus bigram/context counts — catches repetitive or shuffled "
+    "text that unigram statistics cannot.",
+)
+def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: bigram construction is a narrow per-row array transform (no
+    window, no self-join for adjacency); then the same two-agg + broadcast
+    join-back shape as the unigram query. The model relation is
+    |distinct bigrams| — still vocabulary-scaled, not corpus-scaled."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.lower("text")).alias("tokens"))
+    # tokens[i] is 0-based in Spark SQL; guard size<2 (Spark's sequence(1,0)
+    # would DESCEND, not return empty)
+    bigrams = F.when(
+        F.size("tokens") >= 2,
+        F.expr("transform(sequence(1, size(tokens)-1), i -> concat(tokens[i-1], ' ', tokens[i]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    bigs = toks.select("doc_id", F.explode(bigrams).alias("bg"))
+    bg_counts = bigs.groupBy("bg").agg(F.count("*").alias("c2"))
+    ctx_counts = (
+        bigs.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    surp = (
+        bg_counts.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(ctx_counts), "w1")
+        .select("bg", F.round(-F.log2(F.col("c2").cast("double") / F.col("c1")), 9).alias("s"))
+    )
+    return (
+        bigs.join(F.broadcast(surp), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("s"), 6).alias("mean_surprisal"),
+            F.round(F.max("s"), 6).alias("max_surprisal"),
+        )
+    )
+
+
+@register(
+    "inverted_index_postings",
+    oracle=_SQL_TERMS
+    + """
+    SELECT term,
+           count(DISTINCT doc_id) AS df,
+           count(*) AS cf,
+           array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+    FROM terms
+    GROUP BY term
+    """,
+    doc="[ext] inverted index: per-term document frequency, collection "
+    "frequency, and the sorted posting list (serialized for the driver's "
+    "scalar canonicalizer) — the retrieval-side index build.",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one hash agg keyed on term. Posting lists for stop-word-class
+    heavy hitters are the skew risk — at 100 TB those terms route through
+    the salted-agg path (operators/skew.py) or cap postings per segment;
+    here the full list is the point (and the fixture vocabulary is small).
+    sort_array(collect_set(...)) makes the list deterministic regardless of
+    partition arrival order."""
+    terms = _doc_terms(spark, sf_dir)
+    return terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("cf"),
+        F.array_join(
+            F.transform(F.sort_array(F.collect_set("doc_id")), lambda x: x.cast("string")),
+            ",",
+        ).alias("postings"),
+    )
