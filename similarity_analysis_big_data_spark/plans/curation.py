@@ -1,0 +1,190 @@
+"""Training-corpus curation queries (north-star [ext]): chunking, batch
+packing, and eval-set decontamination.
+
+The last mile of an LLM-data pipeline after dedup/quality gating:
+- split documents into fixed-size overlapping token chunks (the unit a
+  tokenizer/trainer consumes);
+- pack documents into token-budget batches in a deterministic shuffled
+  order (the streaming-friendly approximation of greedy bin packing);
+- drop training documents that share verbatim n-gram windows with an
+  evaluation set (benchmark decontamination, Brown et al. 2020 style).
+
+All three are pure DataFrame compositions over the same exploded-token
+relation the dedup/TF-IDF paths use. No reference counterpart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize, word_ngrams
+from ..sources.readers import load_table
+from .registry import register
+
+CHUNK_TOKENS = 64  # chunk window size
+CHUNK_STRIDE = 48  # window stride (16-token overlap)
+PACK_BUDGET = 512  # tokens per training batch
+EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 -> held-out eval set
+CONTAM_NGRAM = 8  # verbatim window length for contamination
+
+_SQL_TOKS = r"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_filter(regexp_split_to_array(lower(text), '[^\w]+'), x -> x <> '') AS tokens
+    FROM documents
+)
+"""
+
+
+@register(
+    "chunk_documents_stride",
+    oracle=_SQL_TOKS
+    + f"""
+    SELECT doc_id,
+           (s - 1) // {CHUNK_STRIDE} AS chunk_idx,
+           len(tokens[s:s + {CHUNK_TOKENS - 1}]) AS n_tokens,
+           md5(array_to_string(tokens[s:s + {CHUNK_TOKENS - 1}], ' ')) AS chunk_hash
+    FROM (SELECT doc_id, tokens,
+                 unnest(generate_series(1, len(tokens), {CHUNK_STRIDE})) AS s
+          FROM toks
+          WHERE len(tokens) > 0)
+    """,
+    doc=f"[ext] fixed-window chunking: {CHUNK_TOKENS}-token chunks at stride "
+    f"{CHUNK_STRIDE} (overlap {CHUNK_TOKENS - CHUNK_STRIDE}) per document — "
+    "the tokenize-and-split step that turns curated documents into trainer "
+    "inputs; chunk content travels as an md5 so the driver check stays "
+    "scalar.",
+)
+def chunk_documents_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: chunking is a narrow per-row generator (sequence + slice +
+    inline) — no shuffle at all; output partitioning inherits the scan.
+    The overlap means ~1.33x row amplification, all map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.lower("text")).alias("tokens")).filter(
+        F.size("tokens") > 0
+    )
+    return toks.select(
+        "doc_id",
+        F.expr(
+            f"""
+            inline(transform(
+                sequence(1, size(tokens), {CHUNK_STRIDE}),
+                s -> struct(
+                    cast((s - 1) div {CHUNK_STRIDE} as bigint)       AS chunk_idx,
+                    cast(size(slice(tokens, s, {CHUNK_TOKENS})) as bigint) AS n_tokens,
+                    md5(array_join(slice(tokens, s, {CHUNK_TOKENS}), ' ')) AS chunk_hash
+                )
+            ))
+            """
+        ),
+    )
+
+
+@register(
+    "pack_docs_token_budget",
+    oracle=_SQL_TOKS
+    + f"""
+    , sized AS (
+        SELECT doc_id, lang, len(tokens) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM toks
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST((sum(n_tokens) OVER (PARTITION BY lang
+                                     ORDER BY shuffle_key, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) // {PACK_BUDGET} AS BIGINT) AS batch_id
+    FROM sized
+    """,
+    doc=f"[ext] deterministic batch packing: documents shuffle by md5(doc_id), "
+    f"then a running token count assigns each to a ~{PACK_BUDGET}-token batch "
+    "per language (batch = floor(exclusive-prefix-sum / budget) — the "
+    "streaming approximation of greedy bin packing; each batch exceeds the "
+    "budget by at most one document).",
+)
+def pack_docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the only shuffle is the window's partition-by-lang exchange.
+    Partitioning by language (the natural training-shard key) keeps the
+    running sum parallel — a global ORDER BY window would serialize to one
+    task, the classic scale trap. More shards -> add a hash-bucket column
+    to the partition key; determinism is unaffected since the order key is
+    content-derived."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokenize(F.lower("text"))).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return sized.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(PACK_BUDGET))
+        .cast("long")
+        .alias("batch_id"),
+    )
+
+
+@register(
+    "decontaminate_against_eval",
+    oracle=_SQL_TOKS
+    + f"""
+    , win AS (
+        SELECT doc_id, md5(array_to_string(tokens[i:i + {CONTAM_NGRAM - 1}], ' ')) AS w
+        FROM (SELECT doc_id, tokens,
+                     unnest(generate_series(1, len(tokens) - {CONTAM_NGRAM - 1})) AS i
+              FROM toks WHERE len(tokens) >= {CONTAM_NGRAM})
+    ),
+    eval_w AS (
+        SELECT DISTINCT w FROM win WHERE doc_id % {EVAL_MOD} = 0
+    )
+    SELECT t.doc_id,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN e.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           sum(CASE WHEN e.w IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+    FROM win t LEFT JOIN eval_w e USING (w)
+    WHERE t.doc_id % {EVAL_MOD} <> 0
+    GROUP BY t.doc_id
+    """,
+    doc=f"[ext] benchmark decontamination: training documents sharing any "
+    f"verbatim {CONTAM_NGRAM}-token window with the held-out eval set "
+    f"(doc_id % {EVAL_MOD} = 0) are flagged with per-doc overlap counts — "
+    "the train/test leakage audit run before every pretraining job.",
+)
+def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: windows are md5'd map-side (raw n-grams never shuffle); the
+    eval window set is distinct-reduced and — being eval-benchmark-sized,
+    tiny relative to the corpus — BROADCASTs onto the training windows, so
+    the corpus-sized side never exchanges for the join; one per-doc agg
+    follows. At 100 TB the eval set is a fixed artifact: build its window
+    index once and reuse it across corpus versions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.lower("text")).alias("tokens"))
+    win = (
+        toks.filter(F.size("tokens") >= CONTAM_NGRAM)
+        .select("doc_id", F.explode(word_ngrams("tokens", CONTAM_NGRAM)).alias("gram"))
+        .select("doc_id", F.md5("gram").alias("w"))
+    )
+    eval_w = (
+        win.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select("w")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        win.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(F.broadcast(eval_w), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_contaminated"),
+            (F.sum(F.coalesce("hit", F.lit(0))) > 0).alias("contaminated"),
+        )
+    )

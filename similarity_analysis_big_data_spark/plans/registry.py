@@ -79,6 +79,7 @@ def _load_all() -> None:
         return
     from . import (  # noqa: F401
         ann,
+        curation,
         dedup,
         lm,
         multimodal,

@@ -155,3 +155,45 @@ def test_disjunctive_filter_pushes_down(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "disjunctive_filter_revenue")
     read = [l for l in plan.splitlines() if "PushedFilters" in l][0]
     assert "Or(" in read and "l_quantity" in read
+
+
+def test_lm_model_joinback_broadcasts(spark, sf_oracle):
+    """The vocabulary-sized model relation must broadcast back onto the
+    exploded corpus — a shuffle join there would exchange the corpus-sized
+    side on term (the 100 TB bottleneck the formulation avoids)."""
+    plan = _plan(spark, sf_oracle, "unigram_surprisal_scores")
+    assert "BroadcastHashJoin" in plan
+    plan = _plan(spark, sf_oracle, "bigram_surprisal_scores")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semdedup_pair_stage_is_cell_keyed(spark, sf_oracle):
+    """All pair comparisons stay cell-keyed: the pair stage must be an
+    equi-join on cell_id, never an all-pairs operator. (The plan's only
+    BroadcastNestedLoopJoins are the 8-row centroid broadcasts — same as
+    the IVF queries.)"""
+    plan = _plan(spark, sf_oracle, "semdedup_cell_survivors")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin Inner" in plan or "ShuffledHashJoin Inner" in plan
+
+
+def test_chunking_is_narrow(spark, sf_oracle):
+    """Chunk generation must not shuffle: one scan, one generator, no
+    Exchange (the map-side row amplification is the whole plan)."""
+    plan = _plan(spark, sf_oracle, "chunk_documents_stride")
+    assert "Exchange" not in plan
+
+
+def test_pack_window_is_lang_partitioned(spark, sf_oracle):
+    """The running-sum window must hash-partition by lang — a global-order
+    window would serialize the corpus through one task."""
+    plan = _plan(spark, sf_oracle, "pack_docs_token_budget")
+    assert "hashpartitioning(lang" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_decontamination_eval_side_broadcasts(spark, sf_oracle):
+    """The eval window index is benchmark-sized; it must broadcast so the
+    corpus-sized training-window side never exchanges for the join."""
+    plan = _plan(spark, sf_oracle, "decontaminate_against_eval")
+    assert "BroadcastHashJoin" in plan
