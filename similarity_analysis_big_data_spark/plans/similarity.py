@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import tokenize
 from ..functions.tfidf import doc_frequency, l2_normalize, term_frequency, tfidf
@@ -156,7 +157,12 @@ def doc_tfidf_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id. No Python anywhere — the whole weight formula is codegen'd."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
-    tf = term_frequency(_doc_terms(spark, sf_dir), ["doc_id"])
+    # tf feeds both the DF aggregate and the weighting join; persist runs
+    # the corpus tokenize+agg once instead of twice (same rationale as
+    # title_best_abstract, which see).
+    tf = term_frequency(_doc_terms(spark, sf_dir), ["doc_id"]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     weighted = tfidf(tf, doc_frequency(tf), n_docs, ["doc_id"])
     return l2_normalize(weighted, ["doc_id"]).withColumn(
         "weight", F.round("weight", 6)
@@ -175,6 +181,15 @@ def title_best_abstract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's cartesian+dict-dot-product, reformulated: pairs that
     share no term never materialize; arg-max is a ranked window with an
     abstract_id tiebreak (the reference is partition-order nondeterministic).
+
+    The abstract-side TF relation feeds three consumers (the DF aggregate —
+    whose broadcast the title path reuses — and the abstract weighting), and
+    each would otherwise re-run the corpus tokenize+explode+agg from the
+    parquet scan (the reference re-evaluates its whole lineage per action
+    too, having no cache() anywhere — SURVEY §4.1). One MEMORY_AND_DISK
+    persist of the TF relation — already aggregated, far smaller than the
+    exploded token stream — runs that pass once; at 100 TB this is the
+    difference between one corpus scan and three.
     """
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
@@ -182,7 +197,7 @@ def title_best_abstract(spark: SparkSession, sf_dir: str) -> DataFrame:
     abstract_tf = term_frequency(
         _doc_terms(spark, sf_dir).withColumnRenamed("doc_id", "abstract_id"),
         ["abstract_id"],
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     df_ = doc_frequency(abstract_tf)
     abstract_vec = l2_normalize(
         tfidf(abstract_tf, df_, n_docs, ["abstract_id"]), ["abstract_id"]
