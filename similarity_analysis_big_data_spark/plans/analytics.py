@@ -1,0 +1,193 @@
+"""Behavioral / event analytics queries (north-star [ext]): funnel
+conversion, cohort retention, and a runtime-bloom-filtered join.
+
+The funnel and cohort shapes are the standard product-analytics workloads
+over an event stream (sequential-stage conversion, first-touch cohorts);
+the bloom query demonstrates Spark's optimizer-injected runtime filter
+(``InjectRuntimeFilter``) — the join-pruning lever for the 100 TB case
+where the filtered dimension is too big to broadcast but its key set still
+fits a bloom filter: the fact scan drops non-matching rows BEFORE the
+shuffle. No reference counterpart (the reference has no event analytics;
+these extend the engine the way SURVEY.md §2's [ext] rows do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .registry import register
+
+
+def _r(c, n):
+    return F.round(c, n)
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+        WITH w1 AS (
+            SELECT user_id, ts, event_type,
+                   min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_view
+            FROM events
+        ),
+        w2 AS (
+            SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view
+                               THEN ts END)
+                          OVER (PARTITION BY user_id) AS t_click
+            FROM w1
+        ),
+        w3 AS (
+            SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click
+                               THEN ts END)
+                          OVER (PARTITION BY user_id) AS t_purchase
+            FROM w2
+        ),
+        u AS (SELECT DISTINCT user_id, t_view, t_click, t_purchase FROM w3)
+        SELECT count(*)          AS n_users,
+               count(t_view)     AS n_view,
+               count(t_click)    AS n_click_after_view,
+               count(t_purchase) AS n_purchase_after_click,
+               round(CAST(count(t_purchase) AS DOUBLE) / count(t_view), 6)
+                   AS view_to_purchase_rate
+        FROM u
+    """,
+    doc="[ext] sequential-stage funnel: users who viewed, then clicked "
+    "AFTER their first view, then purchased AFTER that click — ordered "
+    "conversion, not mere event presence, via stacked conditional window "
+    "minima.",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: all three stage timestamps are partition-only window minima
+    over the SAME user_id partitioning — one shuffle of the event stream,
+    three chained Window operators riding it (no sort needed: the frames
+    are unbounded). The per-user distinct then collapses to |users| rows
+    before the single-row final aggregate. The alternative — one self-join
+    per funnel stage — would shuffle the stream once per stage."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    staged = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn("t_view", F.min(F.when(is_("view"), F.col("ts"))).over(w))
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(is_("click") & (F.col("ts") > F.col("t_view")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    is_("purchase") & (F.col("ts") > F.col("t_click")), F.col("ts")
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.select("user_id", "t_view", "t_click", "t_purchase").distinct()
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click_after_view"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
+        _r(
+            F.count("t_purchase").cast("double") / F.count("t_view"), 6
+        ).alias("view_to_purchase_rate"),
+    )
+
+
+@register(
+    "weekly_cohort_retention",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        )
+        SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('day', c.cohort_week, date_trunc('week', e.ts)) // 7
+                    AS BIGINT) AS week_offset,
+               count(DISTINCT e.user_id) AS n_active_users
+        FROM events e JOIN firsts c USING (user_id)
+        GROUP BY 1, 2
+    """,
+    doc="[ext] cohort retention: users grouped by first-event week, counted "
+    "distinct in each subsequent activity week — the first-touch retention "
+    "triangle every growth dashboard draws.",
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the cohort assignment (min ts per user) and the join back to
+    the stream both key on user_id, so the aggregate's shuffle partitioning
+    is reused by the join — one wide stream shuffle total. The cohort side
+    is |users| rows; at 100 TB it broadcast-joins if it fits, else stays
+    co-partitioned. Week arithmetic is day-diff // 7 on BOTH engines so
+    neither engine's week-crossing-count semantics leaks into the result
+    (Spark and DuckDB both truncate weeks to Monday)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    joined = ev.join(firsts, "user_id")
+    return (
+        joined.select(
+            "user_id",
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week")) / 7
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+@register(
+    "bloom_runtime_filter_join",
+    oracle="""
+        SELECT p.p_type,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#13'
+        GROUP BY p.p_type
+    """,
+    doc="[ext] runtime-bloom-filtered join: revenue by part type for one "
+    "brand, with Spark's InjectRuntimeFilter pruning the lineitem scan by a "
+    "bloom filter built from the filtered part keys. Exact results — the "
+    "bloom only skips rows the join would drop anyway — so the oracle is "
+    "the plain join.",
+)
+def bloom_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: when the filtered dim is too big to broadcast, a plain
+    shuffle join moves EVERY fact row; the injected
+    bloom_filter_agg/might_contain pair drops non-joining fact rows at the
+    scan, before the exchange — at 100 TB, for a selective dim predicate,
+    that is most of the shuffle. Conf is scoped to a cloned session
+    (``newSession`` shares the SparkContext but not SQLConf) so the
+    broadcast ban + lowered injection thresholds that let the demo fire at
+    test scale cannot leak into other queries' plans. Plan-asserted in
+    tests/test_plans.py (``might_contain`` on the lineitem side)."""
+    s2 = spark.newSession()
+    # Ban broadcast so the join is a shuffle join (the case bloom exists
+    # for) and let injection fire on a test-scale fact side; production
+    # keeps the defaults (10 GB application-side threshold).
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    part = load_table(s2, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    li = load_table(s2, sf_dir, "lineitem")
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_type")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -188,3 +188,36 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.coalesce("hit", F.lit(0))) > 0).alias("contaminated"),
         )
     )
+
+
+SOURCE_CAP = 10  # max documents retained per source
+
+
+@register(
+    "source_cap_documents",
+    oracle=f"""
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        FROM (SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents)
+        WHERE rn <= {SOURCE_CAP}
+    """,
+    doc=f"[ext] per-source cap: keep at most {SOURCE_CAP} documents per "
+    "source, preferring longer documents (doc_id tiebreak) — the "
+    "domain-balancing step that stops one crawl domain from dominating the "
+    "training mix (C4/RefinedWeb-style source capping).",
+)
+def source_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: rank-filter compiles to WindowGroupLimit — every task prunes
+    to its local top-K per source BEFORE the shuffle, so the exchange
+    carries at most K rows per (source, task), not the corpus. Skewed
+    sources (one domain = half the crawl) are exactly the rows the local
+    prune drops first."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+    )

@@ -78,6 +78,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from . import (  # noqa: F401
+        analytics,
         ann,
         curation,
         dedup,

@@ -197,3 +197,37 @@ def test_decontamination_eval_side_broadcasts(spark, sf_oracle):
     corpus-sized training-window side never exchanges for the join."""
     plan = _plan(spark, sf_oracle, "decontaminate_against_eval")
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_runtime_filter_injected(spark, sf_oracle):
+    """The filtered-dim join must carry an injected runtime bloom filter on
+    the fact side: might_contain prunes lineitem rows at the scan, before
+    the shuffle — the 100 TB join-pruning lever when the dim can't
+    broadcast. (executedPlan, not explain: injection happens in optimizer
+    rules whose effect we assert on the final physical plan.)"""
+    df = QUERIES["bloom_runtime_filter_join"].fn(spark, sf_oracle)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+
+
+def test_bloom_query_confs_do_not_leak(spark, sf_oracle):
+    """The bloom demo lowers injection thresholds on a CLONED session; the
+    caller's session must keep its own conf (broadcast stays enabled)."""
+    QUERIES["bloom_runtime_filter_join"].fn(spark, sf_oracle)
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_source_cap_uses_window_group_limit(spark, sf_oracle):
+    """The per-source cap must prune to local top-K before the shuffle."""
+    plan = _plan(spark, sf_oracle, "source_cap_documents")
+    assert "WindowGroupLimit" in plan
+
+
+def test_funnel_single_stream_shuffle(spark, sf_oracle):
+    """All three funnel-stage windows ride ONE user_id partitioning: the
+    event stream exchanges once; a per-stage self-join formulation would
+    exchange it once per stage."""
+    plan = _plan(spark, sf_oracle, "funnel_view_click_purchase")
+    assert plan.count("hashpartitioning(user_id") <= 1
