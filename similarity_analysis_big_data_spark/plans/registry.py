@@ -82,6 +82,7 @@ def _load_all() -> None:
         ann,
         curation,
         dedup,
+        layout,
         lm,
         multimodal,
         relational,

@@ -75,3 +75,53 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     key = F.concat_ws(":", F.col("lang"), F.col("doc_id").cast("string"))
     return docs.filter(md5_long(key) % 5 == 0).select("doc_id", "lang", "source")
+
+
+WRS_K = 50  # weighted sample size
+WRS_M = 2_147_483_647  # uniform-grid modulus (2^31 - 1)
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                   ln(CAST(1 + ({md5_long_sql("'wrs:' || CAST(doc_id AS VARCHAR)")}
+                               % {WRS_M}) AS DOUBLE) / {WRS_M + 1})
+                       / n_chars AS sort_key
+            FROM documents
+        )
+        SELECT doc_id, lang, n_chars, round(sort_key, 9) AS sort_key
+        FROM keyed
+        ORDER BY sort_key DESC, doc_id
+        LIMIT {WRS_K}
+    """,
+    doc=f"[ext] weighted sampling without replacement (Efraimidis–Spirakis "
+    f"A-ES): top-{WRS_K} documents by ln(u)/weight with u a DETERMINISTIC "
+    "md5-derived uniform, weight = n_chars — longer documents "
+    "proportionally likelier, yet the exact member set is reproducible on "
+    "any engine/partitioning and oracle-checked (a seeded rand() can "
+    "promise neither).",
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: compiles to TakeOrderedAndProject — each task keeps its local
+    top-K and only K rows per task merge at the coordinator; no global
+    sort, no full shuffle, one pass. That IS the distributed reservoir:
+    A-ES's per-item keys make 'take the K largest keys' equivalent to
+    sequential weighted sampling, so the order-sensitive classic algorithm
+    becomes an order-free, mergeable top-K."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string")))
+    u = (1 + h % WRS_M).cast("double") / F.lit(float(WRS_M + 1))
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            key.alias("sort_key"),
+        )
+        .orderBy(F.desc("sort_key"), F.asc("doc_id"))
+        .limit(WRS_K)
+        .withColumn("sort_key", F.round("sort_key", 9))
+    )

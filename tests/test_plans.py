@@ -231,3 +231,18 @@ def test_funnel_single_stream_shuffle(spark, sf_oracle):
     exchange it once per stage."""
     plan = _plan(spark, sf_oracle, "funnel_view_click_purchase")
     assert plan.count("hashpartitioning(user_id") <= 1
+
+
+def test_weighted_reservoir_is_take_ordered(spark, sf_oracle):
+    """A-ES weighted sampling must compile to TakeOrderedAndProject —
+    per-task local top-K, K rows per task to the coordinator, no global
+    sort of the corpus."""
+    plan = _plan(spark, sf_oracle, "weighted_reservoir_sample")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zorder_key_is_narrow(spark, sf_oracle):
+    """The Morton key is pure projection arithmetic: no Exchange, no UDF."""
+    plan = _plan(spark, sf_oracle, "zorder_key_events")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -163,3 +163,41 @@ def test_orc_roundtrip_and_csv_scan(spark, sf_smoke, tmp_path_factory):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert {r["id"] for r in good} == {1, 3}
     assert len(bad) == 1 and "not_a_number" in bad[0]["_corrupt_record"]
+
+
+def test_zordered_write_clusters_both_dimensions(spark, sf_smoke, tmp_path_factory):
+    """Z-order layout ([ext]): after write_zordered on (user_id, value-bucket),
+    each output file covers a small rectangle of the 2-D key space, so
+    min/max stats prune scans filtering on EITHER column. Assert per-file
+    spans are a fraction of the global span on both axes — a plain
+    (unclustered) write gives every file the full span."""
+    import glob as _glob
+
+    from similarity_analysis_big_data_spark.plans.layout import write_zordered
+
+    ev = (
+        load_table(spark, sf_smoke, "events")
+        .select(
+            "event_id",
+            F.col("user_id").cast("integer").alias("x"),
+            (F.floor(F.col("value") * 10).cast("integer") % 256).alias("y"),
+        )
+        .filter((F.col("x") < 256) & (F.col("x") >= 0))
+    )
+    out = str(tmp_path_factory.mktemp("zorder") / "ev")
+    write_zordered(ev, "x", "y", out, n_files=8)
+    import pyarrow.parquet as pq
+
+    spans_x, spans_y = [], []
+    for f in _glob.glob(f"{out}/part-*.parquet"):
+        t = pq.read_table(f, columns=["x", "y"])
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        spans_x.append(max(xs) - min(xs))
+        spans_y.append(max(ys) - min(ys))
+    assert len(spans_x) >= 4  # the range partitioner actually split the curve
+    spans_x.sort(), spans_y.sort()
+    # median per-file span must be well under the global span on both axes
+    assert spans_x[len(spans_x) // 2] <= 128, spans_x
+    assert spans_y[len(spans_y) // 2] <= 128, spans_y
+    # and the data survives intact
+    assert spark.read.parquet(out).count() == ev.count()
