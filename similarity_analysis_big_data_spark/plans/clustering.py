@@ -1,0 +1,153 @@
+"""K-means clustering over the embeddings table (north-star [ext]).
+
+Lloyd's algorithm, Spark-first: each iteration is ONE broadcast join
+(vectors x K centroid literals, argmin by squared L2) plus ONE narrow
+aggregation (per-(cluster, position) running means — K*dim partial rows per
+task). The centroid state — K*dim doubles — is collected to the driver
+between iterations exactly the way MLlib's KMeans does; the corpus itself
+never shuffles and no lineage accumulates across iterations because each
+round's centroids re-enter the plan as literals.
+
+Everything is deterministic (seed centroids are the first K vectors by
+vec_id, distances and means are rounded to re-synchronize cross-engine
+float noise, ties break on centroid id), so the FULL assignment after
+three unrolled iterations is oracle-checked against DuckDB running the
+same algorithm as chained CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .registry import register
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 3
+DIM = 64  # embeddings fixture dimension (TESTDATA.md)
+
+# squared L2 distance, folded in index order in double precision — the
+# DuckDB rendering mirrors the Spark fold op for op so the doubles match
+# bit-for-bit given identical inputs.
+_D2_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+    "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def dist2(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _d2_sql(a: str, b: str) -> str:
+    return _D2_SQL.format(a=a, b=b)
+
+
+def _assign_sql(src: str, cent: str) -> str:
+    """One DuckDB assignment round: argmin_{c} round(d2, 6), tiebreak cid."""
+    return f"""(
+        SELECT vec_id, v, cid, d2 FROM (
+            SELECT s.vec_id, s.v, c.cid,
+                   round({_d2_sql("s.v", "c.cv")}, 6) AS d2,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY round({_d2_sql("s.v", "c.cv")}, 6), c.cid) AS rn
+            FROM {src} s CROSS JOIN {cent} c
+        ) WHERE rn = 1
+    )"""
+
+
+def _update_sql(assigned: str) -> str:
+    """One DuckDB centroid update: per-(cluster, position) mean, rounded."""
+    return f"""(
+        SELECT cid, list(m ORDER BY pos) AS cv FROM (
+            SELECT a.cid, p.pos, round(avg(a.v[p.pos]), 6) AS m
+            FROM {assigned} a
+            CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS pos) p
+            GROUP BY a.cid, p.pos
+        ) GROUP BY cid
+    )"""
+
+
+_KMEANS_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {K_CLUSTERS}),
+    a0 AS {_assign_sql("e", "c0")},
+    c1 AS {_update_sql("a0")},
+    a1 AS {_assign_sql("e", "c1")},
+    c2 AS {_update_sql("a1")},
+    a2 AS {_assign_sql("e", "c2")}
+    SELECT vec_id, cid AS cluster, d2 AS dist2 FROM a2
+"""
+
+
+@register(
+    "kmeans_embedding_clusters",
+    oracle=_KMEANS_ORACLE,
+    doc=f"[ext] k-means (Lloyd's, k={K_CLUSTERS}, {KMEANS_ITERS} iterations) "
+    "over the embedding corpus: deterministic seeds (first k vectors), "
+    "rounded distances/means, centroid-id tiebreaks — the full final "
+    "assignment is oracle-checked against DuckDB running the identical "
+    "unrolled algorithm.",
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: per iteration, the corpus stays put — centroids (K*dim
+    doubles) broadcast to it, each task computes its argmin locally, and
+    the update aggregates K*dim partial sums per task (partial_avg before
+    the tiny exchange). Driver state is K*dim doubles per round, collected
+    the way MLlib KMeans does; lineage resets each round because new
+    centroids enter as literals, so no localCheckpoint is needed (contrast
+    operators/components.py, whose per-round state is data-sized). At
+    100 TB, persist the double-cast corpus once up front — it is read by
+    every iteration; at fixture scale the rescan is cheaper than the
+    cache."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent = emb.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    assigned = None
+    for it in range(KMEANS_ITERS):
+        d2 = F.round(dist2("v", "cv"), 6)
+        w = W.partitionBy("vec_id").orderBy(d2.asc(), F.asc("cid"))
+        assigned = (
+            emb.crossJoin(F.broadcast(cent))
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid", "d2")
+        )
+        if it < KMEANS_ITERS - 1:
+            means = (
+                assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+                .groupBy("cid", "pos")
+                .agg(F.round(F.avg("val"), 6).alias("m"))
+                .collect()  # K*dim rows — centroid state, MLlib-style
+            )
+            byc: dict[int, list[tuple[int, float]]] = {}
+            for r in means:
+                byc.setdefault(r.cid, []).append((r.pos, r.m))
+            rows = [
+                (cid, [m for _, m in sorted(vals)]) for cid, vals in byc.items()
+            ]
+            cent = spark.createDataFrame(rows, "cid: long, cv: array<double>")
+    return assigned.select(
+        "vec_id", F.col("cid").alias("cluster"), F.col("d2").alias("dist2")
+    )

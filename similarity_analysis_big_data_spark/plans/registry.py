@@ -80,6 +80,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         analytics,
         ann,
+        clustering,
         curation,
         dedup,
         layout,

@@ -246,3 +246,12 @@ def test_zorder_key_is_narrow(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "zorder_key_events")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_oracle):
+    """Each Lloyd iteration must broadcast the K centroid literals onto the
+    corpus (no cartesian shuffle): the corpus-side scan computes its argmin
+    locally."""
+    plan = _plan(spark, sf_oracle, "kmeans_embedding_clusters")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
