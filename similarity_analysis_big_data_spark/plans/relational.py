@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_micros, micros_between
 from ..sources.readers import load_table
 from .registry import register
 
@@ -1299,7 +1300,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_id",
-            F.unix_micros("ts").alias("ts_us"),
+            epoch_micros("ts").alias("ts_us"),
             "event_type",
             _r4(F.col("value")).alias("value"),
         )
@@ -1521,9 +1522,7 @@ def interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_id",
             "purchase_id",
             "user_id",
-            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
-                "micros_to_purchase"
-            ),
+            micros_between("click_ts", "purchase_ts").alias("micros_to_purchase"),
         )
     )
 

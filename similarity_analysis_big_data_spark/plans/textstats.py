@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
+from ..functions.timeutil import micros_between
 from ..sources.readers import load_table
 from .registry import register
 
@@ -212,10 +213,12 @@ def sessionization_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         # integer microseconds on both engines — DuckDB's epoch() is
         # fractional while Spark's unix_timestamp() truncates, so the
-        # second-granularity forms would disagree at gap boundaries
+        # second-granularity forms would disagree at gap boundaries;
+        # micros_between also accepts the NTZ timestamps the parquet
+        # TIMESTAMP(NANOS) columns read as on Spark 4.1+
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            | (micros_between(F.lag("ts").over(w), F.col("ts")) > 1_800_000_000),
             1,
         )
         .otherwise(0)

@@ -63,7 +63,7 @@ ORDERS = T.StructType(
         T.StructField("o_custkey", T.LongType(), False),
         T.StructField("o_orderstatus", T.StringType(), False),
         T.StructField("o_totalprice", T.DoubleType(), False),
-        T.StructField("o_orderdate", T.TimestampType(), False),
+        T.StructField("o_orderdate", T.TimestampNTZType(), False),
         T.StructField("o_orderpriority", T.StringType(), False),
     ]
 )
@@ -80,14 +80,14 @@ LINEITEM = T.StructType(
         T.StructField("l_tax", T.DoubleType(), False),
         T.StructField("l_returnflag", T.StringType(), False),
         T.StructField("l_linestatus", T.StringType(), False),
-        T.StructField("l_shipdate", T.TimestampType(), False),
+        T.StructField("l_shipdate", T.TimestampNTZType(), False),
     ]
 )
 
 EVENTS = T.StructType(
     [
         T.StructField("event_id", T.LongType(), False),
-        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("ts", T.TimestampNTZType(), False),
         T.StructField("user_id", T.LongType(), False),
         T.StructField("event_type", T.StringType(), False),
         T.StructField("value", T.DoubleType(), False),

@@ -56,11 +56,11 @@ def get_session(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # DuckDB oracle timestamps are UTC-naive; pin the session TZ.
         "spark.sql.session.timeZone": "UTC",
-        # The events fixture stores TIMESTAMP(NANOS) which the vectorized
-        # parquet reader rejects; read as epoch-nanos long and convert in
-        # the reader (readers.load_table) — DuckDB likewise truncates to µs.
-        "spark.sql.legacy.parquet.nanosAsLong": "true",
         # Quiet the UI for headless test/bench runs.
+        # (No parquet-nanos conf needed: Spark 4.1+ reads the events
+        # fixture's TIMESTAMP(NANOS) natively as TIMESTAMP_NTZ, µs-truncated
+        # — the same truncation DuckDB applies. readers.load_table keeps a
+        # legacy nanosAsLong fallback for older sessions.)
         "spark.ui.enabled": "false",
     }
     if extra_conf:

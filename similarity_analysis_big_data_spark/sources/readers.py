@@ -29,14 +29,16 @@ def _read_parquet_portable(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` that survives ``TIMESTAMP(NANOS)`` columns on
     ANY session — not just ones built by :mod:`..session`.
 
-    Spark's vectorized reader rejects parquet ``TIMESTAMP(NANOS)`` outright
-    (PARQUET_TYPE_ILLEGAL) unless ``spark.sql.legacy.parquet.nanosAsLong``
-    makes them arrive as epoch-nanos longs. Our session factory sets that
-    conf, but an externally-built session (the correctness harness, a user's
-    own notebook) will not have it — so retry with the conf set at runtime
-    (it is a per-query SQL conf, safe to flip mid-session), and as a last
-    resort read driver-side through pyarrow with a ns→µs cast. The pyarrow
-    path is for small fixtures only; at scale the conf path always wins.
+    Spark 4.1+ reads parquet ``TIMESTAMP(NANOS, isAdjustedToUTC=false)``
+    natively as ``TIMESTAMP_NTZ`` (µs-truncated — the same truncation the
+    DuckDB oracle applies), so the plain read succeeds on any session.
+    Older Sparks reject it outright (PARQUET_TYPE_ILLEGAL) unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` makes the column arrive as
+    epoch-nanos longs — so on that error, retry with the conf set at
+    runtime (a per-query SQL conf, safe to flip mid-session), and as a
+    last resort read driver-side through pyarrow with a ns→µs cast. The
+    pyarrow path is for small fixtures only; at scale the native/conf
+    paths always win.
     """
     try:
         return spark.read.parquet(path)
@@ -73,18 +75,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     df = _read_parquet_portable(spark, f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS); with
-    # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos LongType.
-    # Convert with integer division (a double round-trip would lose precision
-    # above 2^53 ns) to microseconds — the same truncation DuckDB applies.
+    # events.ts is parquet TIMESTAMP(NANOS): Spark 4.1+ reads it natively as
+    # TIMESTAMP_NTZ (no conversion needed). Under the legacy nanosAsLong
+    # fallback it arrives as epoch-nanos LongType instead — convert with
+    # integer division (a double round-trip would lose precision above 2^53
+    # ns) to microseconds, the same truncation DuckDB applies, then drop the
+    # time zone to match the native NTZ shape (the fallback session factory
+    # pins spark.sql.session.timeZone=UTC, making the cast lossless).
     for field in df.schema.fields:
         expected = TABLE_SCHEMAS[name][field.name].dataType if field.name in TABLE_SCHEMAS[name].fieldNames() else None
         if (
             expected is not None
-            and isinstance(expected, T.TimestampType)
+            and isinstance(expected, (T.TimestampType, T.TimestampNTZType))
             and isinstance(field.dataType, T.LongType)
         ):
-            df = df.withColumn(field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000")))
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(F.expr(f"{field.name} div 1000")).cast(T.TimestampNTZType()),
+            )
     return df
 
 

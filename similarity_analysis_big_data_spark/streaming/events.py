@@ -6,9 +6,10 @@ an unbounded plan with watermarked event-time state. Tests drive them with
 ``availableNow`` + a memory sink and assert batch/stream agreement — the
 exactly-once, late-data-tolerant path a production events pipeline needs.
 
-The fixture's parquet stores TIMESTAMP(NANOS); streaming reads get the
-same nanosAsLong treatment as batch (schema declares ts as long, the plan
-converts with integer division — readers.load_table's rule).
+The fixture's parquet stores TIMESTAMP(NANOS, isAdjustedToUTC=false);
+Spark 4.1+ reads that natively as TIMESTAMP_NTZ with µs truncation — the
+same type the batch reader sees — so the stream schema declares ts as NTZ
+and no conversion is needed.
 """
 
 from __future__ import annotations
@@ -17,12 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Streaming scans require an explicit schema (no inference mid-stream);
-# ts arrives as epoch-nanos long under nanosAsLong.
+from ..functions.timeutil import epoch_micros
+
+# Streaming scans require an explicit schema (no inference mid-stream).
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), False),
-        T.StructField("ts", T.LongType(), False),
+        T.StructField("ts", T.TimestampNTZType(), False),
         T.StructField("user_id", T.LongType(), False),
         T.StructField("event_type", T.StringType(), False),
         T.StructField("value", T.DoubleType(), False),
@@ -42,7 +44,12 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # withWatermark requires an instant-typed TIMESTAMP; lift the NTZ wall
+    # clock to the UTC instant with the same wall time via epoch micros —
+    # TZ-independent, unlike a plain cast (which reads the wall time in the
+    # session zone). The session factory pins timeZone=UTC, so window labels
+    # downstream match the batch/oracle wall-clock buckets.
+    return raw.withColumn("ts", F.timestamp_micros(epoch_micros("ts")))
 
 
 def windowed_event_counts(
