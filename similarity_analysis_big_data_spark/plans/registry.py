@@ -89,6 +89,7 @@ def _load_all() -> None:
         relational,
         sampling,
         similarity,
+        stats,
         subqueries,
         textstats,
         udaf_queries,

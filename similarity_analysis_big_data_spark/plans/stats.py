@@ -1,0 +1,239 @@
+"""Robust / higher-moment statistics queries ([ext] — north-star analytics).
+
+Three families the reference's aggregation surface (lab2.py's sums and
+means) does not reach but any corpus-profiling pass needs:
+
+- robust location/scale per group: median, MAD, deterministic mode —
+  outlier-resistant versions of avg/stddev for choosing quality-filter
+  thresholds;
+- higher central moments (skewness, excess kurtosis) computed from raw
+  power sums so both engines evaluate the IDENTICAL formula (Spark's and
+  DuckDB's built-in ``skewness``/``kurtosis`` apply different sample
+  corrections, so the built-ins are deliberately not used);
+- linear-regression aggregates (``regr_slope`` & co.) — the SQL-standard
+  bivariate fit surface.
+
+Scale: every query is one or two partial+final aggregations on low-cardinality
+group keys; the MAD two-pass broadcasts the per-group medians (≤ |groups|
+rows) back over the fact table, so no extra fact shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .registry import register
+
+
+@register(
+    "robust_stats_by_source",
+    oracle="""
+        WITH x AS (
+            SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents
+        ),
+        med AS (
+            SELECT source, quantile_cont(v, 0.5) AS med FROM x GROUP BY source
+        ),
+        mad AS (
+            SELECT x.source, quantile_cont(abs(v - med), 0.5) AS mad
+            FROM x JOIN med ON x.source = med.source
+            GROUP BY x.source
+        ),
+        mode_pick AS (
+            SELECT source, v AS mode_v,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY count(*) DESC, v ASC) AS rnk
+            FROM x GROUP BY source, v
+        ),
+        mom AS (
+            SELECT source, count(*) AS n_docs,
+                   avg(v) AS m1, avg(v * v) AS m2,
+                   avg(v * v * v) AS m3, avg(v * v * v * v) AS m4
+            FROM x GROUP BY source
+        )
+        SELECT mom.source,
+               n_docs,
+               round(med.med, 6) AS median_chars,
+               round(mad.mad, 6) AS mad_chars,
+               round(mode_pick.mode_v, 6) AS mode_chars,
+               round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                     / pow(m2 - m1 * m1, 1.5), 6) AS skew_chars,
+               round((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
+                     / pow(m2 - m1 * m1, 2) - 3, 6) AS kurt_chars
+        FROM mom
+        JOIN med ON mom.source = med.source
+        JOIN mad ON mom.source = mad.source
+        JOIN mode_pick ON mom.source = mode_pick.source AND mode_pick.rnk = 1
+    """,
+    doc="[ext] robust per-group profile: median, MAD, deterministic mode "
+    "(most frequent, smallest wins ties), skewness and excess kurtosis from "
+    "raw power sums — the outlier-resistant statistics a corpus-curation "
+    "pass reads before setting length/quality thresholds.",
+)
+def robust_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: moments are one partial+final agg; the MAD second pass joins
+    the ≤|sources|-row median table back BROADCAST, so the fact table is
+    shuffled once total (the mode count shares the moments' key)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("v")
+    )
+
+    mom = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.avg("v").alias("m1"),
+        F.avg(F.col("v") * F.col("v")).alias("m2"),
+        F.avg(F.col("v") * F.col("v") * F.col("v")).alias("m3"),
+        F.avg(F.col("v") * F.col("v") * F.col("v") * F.col("v")).alias("m4"),
+    )
+    med = docs.groupBy("source").agg(F.median("v").alias("med"))
+    mad = (
+        docs.join(F.broadcast(med), "source")
+        .groupBy("source")
+        .agg(F.median(F.abs(F.col("v") - F.col("med"))).alias("mad"))
+    )
+    mode_w = W.partitionBy("source").orderBy(F.desc("cnt"), F.asc("v"))
+    mode = (
+        docs.groupBy("source", "v")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rnk", F.row_number().over(mode_w))
+        .filter(F.col("rnk") == 1)
+        .select("source", F.col("v").alias("mode_v"))
+    )
+
+    m1, m2, m3, m4 = (F.col(c) for c in ("m1", "m2", "m3", "m4"))
+    var = m2 - m1 * m1
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5)
+    kurt = (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1) / F.pow(var, 2) - 3
+    return (
+        mom.join(F.broadcast(med), "source")
+        .join(F.broadcast(mad), "source")
+        .join(F.broadcast(mode), "source")
+        .select(
+            "source",
+            "n_docs",
+            F.round("med", 6).alias("median_chars"),
+            F.round("mad", 6).alias("mad_chars"),
+            F.round("mode_v", 6).alias("mode_chars"),
+            F.round(skew, 6).alias("skew_chars"),
+            F.round(kurt, 6).alias("kurt_chars"),
+        )
+    )
+
+
+@register(
+    "mad_outlier_docs",
+    oracle="""
+        WITH x AS (
+            SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS v FROM documents
+        ),
+        med AS (
+            SELECT lang, quantile_cont(v, 0.5) AS med FROM x GROUP BY lang
+        ),
+        mad AS (
+            SELECT x.lang, quantile_cont(abs(v - med), 0.5) AS mad
+            FROM x JOIN med ON x.lang = med.lang
+            GROUP BY x.lang
+        )
+        SELECT doc_id, x.lang,
+               round((v - med) / (1.4826 * mad), 6) AS robust_z
+        FROM x
+        JOIN med ON x.lang = med.lang
+        JOIN mad ON x.lang = mad.lang
+        WHERE mad > 0 AND abs((v - med) / (1.4826 * mad)) > 2.0
+    """,
+    doc="[ext] robust outlier detection: modified z-score via "
+    "median/1.4826·MAD per language — flags length outliers a mean/stddev "
+    "z-score would miss when the distribution itself is contaminated.",
+)
+def mad_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two tiny per-group stats tables broadcast back over the fact
+    scan — the outlier filter itself is a narrow map, no fact shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("v")
+    )
+    med = docs.groupBy("lang").agg(F.median("v").alias("med"))
+    mad = (
+        docs.join(F.broadcast(med), "lang")
+        .groupBy("lang")
+        .agg(F.median(F.abs(F.col("v") - F.col("med"))).alias("mad"))
+    )
+    rz = (F.col("v") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        docs.join(F.broadcast(med), "lang")
+        .join(F.broadcast(mad), "lang")
+        .filter((F.col("mad") > 0) & (F.abs(rz) > 2.0))
+        .select("doc_id", "lang", F.round(rz, 6).alias("robust_z"))
+    )
+
+
+@register(
+    "regr_price_vs_qty",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+               round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+               round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+               round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_qty,
+               round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="[ext] SQL-standard bivariate linear-regression aggregates "
+    "(regr_slope/intercept/r2/avgx/avgy) of extended price on quantity per "
+    "return flag — the one-pass OLS fit both engines implement natively.",
+)
+def regr_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: regression aggregates are algebraic (co-moment sums), so the
+    partial+final split applies — one shuffle of 3 groups × 6 moments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("long").alias("n_pairs"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_qty"),
+        F.round(F.regr_avgy(y, x), 4).alias("avg_price"),
+    )
+
+
+@register(
+    "char_entropy_scores",
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ''), c -> c <> '')) AS c
+            FROM documents
+        ),
+        counts AS (
+            SELECT doc_id, c, count(*) AS k FROM chars GROUP BY doc_id, c
+        )
+        SELECT doc_id,
+               count(*) AS n_distinct_chars,
+               round(log2(sum(k)) - sum(k * log2(k)) / sum(k), 6) AS char_entropy
+        FROM counts GROUP BY doc_id
+    """,
+    doc="[ext] per-document Shannon character entropy (bits/char, via "
+    "log2 N − Σk·log2 k ⁄ N) plus distinct-char count — the "
+    "randomness/gibberish signal of an LLM-data quality gate (low entropy = "
+    "repetitive filler, high = encoded noise).",
+)
+def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: chars explode map-side, then two aggregations keyed by doc_id
+    (doc-scoped keys — uniformly distributed, no corpus-wide hot key); the
+    entropy identity needs only per-(doc,char) counts, never a per-doc
+    probability vector in memory."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", ""), lambda c: c != F.lit(""))).alias("c"),
+    )
+    counts = chars.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
+    n = F.sum("k")
+    return counts.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_distinct_chars"),
+        F.round(F.log2(n) - F.sum(F.col("k") * F.log2("k")) / n, 6).alias("char_entropy"),
+    )
