@@ -205,3 +205,98 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings"),
     )
+
+
+# BM25 demo query: one rare term (df≈5% of docs) against two common ones, so
+# the IDF weighting visibly reorders the ranking vs raw TF.
+BM25_QUERY_TERMS = ["dup", "spark", "join"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "bm25_top_docs",
+    oracle=r"""
+        WITH sized AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^\w]+'),
+                               x -> x <> '') AS tokens
+            FROM documents
+        ),
+        dl AS (
+            SELECT doc_id, tokens, len(tokens) AS dl FROM sized
+        ),
+        consts AS (
+            SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, max(dl) AS dl, term, count(*) AS tf
+            FROM (SELECT doc_id, dl, unnest(tokens) AS term FROM dl)
+            WHERE term IN ('dup', 'spark', 'join')
+            GROUP BY doc_id, term
+        ),
+        dfr AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   round(sum(
+                       ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * (1.2 + 1))
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / avgdl))
+                   ), 6) AS score
+            FROM tf JOIN dfr USING (term), consts
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, score, rnk
+        FROM (SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+              FROM scored)
+        WHERE rnk <= 10
+    """,
+    doc="[ext] BM25 ranking (Robertson/Lucene idf form, k1=1.2, b=0.75): "
+    "top-10 documents for a 3-term query — the retrieval scorer built on "
+    "the inverted-index statistics, completing the IR surface beyond "
+    "TF-IDF cosine.",
+)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: doc length rides THROUGH the explode (no corpus-sized join
+    back); the per-(doc,term) relation is pre-filtered to query terms, so
+    everything after the one corpus explode+agg is query-sized. df and the
+    (N, avgdl) scalars broadcast; final top-k is a WindowGroupLimit, not a
+    global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        tokenize(F.lower("text")).alias("tokens"),
+    ).select("doc_id", F.size("tokens").alias("dl"), "tokens")
+    consts = sized.agg(
+        F.count("*").alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    qarr = F.array(*[F.lit(t) for t in BM25_QUERY_TERMS])
+    tf = (
+        sized.select(
+            "doc_id", "dl", F.explode(F.filter("tokens", lambda t: F.array_contains(qarr, t))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.max("dl").alias("dl"), F.count("*").alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count("*").alias("df"))
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = idf * (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfr), "term")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("score"))
+    )
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+    return (
+        scored.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= 10)
+    )
