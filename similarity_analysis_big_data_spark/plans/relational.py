@@ -1042,6 +1042,44 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+        SELECT l_orderkey, l_partkey, l_suppkey, 'l_quantity' AS measure,
+               round(l_quantity, 6) AS value
+        FROM lineitem WHERE l_quantity IS NOT NULL
+        UNION ALL
+        SELECT l_orderkey, l_partkey, l_suppkey, 'l_extendedprice',
+               round(l_extendedprice, 6)
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+        UNION ALL
+        SELECT l_orderkey, l_partkey, l_suppkey, 'l_discount',
+               round(l_discount, 6)
+        FROM lineitem WHERE l_discount IS NOT NULL
+        UNION ALL
+        SELECT l_orderkey, l_partkey, l_suppkey, 'l_tax', round(l_tax, 6)
+        FROM lineitem WHERE l_tax IS NOT NULL
+    """,
+    doc="[ext] §2.7 reshape: wide->long UNPIVOT/melt of the four lineitem "
+    "measures (the inverse of groupBy().pivot()) via the native "
+    "DataFrame.unpivot operator — oracle stated as the portable UNION ALL "
+    "expansion. Spark's unpivot drops NULL measure values; the oracle "
+    "filters to match.",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: unpivot is a map-side Expand (k output rows per input row,
+    zero shuffle) — the plan stays a single scan-project stage; never
+    implement melt as k self-unions, which would scan the fact k times."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey", "l_partkey", "l_suppkey"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return long.withColumn("value", F.round("value", 6))
+
+
 # --------------------------------------------------------------------------
 # Statistical aggregates / window analytics / sliding time windows [ext]
 # --------------------------------------------------------------------------

@@ -255,3 +255,28 @@ def test_kmeans_assignment_broadcasts_centroids(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "kmeans_embedding_clusters")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_unpivot_is_single_stage_expand(spark, sf_oracle):
+    """melt = map-side Expand: one scan, no Exchange, no self-union."""
+    plan = _plan(spark, sf_oracle, "unpivot_lineitem_measures")
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+    # exactly one file relation (formatted explain prints each node twice:
+    # tree line + detail block, so count Location lines instead)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_bm25_statistics_broadcast(spark, sf_oracle):
+    """df and (N, avgdl) relations broadcast back onto the query-term TF
+    relation; the corpus is never shuffle-joined against itself."""
+    plan = _plan(spark, sf_oracle, "bm25_top_docs")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row consts crossJoin
+    assert "CartesianProduct" not in plan
+
+
+def test_robust_stats_group_tables_broadcast(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "robust_stats_by_source")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
