@@ -83,6 +83,7 @@ def _load_all() -> None:
         clustering,
         curation,
         dedup,
+        graph,
         layout,
         lm,
         multimodal,
