@@ -111,6 +111,46 @@ def _is_agg(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().logical().toString()
 
 
+def interval_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    band_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join: every purchase within ``band_minutes`` after
+    a click by the same user — the streaming twin of the batch
+    ``interval_join_click_purchase`` query (plans/relational.py).
+
+    Both sides carry watermarks and the join condition carries an event-time
+    band, so Spark can bound each side's join state: a buffered click is
+    dropped once the purchase-side watermark passes click_ts + band (inner
+    joins additionally emit matches eagerly, without waiting for the
+    watermark). Without the time bound the state store would grow without
+    limit — the unbounded-state trap of naive stream joins."""
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .alias("c")
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .alias("p")
+    )
+    cond = F.expr(
+        "c.user_id = p.user_id AND p.ts > c.ts "
+        f"AND p.ts <= c.ts + interval {band_minutes} minutes"
+    )
+    return c.join(p, cond).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.user_id").alias("user_id"),
+        F.timestamp_diff("MICROSECOND", F.col("c.ts"), F.col("p.ts")).alias(
+            "micros_to_purchase"
+        ),
+    )
+
+
 def enriched_event_stream(events: DataFrame, users: DataFrame) -> DataFrame:
     """Stream-static enrichment join: each micro-batch hash-joins against
     the (small, broadcast) static dimension — the canonical fact-stream ⋈

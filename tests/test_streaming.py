@@ -180,3 +180,24 @@ def test_dedup_within_watermark_drops_redelivery(spark, sf_smoke):
     )
     assert len(rows) == n_distinct
     assert len({r["digest"] for r in rows}) == n_distinct
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_smoke):
+    """Stream-stream inner join with watermarked, time-banded state must
+    produce exactly the batch interval join's pairs."""
+    from similarity_analysis_big_data_spark.streaming.events import interval_join_stream
+
+    joined = interval_join_stream(
+        read_event_stream(spark, sf_smoke), read_event_stream(spark, sf_smoke)
+    )
+    got = run_to_memory(joined, "stream_interval_join")
+    stream_pairs = {
+        (r["click_id"], r["purchase_id"], r["user_id"], r["micros_to_purchase"])
+        for r in got.collect()
+    }
+    batch_pairs = {
+        (r["click_id"], r["purchase_id"], r["user_id"], r["micros_to_purchase"])
+        for r in QUERIES["interval_join_click_purchase"].fn(spark, sf_smoke).collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert stream_pairs  # non-vacuous
