@@ -1,0 +1,65 @@
+"""Custom Python DataSource (sources/pydatasource.py): determinism,
+partitioning, and doc_id filter pushdown into the generator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from similarity_analysis_big_data_spark.sources.pydatasource import (
+    SyntheticDocsReader,
+    _row,
+    register_synthetic_docs,
+)
+
+
+def _read(spark, **opts):
+    register_synthetic_docs(spark)
+    r = spark.read.format("synthetic_docs")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_reads_deterministic_rows(spark):
+    df = _read(spark, n_docs=200, partitions=4)
+    assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    rows = sorted(df.collect())
+    assert len(rows) == 200
+    assert [r["doc_id"] for r in rows] == list(range(200))
+    # deterministic across reads and vs the driver-side generator
+    again = sorted(_read(spark, n_docs=200, partitions=7).collect())
+    assert rows == again
+    assert tuple(rows[42]) == _row(42)
+    # n_chars is consistent with text
+    assert all(r["n_chars"] == len(r["text"]) for r in rows)
+
+
+def test_generation_is_partitioned(spark):
+    df = _read(spark, n_docs=100, partitions=5)
+    n_parts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert n_parts == 5
+
+
+def test_docid_filters_prune_generation(spark):
+    """EqualTo/GreaterThan on doc_id reach the reader (pushFilters) and
+    shrink the generated id range — verified both by results and by the
+    reader's own bookkeeping."""
+    df = _read(spark, n_docs=1000, partitions=8).filter(
+        (F.col("doc_id") > 990) & (F.col("lang") == "en")
+    )
+    rows = df.collect()
+    assert all(r["doc_id"] > 990 and r["lang"] == "en" for r in rows)
+    # driver-side check of the pushdown bookkeeping
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    rd = SyntheticDocsReader({"n_docs": "1000"})
+    rest = list(rd.pushFilters([GreaterThan(("doc_id",), 990), EqualTo(("lang",), "en")]))
+    assert rd.lo == 991 and rd.hi == 1000
+    assert rest == [EqualTo(("lang",), "en")]  # lang stays with Spark
+    assert sum(p.end - p.start for p in rd.partitions()) == 9
+
+
+def test_point_lookup_generates_single_row(spark):
+    df = _read(spark, n_docs=100000, partitions=8).filter(F.col("doc_id") == 77)
+    rows = df.collect()
+    assert len(rows) == 1 and tuple(rows[0]) == _row(77)
