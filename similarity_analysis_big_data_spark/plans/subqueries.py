@@ -132,3 +132,25 @@ _sql_query(
     "result would empty the output on BOTH engines, per SQL three-valued "
     "logic (the classic NOT IN footgun, handled identically).",
 )
+
+
+_sql_query(
+    "lateral_top2_lineitems",
+    f"""
+    SELECT o.o_orderkey, l.l_partkey, round(l.l_extendedprice, 2) AS price, l.rnk
+    FROM orders o,
+    LATERAL (SELECT l_partkey, l_extendedprice,
+                    CAST(row_number() OVER (ORDER BY l_extendedprice DESC,
+                                            l_partkey) AS BIGINT) AS rnk
+             FROM lineitem
+             WHERE l_orderkey = o.o_orderkey
+             ORDER BY l_extendedprice DESC, l_partkey LIMIT 2) l
+    WHERE o.o_totalprice > {_BIG_ORDER}
+    """,
+    ("orders", "lineitem"),
+    doc="[ext] correlated LATERAL subquery with per-outer-row ORDER BY + "
+    "LIMIT — the 'top-k related rows per row' shape. Catalyst decorrelates "
+    "it into a window-ranked join (the same plan the explicit "
+    "topk_lineitems_per_order builds by hand), so nothing iterates per "
+    "outer row on either engine.",
+)
