@@ -31,6 +31,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -140,3 +141,77 @@ def register_synthetic_docs(spark) -> None:
     not just ones from our factory."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming half of the API: a micro-batch event generator with offsets.
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("view", "click", "purchase")
+_EVENTS_SCHEMA = "event_id bigint, user_id bigint, event_type string, value double"
+
+
+def _event_row(i: int) -> tuple[int, int, str, float]:
+    h = hashlib.md5(f"ev:{i}".encode()).digest()
+    return (
+        i,
+        h[0] % 50,
+        _EVENT_TYPES[h[1] % len(_EVENT_TYPES)],
+        round(int.from_bytes(h[2:4], "big") / 655.36, 4),  # 0..100
+    )
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Offset-managed micro-batch source: each trigger advances the offset
+    by ``rows_per_batch`` ids; ``partitions(start, end)`` splits the id range
+    into executor tasks; generation is hash-deterministic, so a replayed
+    range (checkpoint recovery) yields byte-identical rows — the property
+    that makes the source exactly-once under retries.
+
+    Reader-local offset state lives on the driver for the lifetime of one
+    query run; across restarts Spark supplies the checkpointed ``start``,
+    and ranges already committed are simply never asked for again."""
+
+    def __init__(self, options: dict) -> None:
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.n_partitions = int(options.get("partitions", 4))
+        self._current = 0
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def latestOffset(self) -> dict:
+        self._current += self.rows_per_batch
+        return {"offset": self._current}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["offset"], end["offset"]
+        if hi <= lo:
+            return [_IdRange(0, 0)]
+        n = max(1, self.n_partitions)
+        span = max(1, (hi - lo + n - 1) // n)
+        return [_IdRange(s, min(s + span, hi)) for s in range(lo, hi, span)]
+
+    def read(self, partition: _IdRange):
+        for i in range(partition.start, partition.end):
+            yield _event_row(i)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: ranges are recomputable by construction
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return _EVENTS_SCHEMA
+
+    def streamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
+
+
+def register_synthetic_events(spark) -> None:
+    """Idempotent registration: ``spark.readStream.format('synthetic_events')``."""
+    spark.dataSource.register(SyntheticEventsDataSource)

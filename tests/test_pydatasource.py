@@ -63,3 +63,31 @@ def test_point_lookup_generates_single_row(spark):
     df = _read(spark, n_docs=100000, partitions=8).filter(F.col("doc_id") == 77)
     rows = df.collect()
     assert len(rows) == 1 and tuple(rows[0]) == _row(77)
+
+
+def test_stream_source_one_batch_deterministic(spark, tmp_path):
+    """trigger(once): exactly one micro-batch of rows_per_batch events,
+    content equal to the driver-side generator."""
+    from similarity_analysis_big_data_spark.sources.pydatasource import (
+        _event_row,
+        register_synthetic_events,
+    )
+
+    register_synthetic_events(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows_per_batch", 40)
+        .option("partitions", 3)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_events_once")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(spark.sql("SELECT * FROM synth_events_once").collect())
+    assert len(rows) == 40
+    assert [tuple(r) for r in rows] == [_event_row(i) for i in range(40)]
