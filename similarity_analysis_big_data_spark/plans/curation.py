@@ -221,3 +221,137 @@ def source_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SOURCE_CAP)
         .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
     )
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=_SQL_TOKS
+    + f"""
+    , surv AS (
+        SELECT doc_id, lang, tokens,
+               min(doc_id) OVER (PARTITION BY md5(array_to_string(tokens, ' '))) AS keep_id
+        FROM toks
+    ),
+    gated AS (
+        SELECT doc_id, lang, tokens
+        FROM surv
+        WHERE doc_id = keep_id
+          AND len(tokens) >= 10
+          AND CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) >= 0.3
+          AND doc_id % {EVAL_MOD} <> 0
+    ),
+    win AS (
+        SELECT doc_id, md5(array_to_string(tokens[i:i + {CONTAM_NGRAM - 1}], ' ')) AS w
+        FROM (SELECT doc_id, tokens,
+                     unnest(generate_series(1, len(tokens) - {CONTAM_NGRAM - 1})) AS i
+              FROM toks WHERE len(tokens) >= {CONTAM_NGRAM})
+    ),
+    eval_w AS (
+        SELECT DISTINCT w FROM win WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id FROM win t JOIN eval_w e USING (w)
+        WHERE t.doc_id % {EVAL_MOD} <> 0
+    ),
+    clean AS (
+        SELECT g.doc_id, g.lang, g.tokens
+        FROM gated g LEFT JOIN contaminated c USING (doc_id)
+        WHERE c.doc_id IS NULL
+    ),
+    chunks AS (
+        SELECT doc_id, lang,
+               (s - 1) // {CHUNK_STRIDE} AS chunk_idx,
+               len(tokens[s:s + {CHUNK_TOKENS - 1}]) AS n_tokens,
+               md5(array_to_string(tokens[s:s + {CHUNK_TOKENS - 1}], ' ')) AS chunk_hash
+        FROM (SELECT doc_id, lang, tokens,
+                     unnest(generate_series(1, len(tokens), {CHUNK_STRIDE})) AS s
+              FROM clean)
+    )
+    SELECT doc_id, chunk_idx, lang, n_tokens, chunk_hash,
+           CAST((sum(n_tokens) OVER (PARTITION BY lang
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                                  CAST(chunk_idx AS VARCHAR)),
+                                              doc_id, chunk_idx
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) // {PACK_BUDGET} AS BIGINT) AS batch_id
+    FROM chunks
+    """,
+    doc="[ext] the WHOLE curation last mile as ONE declarative plan: "
+    "exact-dedup survivors -> quality gate (length + uniqueness) -> "
+    "eval-set decontamination -> stride chunking -> per-language "
+    "token-budget batch packing. A user runs one query; Catalyst sees one "
+    "tree and shares the token relation across all five stages.",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: composes the per-stage postures — one digest-window shuffle
+    (dedup), broadcast eval windows (decontam), map-side chunk generation,
+    one per-lang window (packing). The token relation is computed once in
+    the plan; stages share it instead of re-scanning the corpus, which is
+    the point of declaring the pipeline as a single tree."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokenize(F.lower("text")).alias("tokens"))
+
+    keep_w = W.partitionBy(F.md5(F.array_join("tokens", " ")))
+    n = F.size("tokens")
+    uniq_ratio = F.size(F.array_distinct("tokens")).cast("double") / n
+    gated = (
+        toks.withColumn("keep_id", F.min("doc_id").over(keep_w))
+        .filter(
+            (F.col("doc_id") == F.col("keep_id"))
+            & (n >= 10)
+            & (uniq_ratio >= 0.3)
+            & (F.col("doc_id") % EVAL_MOD != 0)
+        )
+        .select("doc_id", "lang", "tokens")
+    )
+
+    win = (
+        toks.filter(F.size("tokens") >= CONTAM_NGRAM)
+        .select("doc_id", F.explode(word_ngrams("tokens", CONTAM_NGRAM)).alias("gram"))
+        .select("doc_id", F.md5("gram").alias("w"))
+    )
+    eval_w = win.filter(F.col("doc_id") % EVAL_MOD == 0).select("w").distinct()
+    contaminated = (
+        win.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(F.broadcast(eval_w), "w", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = gated.join(contaminated, "doc_id", "left_anti")
+
+    chunks = clean.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"""
+            inline(transform(
+                sequence(1, size(tokens), {CHUNK_STRIDE}),
+                s -> struct(
+                    cast((s - 1) div {CHUNK_STRIDE} as bigint)              AS chunk_idx,
+                    cast(size(slice(tokens, s, {CHUNK_TOKENS})) as bigint)  AS n_tokens,
+                    md5(array_join(slice(tokens, s, {CHUNK_TOKENS}), ' '))  AS chunk_hash
+                )
+            ))
+            """
+        ),
+    )
+    shuffle_key = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.col("chunk_idx").cast("string")
+        )
+    )
+    pack_w = (
+        W.partitionBy("lang")
+        .orderBy(shuffle_key, "doc_id", "chunk_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "lang",
+        "n_tokens",
+        "chunk_hash",
+        ((F.sum("n_tokens").over(pack_w) - F.col("n_tokens")) / F.lit(PACK_BUDGET))
+        .cast("long")
+        .alias("batch_id"),
+    )
