@@ -276,20 +276,30 @@ def source_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - n_tokens) // {PACK_BUDGET} AS BIGINT) AS batch_id
     FROM chunks
     """,
+    headline=True,
     doc="[ext] the WHOLE curation last mile as ONE declarative plan: "
     "exact-dedup survivors -> quality gate (length + uniqueness) -> "
     "eval-set decontamination -> stride chunking -> per-language "
-    "token-budget batch packing. A user runs one query; Catalyst sees one "
-    "tree and shares the token relation across all five stages.",
+    "token-budget batch packing. A user runs one query; the tokenized "
+    "corpus is persisted once and every stage branch reads the "
+    "materialization instead of re-scanning the raw corpus.",
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: composes the per-stage postures — one digest-window shuffle
     (dedup), broadcast eval windows (decontam), map-side chunk generation,
-    one per-lang window (packing). The token relation is computed once in
-    the plan; stages share it instead of re-scanning the corpus, which is
-    the point of declaring the pipeline as a single tree."""
+    one per-lang window (packing). The tokenized relation feeds THREE
+    branches (dedup+gate, training windows, eval windows); without an
+    explicit persist Spark re-scans and re-tokenizes the corpus per branch
+    (DataFrame subtrees are not auto-shared), so it is persisted
+    MEMORY_AND_DISK — the same one-materialization-many-consumers posture
+    a production pipeline gets by staging tokens to a table."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", "lang", tokenize(F.lower("text")).alias("tokens"))
+    toks = (
+        docs.select("doc_id", "lang", tokenize(F.lower("text")).alias("tokens"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     keep_w = W.partitionBy(F.md5(F.array_join("tokens", " ")))
     n = F.size("tokens")
