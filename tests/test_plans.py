@@ -280,3 +280,18 @@ def test_robust_stats_group_tables_broadcast(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "robust_stats_by_source")
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_curation_pipeline_single_corpus_scan(spark, sf_oracle):
+    """The tokenized relation is persisted: every stage branch reads the
+    materialization — exactly ONE parquet scan of the corpus."""
+    plan = _plan(spark, sf_oracle, "corpus_curation_pipeline")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "InMemoryTableScan" in plan
+
+
+def test_pagerank_rank_table_broadcasts(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "pagerank_trade_nations")
+    assert "CartesianProduct" not in plan
+    # per-iteration rank joins broadcast (3 iterations -> >= 3 BHJ on ranks)
+    assert plan.count("BroadcastHashJoin") >= 3
