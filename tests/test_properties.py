@@ -183,3 +183,44 @@ def test_simhash_banded_equals_cross_join(sigs, max_hamming):
         for r in simhash_banded_pairs(df, "id", max_hamming).collect()
     }
     assert banded == exact
+
+
+def test_char_entropy_bounds(spark):
+    """0 <= H <= log2(distinct chars) for every document (Shannon bound)."""
+    from similarity_analysis_big_data_spark.plans.registry import query_map
+
+    rows = query_map()["char_entropy_scores"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["char_entropy"] <= math.log2(r["n_distinct_chars"]) + 1e-9
+
+
+def test_pagerank_invariants(spark):
+    """Every rank >= (1-d)/N; total mass <= 1 (leaks only via dangling
+    nodes); and ranks form a probability-like vector."""
+    from similarity_analysis_big_data_spark.plans.graph import pagerank
+    from pyspark.sql import functions as F2
+
+    nodes = spark.range(4).select(F2.col("id").alias("node"))
+    # chain 0 -> 1 -> 2 -> 3 with a dangling 3
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, w double"
+    )
+    rows = pagerank(nodes, edges, iters=5, damping=0.85).collect()
+    ranks = {r["node"]: r["rank"] for r in rows}
+    assert set(ranks) == {0, 1, 2, 3}
+    floor = 0.15 / 4
+    assert all(v >= floor - 1e-12 for v in ranks.values())
+    assert sum(ranks.values()) <= 1.0 + 1e-9
+    # the chain accumulates: downstream nodes outrank the source
+    assert ranks[0] < ranks[1] < ranks[2] < ranks[3]
+
+
+def test_mad_outliers_are_extreme(spark):
+    """Every flagged doc's |robust z| > 2; no flagged doc sits at its
+    language's median."""
+    from similarity_analysis_big_data_spark.plans.registry import query_map
+
+    rows = query_map()["mad_outlier_docs"](spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        assert abs(r["robust_z"]) > 2.0
