@@ -1803,3 +1803,221 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r2(F.col("total_qty")).alias("total_qty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H analogs (second batch): Q7 / Q8 / Q10 / Q13 / Q22 shapes
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q7_nation_trade_volume",
+    oracle="""
+        SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS volume
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+    """,
+    doc="[ext] TPC-H Q7 analog: cross-border trade volume per (customer "
+    "nation, supplier nation, ship year) — the nation-pair matrix behind "
+    "the PageRank graph, with the time dimension kept.",
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one fact⋈fact shuffle (lineitem⋈orders); every dimension
+    broadcasts; the (nation, nation, year) agg output is tiny."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.c_nk)
+        .join(F.broadcast(n2), s.s_nationkey == n2.s_nk)
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("long").alias("ship_year"))
+        # decimal summation: big-group cent sums must not depend on float
+        # accumulation order (the oracle does the same)
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2
+            )
+            .cast("double")
+            .alias("volume")
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+        WITH vol AS (
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+                   n2.n_name AS supp_nation,
+                   l.l_extendedprice * (1 - l.l_discount) AS v
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+            JOIN region r ON n1.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+            WHERE r.r_name = 'EUROPE'
+        )
+        SELECT order_year,
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                              THEN CAST(v AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share
+        FROM vol GROUP BY order_year
+    """,
+    doc="[ext] TPC-H Q8 analog: NATION_3 suppliers' share of revenue from "
+    "EUROPE customers per order year — conditional-sum ratio inside one "
+    "aggregation, no second pass for the denominator.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    v = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", v.cast("decimal(18,4)"))
+                    .otherwise(F.lit(0).cast("decimal(18,4)"))
+                ).cast("double")
+                / F.sum(v.cast("decimal(18,4)")).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q10_returned_item_revenue",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+    doc="[ext] TPC-H Q10 analog: top-20 customers by revenue lost to "
+    "returned items — returnflag pushdown, broadcast dims, "
+    "TakeOrderedAndProject for the global top-k.",
+)
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        # decimal summation: the top-20 cut must not move with float order
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey)
+        GROUP BY c_count
+    """,
+    doc="[ext] TPC-H Q13 analog: distribution of customers by order count "
+    "(zero-order customers included via the left join) — the "
+    "two-level aggregation shape.",
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the first agg keys on c_custkey (the join key — partitioning
+    reused, no second exchange for the count); the second agg's domain is
+    tiny (distinct order counts)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q22_dormant_rich_customers",
+    oracle="""
+        WITH avg_bal AS (
+            SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c.c_nationkey, count(*) AS n_customers,
+               CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+        FROM customer c, avg_bal
+        WHERE c.c_acctbal > avg_bal.a
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c.c_nationkey
+    """,
+    doc="[ext] TPC-H Q22 analog: above-average-balance customers who never "
+    "ordered, per nation — uncorrelated scalar subquery + NOT EXISTS "
+    "anti-join in one query.",
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the scalar average broadcasts as a 1-row relation; the NOT
+    EXISTS compiles to a left-anti against the orders custkey projection."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
