@@ -191,3 +191,51 @@ def bloom_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS total_price,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                     / count(*), 4) AS avg_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="[ext] incremental aggregate maintenance: a materialized base "
+    "rollup (orders before 2001) is UPDATED by merging the delta "
+    "partition's partial aggregates — count/sum merge by addition, avg is "
+    "re-derived from the merged sums (the algebraic-aggregate law). The "
+    "oracle is the from-scratch aggregate: merged == recomputed.",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: this is WHY warehouse rollups refresh in O(delta) not
+    O(history) — partials are half the machinery of every partial+final
+    hash agg, reused across time instead of across tasks. The base partial
+    here stands in for a stored table; production persists it and only the
+    delta branch scans new data."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("2001-01-01").cast("timestamp_ntz")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s"),
+        )
+
+    base = partials(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partials(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n_orders"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("s"), 2).cast("double").alias("total_price"),
+        F.round(F.col("s").cast("double") / F.col("n_orders"), 4).alias("avg_price"),
+    )
