@@ -155,3 +155,95 @@ def pivot_matrix(
     """
     p = dense_pairs.groupBy(row_col).pivot(col_col, col_values)
     return p.agg(F.first(value_col))
+
+
+# Cost-based strategy bounds for dense_best_match (see docstring): the
+# broadcast title matrix must stay small, and a dense matmul only beats the
+# sparse join when the vocabulary is narrow enough that every pair overlaps.
+DENSE_MAX_VOCAB = 256
+DENSE_MAX_BROADCAST_CELLS = 4_000_000  # n_titles x |title vocab| doubles (~32 MB)
+
+
+def dense_best_match(
+    title_vec: DataFrame,
+    abstract_vec: DataFrame,
+    query_id: str,
+    match_id: str,
+    round_to: int = 9,
+) -> DataFrame:
+    """Exact arg-max cosine via blocked dense matmul — the small-vocabulary
+    physical strategy for ``sparse_cosine_join`` + ``best_match``.
+
+    When the vocabulary is narrow (synthetic corpora, categorical token
+    spaces), EVERY query/candidate pair shares terms, so the sparse join
+    degenerates to the full |Q|x|A| pair materialization — tens of millions
+    of shuffled rows whose only purpose is to be argmax'd away. This
+    operator never materializes pairs: the (|Q| x V) query matrix is
+    broadcast into each task, each candidate partition computes its local
+    score block with one BLAS matmul, reduces it to ONE candidate row per
+    query (partition-local arg-max, same round-then-tiebreak rule), and a
+    final tiny window merges the per-partition winners.
+
+    Exactness contract (same as the sparse path): scores round to
+    ``round_to`` BEFORE comparison; ties break on ascending ``match_id``
+    (np.argmax over id-sorted rows returns the first maximum); candidates
+    sharing no term with a query score exactly 0.0 and are filtered, so
+    zero-overlap queries drop out just as the sparse join drops them
+    (non-negative weights make dot == 0 equivalent to no shared term).
+
+    Scale: candidates stay distributed (one hash shuffle on ``match_id``
+    to co-locate each candidate's terms); the broadcast side is bounded by
+    the caller (`DENSE_MAX_BROADCAST_CELLS`). Shuffled bytes are O(|A| x V)
+    — the weighted relation itself — vs the sparse join's O(|Q| x |A|)
+    pair rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    t_rows = title_vec.collect()  # bounded by the caller's strategy check
+    terms = sorted({r["term"] for r in t_rows})
+    t_idx = {t: i for i, t in enumerate(terms)}
+    q_ids = sorted({r[query_id] for r in t_rows})
+    q_pos = {q: i for i, q in enumerate(q_ids)}
+    T = np.zeros((len(q_ids), len(terms)), dtype=np.float64)
+    for r in t_rows:
+        T[q_pos[r[query_id]], t_idx[r["term"]]] = r["weight"]
+
+    out_schema = f"{query_id} long, {match_id} long, cosine double"
+
+    def block_argmax(batches):
+        chunks = list(batches)  # Arrow batches can split one id's terms
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf[pdf["term"].isin(t_idx)]
+        if len(pdf) == 0:
+            return
+        # id-sorted rows => np.argmax picks the smallest match_id among ties
+        a_ids = np.asarray(sorted(pdf[match_id].unique()))
+        a_pos = {a: i for i, a in enumerate(a_ids)}
+        A = np.zeros((len(a_ids), len(terms)), dtype=np.float64)
+        A[
+            pdf[match_id].map(a_pos).to_numpy(),
+            pdf["term"].map(t_idx).to_numpy(),
+        ] = pdf["weight"].to_numpy()
+        S = np.round(A @ T.T, round_to)  # (n_abstracts_part, n_queries)
+        best = S.argmax(axis=0)
+        scores = S[best, np.arange(S.shape[1])]
+        keep = scores > 0.0
+        yield pd.DataFrame(
+            {
+                query_id: np.asarray(q_ids)[keep],
+                match_id: a_ids[best[keep]],
+                "cosine": scores[keep],
+            }
+        )
+
+    candidates = (
+        abstract_vec.repartition(match_id)
+        .mapInPandas(block_argmax, schema=out_schema)
+    )
+    # merge partition-local winners: tiny (<= n_partitions rows per query)
+    return best_match(candidates, query_id, match_id)

@@ -20,8 +20,11 @@ from pyspark.storagelevel import StorageLevel
 from ..functions.text import tokenize
 from ..functions.tfidf import doc_frequency, l2_normalize, term_frequency, tfidf
 from ..operators.similarity import (
+    DENSE_MAX_BROADCAST_CELLS,
+    DENSE_MAX_VOCAB,
     all_pairs_cosine_exact,
     best_match,
+    dense_best_match,
     pivot_matrix,
     sparse_cosine_join,
 )
@@ -177,7 +180,9 @@ def doc_tfidf_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Task 1 flagship (lab2.py:150-251): per-title best-matching abstract via "
     "sparse cosine join + deterministic arg-max; zero-overlap titles emit (-1, 0.0).",
 )
-def title_best_abstract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def title_best_abstract(
+    spark: SparkSession, sf_dir: str, strategy: str = "auto"
+) -> DataFrame:
     """The reference's cartesian+dict-dot-product, reformulated: pairs that
     share no term never materialize; arg-max is a ranked window with an
     abstract_id tiebreak (the reference is partition-order nondeterministic).
@@ -190,6 +195,21 @@ def title_best_abstract(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist of the TF relation — already aggregated, far smaller than the
     exploded token stream — runs that pass once; at 100 TB this is the
     difference between one corpus scan and three.
+
+    ``strategy`` picks the pair-stage physical plan, AQE-style (measure,
+    then choose):
+
+    - ``"sparse"`` — the term-join formulation (the 100 TB default: pairs
+      sharing no term never materialize, and real vocabularies are huge);
+    - ``"dense"`` — broadcast-matmul arg-max
+      (operators.similarity.dense_best_match): when the vocabulary is
+      narrow every pair DOES share terms, the sparse join degenerates to
+      |titles|x|abstracts| shuffled rows, and a blocked BLAS matmul that
+      never materializes pairs wins by a wide margin;
+    - ``"auto"`` — measure vocabulary + broadcast size from the already-
+      computed DF relation (vocabulary-sized, cheap) and choose. Both
+      paths share the identical round-before-argmax / ascending-id
+      tiebreak contract, so the result — and the oracle — is the same.
     """
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
@@ -207,14 +227,36 @@ def title_best_abstract(spark: SparkSession, sf_dir: str) -> DataFrame:
     title_vec = l2_normalize(
         tfidf(title_tf, df_, n_docs, ["title_id"], left=True), ["title_id"]
     )
-
-    pairs = sparse_cosine_join(
-        title_vec, abstract_vec, "title_id", "abstract_id", round_to=9, spread_left=True
-    )
     all_titles = docs.filter(F.col("doc_id") % TITLE_SAMPLE_MOD == 0).select(
         F.col("doc_id").alias("title_id")
     )
-    top = best_match(pairs, "title_id", "abstract_id", all_queries=all_titles)
+
+    if strategy == "auto":
+        vocab = df_.count()  # vocabulary-sized agg over the persisted TF
+        n_titles = all_titles.count()
+        dense_ok = (
+            vocab <= DENSE_MAX_VOCAB
+            and n_titles * vocab <= DENSE_MAX_BROADCAST_CELLS
+        )
+        strategy = "dense" if dense_ok else "sparse"
+
+    if strategy == "dense":
+        top = dense_best_match(title_vec, abstract_vec, "title_id", "abstract_id")
+        top = all_titles.join(top, "title_id", "left").select(
+            "title_id",
+            F.col("abstract_id"),
+            F.coalesce(F.col("cosine"), F.lit(0.0)).alias("cosine"),
+        )
+    else:
+        pairs = sparse_cosine_join(
+            title_vec,
+            abstract_vec,
+            "title_id",
+            "abstract_id",
+            round_to=9,
+            spread_left=True,
+        )
+        top = best_match(pairs, "title_id", "abstract_id", all_queries=all_titles)
     return top.select(
         "title_id",
         F.coalesce("abstract_id", F.lit(-1)).alias("best_abstract_id"),

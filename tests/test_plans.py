@@ -53,11 +53,20 @@ def test_q1_partial_aggregation_and_pushdown(spark, sf_oracle):
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate," in plan
 
 
+def _plan_of(spark, df) -> str:
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
 def test_flagship_pair_stage_does_not_shuffle(spark, sf_oracle):
-    """The 30M-row pair join output must aggregate without an Exchange:
-    the groupBy(title_id, abstract_id) reuses the title window's hash
-    partitioning, and the DF side broadcasts."""
-    plan = _plan(spark, sf_oracle, "title_best_abstract")
+    """SPARSE strategy (the 100 TB default): the pair join output must
+    aggregate without an Exchange — the groupBy(title_id, abstract_id)
+    reuses the title window's hash partitioning, and the DF side
+    broadcasts."""
+    from similarity_analysis_big_data_spark.plans.similarity import title_best_abstract
+
+    plan = _plan_of(spark, title_best_abstract(spark, sf_oracle, strategy="sparse"))
     lines = plan.splitlines()
     # locate the pair aggregation (keys title_id + abstract_id)
     agg_idx = [
@@ -295,3 +304,16 @@ def test_pagerank_rank_table_broadcasts(spark, sf_oracle):
     assert "CartesianProduct" not in plan
     # per-iteration rank joins broadcast (3 iterations -> >= 3 BHJ on ranks)
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_flagship_dense_strategy_materializes_no_pairs(spark, sf_oracle):
+    """DENSE strategy: the pair stage is a broadcast matmul inside
+    mapInPandas — no title⋈abstract join operator exists in the plan, and
+    the fixture's 31-term vocabulary makes auto pick it."""
+    from similarity_analysis_big_data_spark.plans.similarity import title_best_abstract
+
+    plan = _plan_of(spark, title_best_abstract(spark, sf_oracle, strategy="dense"))
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # the merge of partition-local winners is the only window
+    assert "WindowGroupLimit" in plan
