@@ -46,9 +46,14 @@ def connected_components(
     diff. Isolated nodes never appear in pairs — union the full node set
     downstream if needed (dedup_survivors does).
     """
+    # materialize the pair relation ONCE before the symmetric union — both
+    # union branches reference it, and without this the entire upstream
+    # chain (for dedup: LSH + exact-Jaccard verify) is computed twice
+    pairs_mat = pairs.select(
+        F.col(id_l).alias("src"), F.col(id_r).alias("dst")
+    ).localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col(id_l).alias("src"), F.col(id_r).alias("dst"))
-        .union(pairs.select(F.col(id_r).alias("src"), F.col(id_l).alias("dst")))
+        pairs_mat.union(pairs_mat.select(F.col("dst"), F.col("src")))
         .distinct()
         .localCheckpoint(eager=True)
     )

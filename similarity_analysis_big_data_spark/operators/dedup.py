@@ -261,3 +261,44 @@ def simhash_banded_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()  # collapse multi-band collisions of the same pair
     )
+
+
+def jaccard_verify_candidates(
+    token_sets: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    candidates: DataFrame,
+) -> DataFrame:
+    """Exact Jaccard computed ONLY for candidate pairs (the verify stage of
+    LSH-then-verify): join the candidate relation with each side's distinct
+    token array and intersect per row.
+
+    ``jaccard_pairs`` materializes EVERY shingle-sharing pair before the
+    candidate semi-join prunes; under a narrow vocabulary (where every doc
+    shares shingles with every doc) that degenerates to the all-pairs
+    blowup LSH exists to avoid. This formulation's work is
+    O(|candidates| x avg set size): each doc's token array is shuffled once
+    per join side and never pairwise-exploded. Output matches
+    ``jaccard_pairs(candidates=...)`` for every pair with >= 1 shared
+    token; zero-overlap candidates additionally appear with jaccard 0.0
+    (callers threshold above it).
+    """
+    l = token_sets.select(
+        F.col(id_col).alias("id_l"), F.col(tokens_col).alias("_t_l")
+    )
+    r = token_sets.select(
+        F.col(id_col).alias("id_r"), F.col(tokens_col).alias("_t_r")
+    )
+    n_common = F.size(F.array_intersect("_t_l", "_t_r"))
+    return (
+        candidates.join(l, "id_l")
+        .join(r, "id_r")
+        .select(
+            "id_l",
+            "id_r",
+            (
+                n_common
+                / (F.size("_t_l") + F.size("_t_r") - n_common)
+            ).alias("jaccard"),
+        )
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.hashing import (
     LSH_BANDS,
@@ -28,6 +29,7 @@ from ..operators.dedup import (
     canonical_fingerprint,
     exact_dedup_groups,
     jaccard_pairs,
+    jaccard_verify_candidates,
     lsh_candidate_pairs,
     minhash_signatures,
     simhash_banded_pairs,
@@ -173,13 +175,19 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "candidates only — the production near-dup pipeline shape.",
 )
 def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the token-set relation (one array row per doc) is persisted
+    and feeds the signature explode plus both verify join sides; the verify
+    stage is candidate-driven (jaccard_verify_candidates) — O(|candidates|)
+    pair rows, never the all-sharing-pairs blowup a narrow vocabulary makes
+    of the shingle self-join."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % SAMPLE_MOD == 0)
-    shingles = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokenize(F.lower("text")))).alias("shingle")
-    )
+    toksets = docs.select(
+        "doc_id", F.array_distinct(tokenize(F.lower("text"))).alias("toks")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
     sigs = minhash_signatures(shingles, "doc_id")
     cand = lsh_candidate_pairs(sigs, "doc_id")
-    pairs = jaccard_pairs(shingles, "doc_id", candidates=cand)
+    pairs = jaccard_verify_candidates(toksets, "doc_id", "toks", cand)
     return pairs.filter(F.col("jaccard") >= 0.5).select(
         "id_l", "id_r", F.round("jaccard", 6).alias("jaccard")
     )
@@ -347,12 +355,16 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import dedup_survivors
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % SAMPLE_MOD == 0)
-    shingles = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokenize(F.lower("text")))).alias("shingle")
-    )
+    # persisted token-set relation + candidate-driven verify, as in
+    # minhash_dedup_verified; the verify chain is additionally materialized
+    # once inside connected_components before the symmetric edge union
+    toksets = docs.select(
+        "doc_id", F.array_distinct(tokenize(F.lower("text"))).alias("toks")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
     sigs = minhash_signatures(shingles, "doc_id")
     cand = lsh_candidate_pairs(sigs, "doc_id")
-    dup_pairs = jaccard_pairs(shingles, "doc_id", candidates=cand).filter(
+    dup_pairs = jaccard_verify_candidates(toksets, "doc_id", "toks", cand).filter(
         F.col("jaccard") >= 0.5
     )
     return dedup_survivors(docs, dup_pairs, "doc_id").select(
