@@ -515,3 +515,56 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_sat.cast("long").alias("n_sat"),
         F.round(mse, 12).alias("mse"),
     )
+
+
+# Oracle reuse: wrap the two already-registered oracles as derived tables
+# (DuckDB allows WITH inside a parenthesized subquery), so the recall
+# metric is checked against the exact same text the component queries use.
+from .registry import QUERIES as _Q  # noqa: E402
+
+_RECALL_ORACLE = f"""
+    WITH exact AS (SELECT * FROM ({_Q['ann_bruteforce_topk'].oracle}) x),
+         approx AS (SELECT * FROM ({_Q['ann_ivf_topk'].oracle}) y),
+         hits AS (
+             SELECT e.query_id, count(a.neighbor_id) AS n_hits
+             FROM exact e
+             LEFT JOIN approx a
+               ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             GROUP BY e.query_id
+         )
+    SELECT query_id, n_hits,
+           round(CAST(n_hits AS DOUBLE) / {TOP_K}, 6) AS recall_at_k
+    FROM hits
+"""
+
+
+@register(
+    "ann_ivf_recall_at_k",
+    oracle=_RECALL_ORACLE,
+    doc=f"[ext] ANN evaluation: per-query recall@{TOP_K} of the IVF index "
+    "against the exact brute-force top-k — the measure-don't-guess metric "
+    "that justifies (or rejects) an approximate index before production. "
+    "Oracle composes the two component queries' own oracle texts.",
+)
+def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: both component plans keep the corpus unshuffled (broadcast
+    queries / cell-keyed join); the recall join itself is |Q|·k rows."""
+    exact = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_ivf_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor_id")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+            "left",
+        )
+        .groupBy(exact.query_id)
+        .agg(F.count("a_neighbor_id").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / TOP_K, 6).alias("recall_at_k"),
+    )
