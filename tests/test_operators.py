@@ -244,3 +244,36 @@ def test_udtf_sentence_segments_matches_explode_form(spark):
         (1, 2): ("Four five six", 3),
         (4, 0): ("Solo", 1),
     }
+
+
+def test_dense_best_match_zero_overlap_and_ties(spark):
+    """dense_best_match edge semantics must mirror the sparse join: a query
+    sharing no term with any candidate yields NO row (caller restores it),
+    and score ties break on the smallest match id."""
+    from similarity_analysis_big_data_spark.operators.similarity import (
+        best_match,
+        dense_best_match,
+        sparse_cosine_join,
+    )
+
+    titles = spark.createDataFrame(
+        # t1 overlaps a1/a2 equally (tie); t2 overlaps nothing
+        [(1, "x", 1.0), (2, "zz", 1.0)],
+        "title_id long, term string, weight double",
+    )
+    abstracts = spark.createDataFrame(
+        [(10, "x", 0.5), (11, "x", 0.5), (12, "y", 1.0)],
+        "abstract_id long, term string, weight double",
+    )
+    dense = dense_best_match(titles, abstracts, "title_id", "abstract_id").collect()
+    got = {r["title_id"]: (r["abstract_id"], r["cosine"]) for r in dense}
+    assert set(got) == {1}  # t2 dropped (zero overlap)
+    assert got[1] == (10, 0.5)  # tie between 10 and 11 -> smallest id
+    # and the sparse formulation agrees exactly
+    sparse = best_match(
+        sparse_cosine_join(titles, abstracts, "title_id", "abstract_id", round_to=9),
+        "title_id",
+        "abstract_id",
+    ).collect()
+    sgot = {r["title_id"]: (r["abstract_id"], r["cosine"]) for r in sparse}
+    assert sgot == got
