@@ -33,7 +33,8 @@ import __spark_entry__ as e
 qs = e.queries()
 for name in ("hourly_event_rollup", "asof_join_purchase_click",
              "window_lag_delta", "json_props_stats",
-             "window_running_user_spend", "multimodal_fake_features"):
+             "window_running_user_spend", "multimodal_fake_features",
+             "title_best_abstract"):  # dense strategy: mapInPandas + driver numpy
     df = qs[name](spark, {sf!r})
     pdf = df.toPandas()
     # the harness's rows-only canonicalizer: lexsort on every column
