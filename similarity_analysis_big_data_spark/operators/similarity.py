@@ -247,3 +247,78 @@ def dense_best_match(
     )
     # merge partition-local winners: tiny (<= n_partitions rows per query)
     return best_match(candidates, query_id, match_id)
+
+
+def dense_topk_neighbors(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_vec: str,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k via blocked dense matmul — the bounded-query-set
+    strategy for brute-force ANN (top-K sibling of ``dense_best_match``).
+
+    The (|Q| x d) query matrix is broadcast; each corpus partition computes
+    its score block with one BLAS matmul, keeps its local top-k per query
+    (rounded scores, ascending-id tiebreak), and a tiny window merges the
+    per-partition winners — global top-k is always a subset of the union of
+    partition top-ks. Self-pairs and zero-norm vectors are excluded exactly
+    as the column-expression formulation excludes them.
+
+    Scale: corpus never shuffles (mapInPandas over the scan partitioning);
+    candidate rows to the merge are n_partitions x |Q| x k. The caller
+    bounds |Q| x d (broadcast) — an unbounded query set needs the
+    column-expression or IVF path instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id, query_vec).collect()
+    q_ids = np.asarray([r[query_id] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r[query_vec] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+
+    out_schema = f"{query_id} long, neighbor_id long, cosine double"
+
+    def block_topk(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)  # ascending ids => stable tiebreak below
+        ids = ids[order]
+        C = np.asarray(list(pdf[vec_col].to_numpy()[order]), dtype=np.float64)
+        cn = np.linalg.norm(C, axis=1)
+        denom = cn[:, None] * qn[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = np.round((C @ Q.T) / denom, round_to)
+        S[denom == 0.0] = -np.inf  # zero-norm: never a top-k candidate
+        S[ids[:, None] == q_ids[None, :]] = -np.inf  # exclude self
+        kk = min(k, S.shape[0])
+        out_q, out_n, out_s = [], [], []
+        for j in range(S.shape[1]):
+            col = S[:, j]
+            # argpartition for the candidate set, then exact sort by
+            # (-score, id); ids are pre-sorted so stable mergesort ties
+            # break on the smallest id
+            cand = np.argpartition(-col, kk - 1)[:kk] if kk < len(col) else np.arange(len(col))
+            cand = cand[np.argsort(-col[cand], kind="stable")]
+            keep = cand[np.isfinite(col[cand])]
+            out_q.extend([q_ids[j]] * len(keep))
+            out_n.extend(ids[keep])
+            out_s.extend(col[keep])
+        yield pd.DataFrame({query_id: out_q, "neighbor_id": out_n, "cosine": out_s})
+
+    candidates = corpus.mapInPandas(block_topk, schema=out_schema)
+    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        candidates.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, cosine_sql, dot, dot_sql, l2_norm
+from ..operators.similarity import DENSE_MAX_BROADCAST_CELLS, dense_topk_neighbors
 from ..sources.readers import load_table
 from .registry import register
 
@@ -61,16 +62,44 @@ def _queries_and_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Da
     doc="[ext] exact ANN baseline: brute-force cosine top-k per query "
     "(broadcast queries × corpus, double fold, deterministic rank).",
 )
-def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_bruteforce_topk(
+    spark: SparkSession, sf_dir: str, strategy: str = "auto"
+) -> DataFrame:
     """Scale: the small query set broadcasts; the corpus never shuffles —
-    each partition scores its vectors locally and TakeOrdered-style window
-    pruning keeps k rows per query. O(|Q|·n·d) compute, zero O(n²).
+    each partition scores its vectors locally and window pruning keeps k
+    rows per query. O(|Q|·n·d) compute, zero O(n²).
 
-    Per-vector norms are precomputed on each side before the pair join:
-    higher-order-function folds are interpreted (not codegen'd), so
-    evaluating one fold per pair instead of three is a direct 3× on the
-    dominant term."""
+    Two physical strategies for the scoring stage (same adaptive pattern
+    as title_best_abstract):
+
+    - ``"hof"`` — column-expression fold per pair (norms precomputed per
+      side: HOF folds are interpreted, so one fold per pair instead of
+      three is a direct 3× on the dominant term). Works at any |Q|.
+    - ``"dense"`` — operators.similarity.dense_topk_neighbors: broadcast
+      (|Q| x d) matrix, one BLAS matmul per corpus partition, partition-
+      local top-k, tiny merge. Wins while |Q|·d stays broadcastable.
+    - ``"auto"`` — measure |Q|·d and choose; falls back to hof when the
+      query set outgrows the broadcast bound.
+    """
     queries, emb = _queries_and_corpus(spark, sf_dir)
+    if strategy == "auto":
+        n_q = queries.count()
+        first = queries.select(F.size("query_vec").alias("d")).first()
+        d = first["d"] if first else 0
+        strategy = (
+            "dense" if n_q * d <= DENSE_MAX_BROADCAST_CELLS and n_q > 0 else "hof"
+        )
+    if strategy == "dense":
+        return dense_topk_neighbors(
+            queries,
+            emb,
+            "query_id",
+            "query_vec",
+            "vec_id",
+            "embedding",
+            TOP_K,
+            round_to=6,
+        )
     queries = queries.withColumn("q_norm", l2_norm("query_vec"))
     corpus = emb.withColumn("n_norm", l2_norm("embedding"))
     cosine = F.when(

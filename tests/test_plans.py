@@ -317,3 +317,13 @@ def test_flagship_dense_strategy_materializes_no_pairs(spark, sf_oracle):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     # the merge of partition-local winners is the only window
     assert "WindowGroupLimit" in plan
+
+
+def test_ann_dense_strategy_is_map_side(spark, sf_oracle):
+    """Dense ANN scoring: corpus stays map-side (MapInPandas over the scan),
+    no pair join operator; merge is the only window."""
+    from similarity_analysis_big_data_spark.plans.ann import ann_bruteforce_topk
+
+    plan = _plan_of(spark, ann_bruteforce_topk(spark, sf_oracle, strategy="dense"))
+    assert "MapInPandas" in plan
+    assert "Join" not in plan  # no join operator of any kind

@@ -236,3 +236,14 @@ def test_flagship_dense_equals_sparse(spark):
     dense = {tuple(r) for r in title_best_abstract(spark, sf, strategy="dense").collect()}
     sparse = {tuple(r) for r in title_best_abstract(spark, sf, strategy="sparse").collect()}
     assert dense == sparse and dense
+
+
+def test_ann_dense_equals_hof(spark):
+    """dense_topk_neighbors (BLAS blocked matmul) is extensionally equal to
+    the column-expression fold formulation, ranks included."""
+    from similarity_analysis_big_data_spark.plans.ann import ann_bruteforce_topk
+
+    sf = "/root/testdata/sf0.001"
+    dense = {tuple(r) for r in ann_bruteforce_topk(spark, sf, strategy="dense").collect()}
+    hof = {tuple(r) for r in ann_bruteforce_topk(spark, sf, strategy="hof").collect()}
+    assert dense == hof and dense
