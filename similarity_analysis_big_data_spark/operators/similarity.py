@@ -258,9 +258,14 @@ def dense_topk_neighbors(
     vec_col: str,
     k: int,
     round_to: int = 6,
+    prefetched_queries: list | None = None,
 ) -> DataFrame:
     """Exact cosine top-k via blocked dense matmul — the bounded-query-set
     strategy for brute-force ANN (top-K sibling of ``dense_best_match``).
+
+    ``prefetched_queries``: already-collected query rows (the auto-strategy
+    probe collects them to measure |Q|·d — reuse them instead of a second
+    driver action).
 
     The (|Q| x d) query matrix is broadcast; each corpus partition computes
     its score block with one BLAS matmul, keeps its local top-k per query
@@ -277,7 +282,11 @@ def dense_topk_neighbors(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(query_id, query_vec).collect()
+    q_rows = (
+        prefetched_queries
+        if prefetched_queries is not None
+        else queries.select(query_id, query_vec).collect()
+    )
     q_ids = np.asarray([r[query_id] for r in q_rows], dtype=np.int64)
     Q = np.asarray([r[query_vec] for r in q_rows], dtype=np.float64)
     qn = np.linalg.norm(Q, axis=1)

@@ -82,13 +82,19 @@ def ann_bruteforce_topk(
       query set outgrows the broadcast bound.
     """
     queries, emb = _queries_and_corpus(spark, sf_dir)
+    prefetched = None
     if strategy == "auto":
-        n_q = queries.count()
-        first = queries.select(F.size("query_vec").alias("d")).first()
-        d = first["d"] if first else 0
-        strategy = (
-            "dense" if n_q * d <= DENSE_MAX_BROADCAST_CELLS and n_q > 0 else "hof"
-        )
+        # ONE bounded probe action: collect up to the broadcast cap + 1 rows;
+        # overflow (or an empty set) falls back to hof, otherwise the rows
+        # ARE the broadcast payload — no second collect
+        d_guess = 64
+        cap = max(1, DENSE_MAX_BROADCAST_CELLS // d_guess)
+        rows = queries.limit(cap + 1).collect()
+        d = len(rows[0]["query_vec"]) if rows else 0
+        if rows and len(rows) <= cap and len(rows) * d <= DENSE_MAX_BROADCAST_CELLS:
+            strategy, prefetched = "dense", rows
+        else:
+            strategy = "hof"
     if strategy == "dense":
         return dense_topk_neighbors(
             queries,
@@ -99,6 +105,7 @@ def ann_bruteforce_topk(
             "embedding",
             TOP_K,
             round_to=6,
+            prefetched_queries=prefetched,
         )
     queries = queries.withColumn("q_norm", l2_norm("query_vec"))
     corpus = emb.withColumn("n_norm", l2_norm("embedding"))
