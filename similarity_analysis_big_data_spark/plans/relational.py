@@ -2021,3 +2021,47 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_bal"),
         )
     )
+
+
+@register(
+    "string_function_battery",
+    oracle="""
+        SELECT p_partkey,
+               lpad(p_brand, 12, '*') AS brand_padded,
+               rpad(p_type, 20, '.') AS type_padded,
+               reverse(p_name) AS name_rev,
+               left(p_name, 3) AS name_l3,
+               right(p_name, 3) AS name_r3,
+               translate(p_brand, '#', 'N') AS brand_tr,
+               split_part(p_type, ' ', 1) AS type_head,
+               strpos(p_name, 'a') AS first_a,
+               replace(p_type, ' ', '_') AS type_snake,
+               md5(p_name) AS name_md5,
+               ascii(p_name) AS name_ascii0,
+               repeat(left(p_brand, 1), 3) AS brand_echo
+        FROM part
+    """,
+    doc="[ext] §2.8 scalar string-function battery over part names: "
+    "lpad/rpad/reverse/left/right/translate/split_part/strpos/replace/"
+    "md5/ascii/repeat — one projection, identical text semantics checked "
+    "bit-for-bit across engines.",
+)
+def string_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: a pure narrow projection inside whole-stage codegen — the
+    entire battery costs one scan, zero shuffles."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.rpad("p_type", 20, ".").alias("type_padded"),
+        F.reverse("p_name").alias("name_rev"),
+        F.expr("left(p_name, 3)").alias("name_l3"),
+        F.expr("right(p_name, 3)").alias("name_r3"),
+        F.translate("p_brand", "#", "N").alias("brand_tr"),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_head"),
+        F.expr("position('a' IN p_name)").cast("long").alias("first_a"),
+        F.replace("p_type", F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.md5("p_name").alias("name_md5"),
+        F.ascii("p_name").alias("name_ascii0"),
+        F.repeat(F.expr("left(p_brand, 1)"), 3).alias("brand_echo"),
+    )
