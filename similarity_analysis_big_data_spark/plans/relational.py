@@ -2065,3 +2065,72 @@ def string_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii("p_name").alias("name_ascii0"),
         F.repeat(F.expr("left(p_brand, 1)"), 3).alias("brand_echo"),
     )
+
+
+@register(
+    "asof_join_cogroup",
+    # identical contract to asof_join_purchase_click -> identical oracle text
+    oracle="""
+        SELECT p.event_id,
+               p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="[ext] §2.10 COGROUP surface: the same as-of join computed with "
+    "cogroup().applyInPandas + pandas merge_asof per user — the two-sided "
+    "Arrow grouped-map API, oracle-checked against DuckDB ASOF and "
+    "extensionally equal to the union+window formulation.",
+)
+def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle per side on user_id (the cogroup key); each user's
+    two frames meet in ONE Arrow batch pair and merge_asof is O(n+m) on the
+    pre-sorted groups. The union+window form (asof_join_purchase_click)
+    stays JVM-side and is preferred; this query pins the cogroup plumbing
+    against the same oracle so per-key two-sided Python logic that ISN'T
+    window-expressible has a checked template."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+
+    fmt = "%Y-%m-%d %H:%M:%S"
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "purchase_ts", "last_click_ts"]
+            )
+        l = l.sort_values("ts", kind="mergesort")
+        r = (
+            r[["ts"]]
+            .rename(columns={"ts": "c_ts"})
+            .sort_values("c_ts", kind="mergesort")
+        )
+        m = pd.merge_asof(l, r, left_on="ts", right_on="c_ts", direction="backward")
+        out = pd.DataFrame(
+            {
+                "event_id": m["event_id"],
+                "user_id": m["user_id"],
+                "purchase_ts": m["ts"].dt.strftime(fmt),
+                "last_click_ts": m["c_ts"].dt.strftime(fmt).astype(object),
+            }
+        )
+        out["last_click_ts"] = out["last_click_ts"].where(
+            out["last_click_ts"].notna(), None
+        )
+        return out
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "event_id long, user_id long, purchase_ts string, last_click_ts string",
+        )
+    )
