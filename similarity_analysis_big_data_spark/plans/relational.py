@@ -2102,16 +2102,34 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fmt = "%Y-%m-%d %H:%M:%S"
 
     def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        # Catalyst's ColumnPruning reaches THROUGH FlatMapCoGroupsInPandas:
+        # when the query consumes only a subset of the UDF's output columns
+        # (df.count() consumes none), input columns are dropped from the
+        # Arrow batches even though the function references them — the frame
+        # arrives with fewer (possibly zero) columns. Safe to stub them:
+        # merge_asof is 1:1 with the left side, so row count (all a pruned
+        # consumer can observe) is invariant to the stubbed values.
+        for col in ("event_id", "user_id"):
+            if col not in l.columns:
+                l[col] = pd.Series(pd.NA, index=l.index, dtype="Int64")
+        if "ts" not in l.columns:
+            l["ts"] = pd.Series(pd.NaT, index=l.index, dtype="datetime64[us]")
         if len(l) == 0:
             return pd.DataFrame(
                 columns=["event_id", "user_id", "purchase_ts", "last_click_ts"]
             )
         l = l.sort_values("ts", kind="mergesort")
-        r = (
-            r[["ts"]]
-            .rename(columns={"ts": "c_ts"})
-            .sort_values("c_ts", kind="mergesort")
-        )
+        if "ts" not in r.columns or len(r) == 0:
+            # Also the purchases-with-zero-clicks cogroup key: Spark hands
+            # the absent side over as a zero-column frame. Empty typed c_ts
+            # sends every purchase down the merge_asof miss path (NULL).
+            r = pd.DataFrame({"c_ts": pd.Series([], dtype=l["ts"].dtype)})
+        else:
+            r = (
+                r[["ts"]]
+                .rename(columns={"ts": "c_ts"})
+                .sort_values("c_ts", kind="mergesort")
+            )
         m = pd.merge_asof(l, r, left_on="ts", right_on="c_ts", direction="backward")
         out = pd.DataFrame(
             {

@@ -247,3 +247,47 @@ def test_ann_dense_equals_hof(spark):
     dense = {tuple(r) for r in ann_bruteforce_topk(spark, sf, strategy="dense").collect()}
     hof = {tuple(r) for r in ann_bruteforce_topk(spark, sf, strategy="hof").collect()}
     assert dense == hof and dense
+
+
+def test_asof_cogroup_equals_window_form(spark):
+    """The cogroup/merge_asof surface is extensionally equal to the
+    union+window formulation (full-output consumption — no pruning)."""
+    from similarity_analysis_big_data_spark.plans.relational import (
+        asof_join_cogroup,
+        asof_join_purchase_click,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cg = {tuple(r) for r in asof_join_cogroup(spark, sf).collect()}
+    win = {tuple(r) for r in asof_join_purchase_click(spark, sf).collect()}
+    assert cg == win and cg
+
+
+def test_asof_cogroup_survives_catalyst_input_pruning(spark):
+    """The r2 crash: Catalyst's ColumnPruning reaches THROUGH
+    FlatMapCoGroupsInPandas — when the query consumes only a subset of the
+    UDF's output columns, INPUT columns the function references are dropped
+    from the Arrow batches (df.count() consumes none → the right side
+    arrives as key-only; verified on pyspark 4.1.2). The merge function
+    must stub missing columns; row count is invariant because merge_asof
+    is 1:1 with the left side."""
+    from similarity_analysis_big_data_spark.plans.relational import (
+        asof_join_cogroup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = asof_join_cogroup(spark, sf)
+    n_purchases = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    # count() prunes ALL udf inputs; subset-selects prune different ones.
+    assert df.count() == n_purchases
+    assert df.select("purchase_ts").count() == n_purchases
+    assert df.select("last_click_ts").count() == n_purchases
+    # values under a pruned projection still match the full run for the
+    # columns the pruned plan kept.
+    full = sorted(r["purchase_ts"] for r in df.collect())
+    pruned = sorted(r["purchase_ts"] for r in df.select("purchase_ts").collect())
+    assert full == pruned
