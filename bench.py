@@ -29,16 +29,21 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     headliners = registry.headline_queries()
+    # single-run timings on this host swing ~25%; min-of-n is the stable
+    # statistic (n=3 default, SPARK_GRAFT_BENCH_RUNS to override)
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in sorted(headliners.items()):
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # force full materialization without collecting to the driver
-        df.write.format("noop").mode("overwrite").save()
-        elapsed = time.perf_counter() - start
-        timings[name] = round(elapsed, 3)
-        total += elapsed
+        best = float("inf")
+        for _ in range(runs):
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # force full materialization without collecting to the driver
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
+        total += best
 
     print(
         json.dumps(

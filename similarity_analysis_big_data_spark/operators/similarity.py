@@ -187,9 +187,10 @@ def dense_best_match(
     Exactness contract (same as the sparse path): scores round to
     ``round_to`` BEFORE comparison; ties break on ascending ``match_id``
     (np.argmax over id-sorted rows returns the first maximum); candidates
-    sharing no term with a query score exactly 0.0 and are filtered, so
-    zero-overlap queries drop out just as the sparse join drops them
-    (non-negative weights make dot == 0 equivalent to no shared term).
+    sharing no term with a query have RAW dot exactly 0.0 and are masked
+    out before the argmax (non-negative weights make dot == 0 equivalent
+    to no shared term), while term-sharing candidates whose cosine merely
+    ROUNDS to 0.0 stay in play — exactly the sparse join's candidate set.
 
     Scale: candidates stay distributed (one hash shuffle on ``match_id``
     to co-locate each candidate's terms); the broadcast side is bounded by
@@ -229,10 +230,16 @@ def dense_best_match(
             pdf[match_id].map(a_pos).to_numpy(),
             pdf["term"].map(t_idx).to_numpy(),
         ] = pdf["weight"].to_numpy()
-        S = np.round(A @ T.T, round_to)  # (n_abstracts_part, n_queries)
+        R = A @ T.T  # raw dot products (n_abstracts_part, n_queries)
+        S = np.round(R, round_to)
+        # Sparse-path parity: a candidate is in play iff it SHARES a term
+        # (raw dot > 0 under non-negative weights) — even when the cosine
+        # ROUNDS to 0.0. Rounded 0 and true 0 collide in S, so mask true
+        # zeros out before the argmax instead of filtering rounded scores.
+        S[R == 0.0] = -np.inf
         best = S.argmax(axis=0)
         scores = S[best, np.arange(S.shape[1])]
-        keep = scores > 0.0
+        keep = np.isfinite(scores)
         yield pd.DataFrame(
             {
                 query_id: np.asarray(q_ids)[keep],
@@ -314,11 +321,17 @@ def dense_topk_neighbors(
         out_q, out_n, out_s = [], [], []
         for j in range(S.shape[1]):
             col = S[:, j]
-            # argpartition for the candidate set, then exact sort by
-            # (-score, id); ids are pre-sorted so stable mergesort ties
-            # break on the smallest id
-            cand = np.argpartition(-col, kk - 1)[:kk] if kk < len(col) else np.arange(len(col))
-            cand = cand[np.argsort(-col[cand], kind="stable")]
+            # argpartition finds the k-th score, but keeps an ARBITRARY
+            # subset among candidates tied at that boundary — expand the
+            # cut to every candidate scoring >= the k-th value so the
+            # (desc score, asc id) contract decides who survives, then
+            # stable-sort (ids are pre-sorted ascending) and truncate.
+            if kk < len(col):
+                kth = col[np.argpartition(-col, kk - 1)[kk - 1]]
+                cand = np.flatnonzero(col >= kth)
+            else:
+                cand = np.arange(len(col))
+            cand = cand[np.argsort(-col[cand], kind="stable")][:kk]
             keep = cand[np.isfinite(col[cand])]
             out_q.extend([q_ids[j]] * len(keep))
             out_n.extend(ids[keep])

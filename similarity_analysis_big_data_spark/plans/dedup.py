@@ -355,12 +355,17 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import dedup_survivors
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % SAMPLE_MOD == 0)
-    # persisted token-set relation + candidate-driven verify, as in
-    # minhash_dedup_verified; the verify chain is additionally materialized
-    # once inside connected_components before the symmetric edge union
+    # toksets feeds two branches (signatures; candidate verify) but is NOT
+    # persisted: recomputing it is one pruned parquet scan + tokenize per
+    # branch, while caching the exploded-adjacent token relation is larger
+    # than the source and spills. Measured at sf0.1 (idle host, min of 3,
+    # persist monkeypatched off): 8.49 s without vs 9.49 s with — the
+    # persist never paid for itself. The iteration state inside
+    # connected_components stays localCheckpoint-truncated (that one IS
+    # load-bearing: it prevents exponential lineage re-execution).
     toksets = docs.select(
         "doc_id", F.array_distinct(tokenize(F.lower("text"))).alias("toks")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
     sigs = minhash_signatures(shingles, "doc_id")
     cand = lsh_candidate_pairs(sigs, "doc_id")

@@ -92,7 +92,8 @@ def _iter_ctes(iters: int) -> str:
         ),
         r{k} AS (
             SELECT nn.n_nationkey AS node,
-                   0.15 / nv.n + 0.85 * coalesce(c{k}.contrib, 0.0) AS rank
+                   {1.0 - DAMPING!r} / nv.n
+                   + {DAMPING!r} * coalesce(c{k}.contrib, 0.0) AS rank
             FROM nation nn CROSS JOIN nv
             LEFT JOIN c{k} ON c{k}.node = nn.n_nationkey
         )"""

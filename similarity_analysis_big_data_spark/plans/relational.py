@@ -1047,24 +1047,24 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_orderkey, l_partkey, l_suppkey, 'l_quantity' AS measure,
                round(l_quantity, 6) AS value
-        FROM lineitem WHERE l_quantity IS NOT NULL
+        FROM lineitem
         UNION ALL
         SELECT l_orderkey, l_partkey, l_suppkey, 'l_extendedprice',
                round(l_extendedprice, 6)
-        FROM lineitem WHERE l_extendedprice IS NOT NULL
+        FROM lineitem
         UNION ALL
         SELECT l_orderkey, l_partkey, l_suppkey, 'l_discount',
                round(l_discount, 6)
-        FROM lineitem WHERE l_discount IS NOT NULL
+        FROM lineitem
         UNION ALL
         SELECT l_orderkey, l_partkey, l_suppkey, 'l_tax', round(l_tax, 6)
-        FROM lineitem WHERE l_tax IS NOT NULL
+        FROM lineitem
     """,
     doc="[ext] §2.7 reshape: wide->long UNPIVOT/melt of the four lineitem "
     "measures (the inverse of groupBy().pivot()) via the native "
     "DataFrame.unpivot operator — oracle stated as the portable UNION ALL "
-    "expansion. Spark's unpivot drops NULL measure values; the oracle "
-    "filters to match.",
+    "expansion. Spark 4.1's unpivot RETAINS NULL measure values (verified), "
+    "so the oracle carries no NULL filter either.",
 )
 def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: unpivot is a map-side Expand (k output rows per input row,

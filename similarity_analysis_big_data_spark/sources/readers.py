@@ -79,9 +79,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # TIMESTAMP_NTZ (no conversion needed). Under the legacy nanosAsLong
     # fallback it arrives as epoch-nanos LongType instead — convert with
     # integer division (a double round-trip would lose precision above 2^53
-    # ns) to microseconds, the same truncation DuckDB applies, then drop the
-    # time zone to match the native NTZ shape (the fallback session factory
-    # pins spark.sql.session.timeZone=UTC, making the cast lossless).
+    # ns) to microseconds, the same truncation DuckDB applies, then add the
+    # micros onto an NTZ epoch LITERAL (timestampadd on NTZ is pure
+    # wall-clock arithmetic, like functions/timeutil.py). This fallback
+    # exists precisely for externally-built pre-4.1 sessions whose
+    # session.timeZone may not be UTC, so a TIMESTAMP→NTZ cast (which
+    # localizes through the session zone) must not appear here.
     for field in df.schema.fields:
         expected = TABLE_SCHEMAS[name][field.name].dataType if field.name in TABLE_SCHEMAS[name].fieldNames() else None
         if (
@@ -91,7 +94,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ):
             df = df.withColumn(
                 field.name,
-                F.timestamp_micros(F.expr(f"{field.name} div 1000")).cast(T.TimestampNTZType()),
+                F.expr(
+                    f"timestampadd(MICROSECOND, {field.name} div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
             )
     return df
 

@@ -291,3 +291,52 @@ def test_asof_cogroup_survives_catalyst_input_pruning(spark):
     full = sorted(r["purchase_ts"] for r in df.collect())
     pruned = sorted(r["purchase_ts"] for r in df.select("purchase_ts").collect())
     assert full == pruned
+
+
+def test_dense_topk_boundary_ties_follow_contract(spark):
+    """Advisor-flagged: argpartition's arbitrary cut at the k-th boundary
+    must not survive — with duplicate embeddings (tied rounded scores
+    crossing the k-th rank) the kept neighbor set is exactly the
+    (desc cosine, asc neighbor_id) prefix, bit-equal to a numpy oracle."""
+    import numpy as np
+
+    from similarity_analysis_big_data_spark.operators.similarity import (
+        dense_topk_neighbors,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 8)).round(2)
+    # 48 corpus vectors = each base vector duplicated 8x -> massive ties
+    vecs = np.tile(base, (8, 1))
+    ids = np.arange(len(vecs), dtype=np.int64)
+    corpus = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<double>",
+    ).repartition(7)  # ties split across partitions
+    queries = spark.createDataFrame(
+        [(int(i), [float(x) for x in base[i]]) for i in range(3)],
+        "query_id long, query_vec array<double>",
+    )
+    k = 5
+    got = dense_topk_neighbors(
+        queries, corpus, "query_id", "query_vec", "vec_id", "embedding", k,
+        round_to=6,
+    ).collect()
+
+    # numpy oracle: round-6 scores, exclude self, (desc score, asc id) top-k
+    norms = np.linalg.norm(vecs, axis=1)
+    expected = {}
+    for q in range(3):
+        qv = base[q]
+        qs = np.round(vecs @ qv / (norms * np.linalg.norm(qv)), 6)
+        order = sorted(
+            (i for i in ids if i != q),
+            key=lambda i: (-qs[i], i),
+        )[:k]
+        expected[q] = [(int(i), float(qs[i])) for i in order]
+    got_by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rnk"])):
+        got_by_q.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["cosine"])
+        )
+    assert got_by_q == expected

@@ -122,7 +122,13 @@ def test_transform_with_state_matches_batch(spark, sf_smoke):
     )
 
     if not HAS_TWS:
-        pytest.skip("transformWithStateInPandas unavailable (pyspark < 4 or no protobuf)")
+        # Environmental gate: transformWithStateInPandas needs google.protobuf
+        # (not provisioned here; pip install is disallowed). Prove the skip is
+        # the dependency, not a code regression — the applyInPandasWithState
+        # twin above covers the semantics either way.
+        with pytest.raises(ImportError):
+            import google.protobuf  # noqa: F401
+        pytest.skip("transformWithStateInPandas unavailable (no protobuf)")
     # transformWithState is RocksDB-only; flip the provider for this query
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(provider_key, None)
