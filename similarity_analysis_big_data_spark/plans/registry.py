@@ -123,6 +123,7 @@ def _load_all() -> None:
         stats,
         subqueries,
         textstats,
+        tpch_analogs,
         udaf_queries,
     )
 
