@@ -1,0 +1,322 @@
+"""Training-data pipeline operators, fourth batch ([ext]): source mixture
+resampling, SCD2 dimension building from event streams, asymmetric
+containment dedup, and dense linear algebra (per-dimension feature stats,
+covariance, PCA) over the embeddings table.
+
+Scale notes are inline per query: what shuffles, what broadcasts, and why
+the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long, md5_long_sql
+from ..functions.text import tokenize
+from ..operators.linalg import (
+    covariance_from_stats,
+    embedding_sufficient_stats,
+    pca_components,
+    project_embeddings,
+)
+from ..sources.readers import load_table
+from .registry import register
+
+# ---- source mixture resampling -------------------------------------------
+
+MIX_ALPHA = 0.6  # temperature: < 1 upsamples small sources relative to mass
+MIX_MOD = 1_000_000  # md5-uniform grid for the keep decision
+
+
+@register(
+    "mixture_temperature_resample",
+    oracle=f"""
+        WITH mass AS (
+            SELECT source, CAST(sum(n_chars) AS DOUBLE) AS chars,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source
+        ),
+        weighted AS (
+            SELECT source, n_docs, chars,
+                   pow(chars, {MIX_ALPHA}) AS w,
+                   sum(pow(chars, {MIX_ALPHA})) OVER () AS wtot,
+                   sum(chars) OVER () AS ctot
+            FROM mass
+        ),
+        rates AS (
+            SELECT source, n_docs,
+                   least(1.0, (w / wtot) / (chars / ctot)) AS keep_rate
+            FROM weighted
+        )
+        SELECT d.source,
+               r.n_docs,
+               round(r.keep_rate, 6) AS keep_rate,
+               count(*) FILTER (
+                   {md5_long_sql("'mix:' || CAST(d.doc_id AS VARCHAR)")}
+                       % {MIX_MOD} < r.keep_rate * {MIX_MOD}) AS kept_docs
+        FROM documents d JOIN rates r USING (source)
+        GROUP BY d.source, r.n_docs, r.keep_rate
+    """,
+    doc="[ext] LLM data mixing: temperature-resample sources by character "
+    f"mass (alpha={MIX_ALPHA} flattens the source distribution, the "
+    "multilingual-mixing trick applied to sources); each doc's keep "
+    "decision is a deterministic md5 uniform against its source's rate.",
+)
+def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: per-source mass is one partial+final agg; the rate table is
+    source-cardinality-sized and BROADCAST back onto the corpus, so the
+    membership pass is map-side only — the fact never shuffles. The same
+    plan at 100 TB emits the kept corpus instead of the per-source audit
+    this query aggregates to."""
+    docs = load_table(spark, sf_dir, "documents")
+    mass = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("double").alias("chars"),
+        F.count("*").alias("n_docs"),
+    )
+    wtot = W.partitionBy()
+    rates = (
+        mass.withColumn("w", F.pow("chars", F.lit(MIX_ALPHA)))
+        .withColumn(
+            "keep_rate",
+            F.least(
+                F.lit(1.0),
+                (F.col("w") / F.sum("w").over(wtot))
+                / (F.col("chars") / F.sum("chars").over(wtot)),
+            ),
+        )
+        .select("source", "n_docs", F.round("keep_rate", 6).alias("keep_rate"))
+    )
+    u = md5_long(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % MIX_MOD
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "keep_rate")
+        .agg(F.count_if(u < F.col("keep_rate") * MIX_MOD).alias("kept_docs"))
+    )
+
+
+# ---- SCD2 dimension build from the event stream ---------------------------
+
+
+@register(
+    "scd2_user_state_history",
+    oracle="""
+        WITH dedup AS (
+            SELECT user_id, ts, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_type
+            FROM events
+        ),
+        changes AS (
+            SELECT user_id, ts, event_type FROM dedup
+            WHERE prev_type IS NULL OR event_type <> prev_type
+        )
+        SELECT user_id,
+               event_type AS state,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                        '%Y-%m-%d %H:%M:%S') AS valid_to,
+               CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    AS BIGINT) AS is_current
+        FROM changes
+    """,
+    doc="[ext] CDC -> SCD2: compress each user's event stream into "
+    "type-2 validity intervals (consecutive same-state events collapse; "
+    "valid_to = next change, NULL while current) — the dimension-build "
+    "half of the incremental-merge family.",
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: ONE shuffle on user_id serves both windows (the change
+    filter and the lead interval reuse the same (user_id, ts) sort);
+    output is change-compressed, so downstream joins see states, not
+    events. At 100 TB the same plan runs per day-partition with the
+    previous day's open intervals unioned in (incremental SCD2)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead("ts").over(w2)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(nxt, fmt).alias("valid_to"),
+        nxt.isNull().cast("long").alias("is_current"),
+    )
+
+
+# ---- asymmetric containment (sub-document dedup) --------------------------
+
+CONTAIN_MOD = 5  # pairwise stage: 1-in-5 docs, as in plans/dedup.py
+
+
+@register(
+    "doc_containment_pairs",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^\w]+'),
+                               x -> x <> '') AS tokens
+            FROM documents
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id, t.term AS shingle
+            FROM toks, unnest(tokens) AS t(term)
+            WHERE doc_id % {CONTAIN_MOD} = 0
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS n_common
+            FROM shingles a
+            JOIN shingles b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.id_l, i.id_r,
+               round(CAST(i.n_common AS DOUBLE) / sl.n, 6) AS containment
+        FROM inter i
+        JOIN sizes sl ON sl.doc_id = i.id_l
+        WHERE CAST(i.n_common AS DOUBLE) / sl.n >= 0.8
+    """,
+    doc="[ext] asymmetric containment C(A,B) = |A∩B| / |A| ≥ 0.8: detects "
+    "documents (quotes, excerpts, boilerplate wrappers) CONTAINED in "
+    "another — the direction Jaccard misses when |B| >> |A|. Ordered "
+    "pairs, both directions.",
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: identical shape to the Jaccard verify — sparse shingle
+    equi-join keyed on the token, never all-pairs; only the left size
+    joins back (containment's denominator is one-sided). Production runs
+    this on LSH candidates exactly like near_dup_survivors; the shingle
+    join here keeps the oracle exhaustive."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % CONTAIN_MOD == 0
+    )
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize(F.lower("text")))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_l"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_r"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_l") != F.col("id_r"))
+        .groupBy("id_l", "id_r")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id_l"), "n")), "id_l"
+        )
+        .filter(F.col("n_common") / F.col("n") >= 0.8)
+        .select(
+            "id_l",
+            "id_r",
+            F.round(F.col("n_common") / F.col("n"), 6).alias("containment"),
+        )
+    )
+
+
+# ---- dense linear algebra over embeddings ---------------------------------
+
+EMB_DIM = 64
+COV_PROBE_DIMS = 4  # covariance cells oracle-checked: (i, j) in [0, 4)²
+PCA_K = 8
+
+
+@register(
+    "embedding_dim_variance",
+    oracle="""
+        WITH flat AS (
+            SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        )
+        SELECT dim, round(avg(x), 6) AS mean,
+               round(var_samp(x), 6) AS variance
+        FROM flat GROUP BY dim
+        ORDER BY variance DESC, dim
+        LIMIT 16
+    """,
+    doc="[ext] per-dimension feature statistics: mean and sample variance "
+    "for every embedding coordinate, top-16 by variance — the feature-"
+    "selection / embedding-health scan.",
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: posexplode is a map-side expand (d rows per vector, no
+    shuffle until the d-cardinality aggregate); the top-16 is
+    TakeOrderedAndProject on 64 rows. One pass, no Python."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.posexplode("embedding").alias("dim", "xf")
+    ).select("dim", F.col("xf").cast("double").alias("x"))
+    return (
+        flat.groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean"),
+            F.round(F.var_samp("x"), 6).alias("variance"),
+        )
+        .orderBy(F.desc("variance"), F.asc("dim"))
+        .limit(16)
+    )
+
+
+_COV_CELLS_SQL = "\n        UNION ALL\n".join(
+    f"""        SELECT {i} AS i, {j} AS j,
+               round(covar_samp(CAST(embedding[{i + 1}] AS DOUBLE),
+                                CAST(embedding[{j + 1}] AS DOUBLE)), 6) AS cov
+        FROM embeddings"""
+    for i in range(COV_PROBE_DIMS)
+    for j in range(COV_PROBE_DIMS)
+)
+
+
+@register(
+    "embedding_covariance_cells",
+    oracle="\n" + _COV_CELLS_SQL,
+    doc="[ext] covariance-matrix probe: the 16 cells (i, j) ∈ [0,4)² of "
+    "the embedding covariance, computed from the ONE-PASS sufficient "
+    "statistics (n, Σx, ΣxxT) that the PCA path consumes — cross-checked "
+    "against DuckDB covar_samp so the stats operator itself is "
+    "oracle-verified.",
+)
+def embedding_covariance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the sufficient-stats pass emits ONE (d²+d+1)-double row per
+    partition straight to the driver — no shuffle; the probe cells are a
+    driver-side slice re-parallelized for the comparator. At any corpus
+    size the collected state is n_partitions rows, never data-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n, s, S = embedding_sufficient_stats(emb, "embedding", EMB_DIM)
+    cov, _mu = covariance_from_stats(n, s, S)
+    rows = [
+        (i, j, round(float(cov[i, j]), 6))
+        for i in range(COV_PROBE_DIMS)
+        for j in range(COV_PROBE_DIMS)
+    ]
+    return spark.createDataFrame(rows, "i int, j int, cov double")
+
+
+@register(
+    "pca_project_embeddings",
+    # No DuckDB oracle: the eigendecomposition has no ANSI-SQL form. The
+    # covariance input is oracle-checked (embedding_covariance_cells), and
+    # tests/test_operators.py pins orthonormality, explained-variance
+    # ordering, and equality with a driver-side numpy PCA at smoke scale.
+    doc="[ext] PCA: project embeddings onto the top-8 principal axes — "
+    "sufficient-stats pass, d x d eigh on the driver (sign-pinned for "
+    "determinism), broadcast (d x k) projection matmul per Arrow batch. "
+    "Rows-only driver check by design; see embedding_covariance_cells "
+    "for the oracle-checked half.",
+)
+def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: stats pass (no shuffle) + one map-side matmul pass; the
+    corpus is read twice but never shuffled, and the driver state is
+    d x d. The standard large-corpus dimensionality-reduction plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n, s, S = embedding_sufficient_stats(emb, "embedding", EMB_DIM)
+    cov, mu = covariance_from_stats(n, s, S)
+    _vals, comp = pca_components(cov, PCA_K)
+    return project_embeddings(emb, "vec_id", "embedding", mu, comp)

@@ -112,6 +112,7 @@ def _load_all() -> None:
         ann,
         clustering,
         curation,
+        datapipe,
         dedup,
         graph,
         layout,

@@ -277,3 +277,72 @@ def test_dense_best_match_zero_overlap_and_ties(spark):
     ).collect()
     sgot = {r["title_id"]: (r["abstract_id"], r["cosine"]) for r in sparse}
     assert sgot == got
+
+
+def test_pca_matches_driver_numpy(spark):
+    """The distributed sufficient-stats PCA equals a driver-side numpy PCA
+    on the collected corpus: covariance bit-close, components orthonormal,
+    explained variance descending, projections equal after the shared
+    sign-pinning convention."""
+    import numpy as np
+
+    from similarity_analysis_big_data_spark.operators.linalg import (
+        covariance_from_stats,
+        embedding_sufficient_stats,
+        pca_components,
+        project_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n, s, S = embedding_sufficient_stats(emb, "embedding", 64)
+    cov, mu = covariance_from_stats(n, s, S)
+
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    assert n == len(X)
+    ref_cov = np.cov(X, rowvar=False, ddof=1)
+    np.testing.assert_allclose(cov, ref_cov, atol=1e-9)
+
+    vals, comp = pca_components(cov, 8)
+    # orthonormal basis, descending explained variance
+    np.testing.assert_allclose(comp.T @ comp, np.eye(8), atol=1e-10)
+    assert all(vals[i] >= vals[i + 1] - 1e-12 for i in range(7))
+    # the top-8 eigenvalues match numpy's full spectrum head
+    ref_vals = np.sort(np.linalg.eigvalsh(ref_cov))[::-1][:8]
+    np.testing.assert_allclose(vals, ref_vals, atol=1e-9)
+
+    got = {
+        r["vec_id"]: np.asarray(r["projection"])
+        for r in project_embeddings(emb, "vec_id", "embedding", mu, comp).collect()
+    }
+    ref_proj = np.round((X - X.mean(axis=0)) @ comp, 6)
+    for i, r in enumerate(rows):
+        np.testing.assert_allclose(got[r["vec_id"]], ref_proj[i], atol=1e-6)
+
+
+def test_pca_projection_partition_invariant(spark):
+    """Repartitioning must not change the projection (partials combine
+    exactly; eigh input is identical)."""
+    from similarity_analysis_big_data_spark.plans.datapipe import pca_project_embeddings
+    import similarity_analysis_big_data_spark.plans.datapipe as dp
+
+    a = {
+        tuple([r["vec_id"], *r["projection"]])
+        for r in pca_project_embeddings(spark, "/root/testdata/sf0.001").collect()
+    }
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").repartition(13)
+    from similarity_analysis_big_data_spark.operators.linalg import (
+        covariance_from_stats,
+        embedding_sufficient_stats,
+        pca_components,
+        project_embeddings,
+    )
+
+    n, s, S = embedding_sufficient_stats(emb, "embedding", dp.EMB_DIM)
+    cov, mu = covariance_from_stats(n, s, S)
+    _vals, comp = pca_components(cov, dp.PCA_K)
+    b = {
+        tuple([r["vec_id"], *r["projection"]])
+        for r in project_embeddings(emb, "vec_id", "embedding", mu, comp).collect()
+    }
+    assert a == b
