@@ -327,3 +327,47 @@ def test_ann_dense_strategy_is_map_side(spark, sf_oracle):
     plan = _plan_of(spark, ann_bruteforce_topk(spark, sf_oracle, strategy="dense"))
     assert "MapInPandas" in plan
     assert "Join" not in plan  # no join operator of any kind
+
+
+def test_q2_uses_window_group_limit(spark, sf_oracle):
+    """The per-part min supplier is rank-1 pruning (WindowGroupLimit),
+    not the textbook min-self-join; all dims broadcast."""
+    plan = _plan(spark, sf_oracle, "q2_min_cost_supplier")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_semi_join_with_pushdown(spark, sf_oracle):
+    """EXISTS compiles to LeftSemi; the order-date window reaches the
+    orders scan as pushed filters."""
+    plan = _plan(spark, sf_oracle, "q4_late_order_priority")
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate," in plan
+
+
+def test_q21_windows_reuse_one_shuffle(spark, sf_oracle):
+    """Both window passes and the groupBy ride the per-(order, supplier)
+    aggregate's partitioning: exactly ONE exchange hashes on l_orderkey,
+    and none appears between the Window operators."""
+    plan = _plan(spark, sf_oracle, "q21_blocking_suppliers")
+    assert plan.count("Window") >= 2
+    # exchanges: one for the supp_last agg (l_orderkey, l_suppkey -> after
+    # AQE the window reuses it via hashpartitioning(l_orderkey)), one for
+    # the final s_name groupBy; the windows add ZERO further exchanges
+    n_exchange = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_exchange <= 3, plan
+
+
+def test_mixture_rate_table_broadcasts(spark, sf_oracle):
+    """The per-source rate table joins back by broadcast — the corpus
+    side never shuffles for the membership pass."""
+    plan = _plan(spark, sf_oracle, "mixture_temperature_resample")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scd2_single_user_shuffle(spark, sf_oracle):
+    """Change-compression lag, interval lead, and the output all ride ONE
+    hashpartitioning(user_id) exchange."""
+    plan = _plan(spark, sf_oracle, "scd2_user_state_history")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
