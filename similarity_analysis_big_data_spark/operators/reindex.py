@@ -1,0 +1,93 @@
+"""Dense sequential id assignment at scale (the zipWithIndex problem).
+
+``row_number() OVER (ORDER BY ...)`` funnels the corpus through ONE
+partition — the classic scale-killer. The RDD escape hatch
+(``zipWithIndex``) is imperative and caches. This is the DataFrame-native
+plan, fully deterministic with no persisted state:
+
+1. boundaries: exact percentiles of the (coarse) order key — one
+   aggregate, deterministic (unlike repartitionByRange, whose sampled
+   boundaries can differ between the jobs that would need to agree);
+2. pid: per row, count boundaries strictly below the key — a broadcast
+   array literal folded JVM-side, so the assignment is a map-only column;
+3. offsets: per-pid row counts (tiny aggregate), cumulative-summed on the
+   driver (#partitions values);
+4. assign: shuffle once on pid, sort each partition by the total order,
+   and add the broadcast offset to the partition-local rank.
+
+Total cost: two small aggregates + ONE data shuffle. Every step recomputes
+identically, so no job-to-job agreement problem exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def stable_dense_ids(
+    df: DataFrame,
+    coarse_key: str,
+    tiebreak: str,
+    id_name: str = "new_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Assign ids 0..n-1 following the total order (coarse_key, tiebreak).
+
+    ``coarse_key`` may have duplicates (equal values always land in one
+    bucket); ``tiebreak`` must make the order total. Output columns: the
+    input's plus ``id_name``.
+    """
+    import pandas as pd
+
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    # exact percentiles: deterministic boundaries (approx would balance
+    # better at extreme skew but is sample-dependent)
+    bounds_row = df.agg(
+        F.expr(
+            f"percentile({coarse_key}, array({', '.join(str(q) for q in qs)}))"
+        ).alias("bs")
+    ).collect()[0]
+    bounds = sorted(set(float(b) for b in bounds_row["bs"]))
+
+    def pid_expr() -> Column:
+        arr = F.array(*[F.lit(b) for b in bounds])
+        return F.aggregate(
+            F.filter(arr, lambda b: b < F.col(coarse_key)),
+            F.lit(0),
+            lambda acc, _: acc + 1,
+        )
+
+    with_pid = df.withColumn("_pid", pid_expr())
+    counts = {
+        r["_pid"]: r["n"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+
+    out_cols = df.columns
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {id_name} long"
+
+    def assign(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(["_pid", coarse_key, tiebreak], kind="mergesort")
+        ranks = pdf.groupby("_pid").cumcount()
+        pdf[id_name] = pdf["_pid"].map(offsets) + ranks
+        yield pdf[out_cols + [id_name]]
+
+    return (
+        with_pid.repartition(n_buckets, "_pid")
+        .sortWithinPartitions("_pid", coarse_key, tiebreak)
+        .mapInPandas(assign, schema=schema)
+    )

@@ -320,3 +320,78 @@ def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov, mu = covariance_from_stats(n, s, S)
     _vals, comp = pca_components(cov, PCA_K)
     return project_embeddings(emb, "vec_id", "embedding", mu, comp)
+
+
+# ---- dense stable re-indexing (the zipWithIndex problem) -------------------
+
+
+@register(
+    "stable_doc_reindex",
+    oracle="""
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS new_id
+        FROM documents
+    """,
+    doc="[ext] dense sequential ids 0..n-1 in (n_chars, doc_id) order "
+    "WITHOUT the single-partition global window: exact-percentile "
+    "bucketing + per-bucket offsets + one shuffle (operators/reindex.py) — "
+    "the DataFrame-native zipWithIndex.",
+)
+def stable_doc_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the oracle's row_number() OVER (ORDER BY ...) would funnel
+    100 TB through one task; this plan's only data movement is ONE hash
+    shuffle on the bucket id (plus two tiny aggregates), and every stage
+    is deterministic, so it IS the oracle's answer at any size."""
+    from ..operators.reindex import stable_dense_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return stable_dense_ids(docs, "n_chars", "doc_id")
+
+
+# ---- incremental ingest dedup (base + delta) -------------------------------
+
+
+@register(
+    "incremental_dedup_delta",
+    oracle="""
+        WITH base AS (
+            SELECT md5(text) AS digest FROM documents WHERE doc_id % 2 = 0
+        ),
+        delta AS (
+            SELECT doc_id, md5(text) AS digest, lang, source
+            FROM documents WHERE doc_id % 2 = 1
+        ),
+        fresh AS (
+            SELECT d.* FROM delta d
+            WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.digest = d.digest)
+        )
+        SELECT digest, min(doc_id) AS keep_id, count(*) AS n_copies,
+               min(lang) AS lang, min(source) AS source
+        FROM fresh GROUP BY digest
+    """,
+    doc="[ext] incremental ingest dedup: a new batch (odd doc_ids) dedups "
+    "against the already-ingested corpus' digest store (even doc_ids) by "
+    "anti-join, then within itself by digest groupBy — the daily-crawl "
+    "base+delta pattern (the store would be a bucketed digest table in "
+    "production; here derived in-query so the oracle is self-contained).",
+)
+def incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the base side projects to digests only (bucketed-by-digest
+    store in production -> the anti-join is shuffle-free on the store
+    side); the delta is the small side of every step. Within-delta dedup
+    is one hash aggregate on the digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("digest"))
+    delta = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.md5("text").alias("digest"), "lang", "source"
+    )
+    return (
+        delta.join(base, "digest", "left_anti")
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            F.min("lang").alias("lang"),
+            F.min("source").alias("source"),
+        )
+    )

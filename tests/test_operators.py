@@ -346,3 +346,20 @@ def test_pca_projection_partition_invariant(spark):
         for r in project_embeddings(emb, "vec_id", "embedding", mu, comp).collect()
     }
     assert a == b
+
+
+def test_stable_dense_ids_skewed_coarse_key(spark):
+    """Degenerate coarse key (ALL rows equal -> every percentile boundary
+    collapses to one bucket) must still produce the exact dense order by
+    the tiebreak; and a two-value key exercises the equal-values-straddle
+    boundary rule (equal keys always share a bucket)."""
+    from similarity_analysis_big_data_spark.operators.reindex import stable_dense_ids
+
+    rows = [(i, 7 if i % 3 else 3) for i in range(97)]
+    df = spark.createDataFrame(rows, "rid long, k long").repartition(11)
+    got = stable_dense_ids(df, "k", "rid").collect()
+    want = sorted(rows, key=lambda r: (r[1], r[0]))
+    by_rid = {r["rid"]: r["new_id"] for r in got}
+    assert len(by_rid) == 97
+    for new_id, (rid, _k) in enumerate(want):
+        assert by_rid[rid] == new_id
