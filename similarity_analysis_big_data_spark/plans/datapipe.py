@@ -314,12 +314,20 @@ def embedding_covariance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: stats pass (no shuffle) + one map-side matmul pass; the
     corpus is read twice but never shuffled, and the driver state is
-    d x d. The standard large-corpus dimensionality-reduction plan."""
+    d x d. The standard large-corpus dimensionality-reduction plan.
+
+    Output is long-format (vec_id, pc, value): the harness canonicalizer
+    lexsorts every column, so the registered surface must not expose raw
+    array columns (operators may — ``project_embeddings`` returns the
+    array form)."""
     emb = load_table(spark, sf_dir, "embeddings")
     n, s, S = embedding_sufficient_stats(emb, "embedding", EMB_DIM)
     cov, mu = covariance_from_stats(n, s, S)
     _vals, comp = pca_components(cov, PCA_K)
-    return project_embeddings(emb, "vec_id", "embedding", mu, comp)
+    proj = project_embeddings(emb, "vec_id", "embedding", mu, comp)
+    return proj.select(
+        "vec_id", F.posexplode("projection").alias("pc", "value")
+    ).select("vec_id", F.col("pc").cast("long").alias("pc"), "value")
 
 
 # ---- dense stable re-indexing (the zipWithIndex problem) -------------------

@@ -72,6 +72,24 @@ PRIORITY: tuple[str, ...] = (
     "window_range_7day_spend",
     "window_value_functions",
     "supplier_part_list",
+    # round-3 additions — no driver row yet
+    "q2_min_cost_supplier",
+    "q4_late_order_priority",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_lines_by_status",
+    "q15_top_revenue_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q20_dominant_part_suppliers",
+    "q21_blocking_suppliers",
+    "mixture_temperature_resample",
+    "scd2_user_state_history",
+    "doc_containment_pairs",
+    "embedding_dim_variance",
+    "embedding_covariance_cells",
+    "stable_doc_reindex",
+    "incremental_dedup_delta",
 )
 
 

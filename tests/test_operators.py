@@ -327,7 +327,7 @@ def test_pca_projection_partition_invariant(spark):
     import similarity_analysis_big_data_spark.plans.datapipe as dp
 
     a = {
-        tuple([r["vec_id"], *r["projection"]])
+        (r["vec_id"], r["pc"], r["value"])
         for r in pca_project_embeddings(spark, "/root/testdata/sf0.001").collect()
     }
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").repartition(13)
@@ -342,8 +342,9 @@ def test_pca_projection_partition_invariant(spark):
     cov, mu = covariance_from_stats(n, s, S)
     _vals, comp = pca_components(cov, dp.PCA_K)
     b = {
-        tuple([r["vec_id"], *r["projection"]])
+        (r["vec_id"], pc, v)
         for r in project_embeddings(emb, "vec_id", "embedding", mu, comp).collect()
+        for pc, v in enumerate(r["projection"])
     }
     assert a == b
 
