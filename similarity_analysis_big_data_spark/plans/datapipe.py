@@ -120,6 +120,7 @@ def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS is_current
         FROM changes
     """,
+    headline=True,
     doc="[ext] CDC -> SCD2: compress each user's event stream into "
     "type-2 validity intervals (consecutive same-state events collapse; "
     "valid_to = next change, NULL while current) — the dimension-build "
@@ -301,6 +302,7 @@ def embedding_covariance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pca_project_embeddings",
+    headline=True,
     # No DuckDB oracle: the eigendecomposition has no ANSI-SQL form. The
     # covariance input is oracle-checked (embedding_covariance_cells), and
     # tests/test_operators.py pins orthonormality, explained-variance
@@ -340,6 +342,7 @@ def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS new_id
         FROM documents
     """,
+    headline=True,
     doc="[ext] dense sequential ids 0..n-1 in (n_chars, doc_id) order "
     "WITHOUT the single-partition global window: exact-percentile "
     "bucketing + per-bucket offsets + one shuffle (operators/reindex.py) — "

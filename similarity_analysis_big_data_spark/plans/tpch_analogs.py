@@ -538,3 +538,58 @@ def q21_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# ---- recursive CTE (Spark 4 SQL surface) -----------------------------------
+
+_REACH_SQL = """
+        WITH RECURSIVE vol AS (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   sum(l.l_extendedprice) AS v
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE c.c_nationkey < s.s_nationkey
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY v DESC, dst) AS rnk
+                FROM vol
+            ) WHERE rnk <= 2
+        ),
+        reach(src, dst, hops) AS (
+            SELECT src, dst, 1 FROM edges
+            UNION ALL
+            SELECT r.src, e.dst, r.hops + 1
+            FROM reach r JOIN edges e ON r.dst = e.src
+            WHERE r.hops < 6
+        )
+        SELECT src, dst, min(hops) AS min_hops
+        FROM reach GROUP BY src, dst
+"""
+
+
+@register(
+    "recursive_cte_trade_reachability",
+    oracle=_REACH_SQL,
+    doc="[ext] WITH RECURSIVE (Spark 4 SQL surface): BFS reachability with "
+    "minimum hop count over the top-2-per-nation trade DAG (edges point "
+    "low nationkey -> high, so recursion terminates structurally; the "
+    "hop cap bounds path multiplicity) — the IDENTICAL recursive SQL text "
+    "runs on both engines.",
+)
+def recursive_cte_trade_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each recursion level is one join of the frontier against the
+    tiny edge relation (nation-cardinality-sized, broadcast); level depth
+    is bounded by the key ordering (DAG) and the hop cap. For graphs where
+    the frontier itself is big, operators/components.py's label
+    propagation with localCheckpoint truncation is the scale path — this
+    query pins the SQL-surface recursion semantics against DuckDB."""
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "orders", "customer", "supplier"))
+    return spark.sql(_REACH_SQL)
