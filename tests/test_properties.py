@@ -340,3 +340,52 @@ def test_dense_topk_boundary_ties_follow_contract(spark):
             (r["neighbor_id"], r["cosine"])
         )
     assert got_by_q == expected
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 50)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_stable_dense_ids_random(rows):
+    """Random (rid, coarse-key) relations: ids are exactly the dense rank
+    of the (key, rid) total order — duplicates, skew, tiny buckets."""
+    from similarity_analysis_big_data_spark.operators.reindex import stable_dense_ids
+
+    spark = _SPARK["s"]
+    df = spark.createDataFrame(rows, "rid long, k long").repartition(5)
+    got = {r["rid"]: r["new_id"] for r in stable_dense_ids(df, "k", "rid", n_buckets=7).collect()}
+    want = {rid: i for i, (rid, _k) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))}
+    assert got == want
+
+
+def test_containment_detects_subset_docs(spark):
+    """A document whose token set is a strict subset of another's must
+    appear with containment 1.0 in the subset->superset direction."""
+    from similarity_analysis_big_data_spark.plans.datapipe import doc_containment_pairs
+    import similarity_analysis_big_data_spark.plans.datapipe as dp
+
+    rows = [r for r in doc_containment_pairs(spark, "/root/testdata/sf0.001").collect()]
+    # fixture sanity: the query produced ordered pairs and every
+    # containment is within (0, 1]
+    assert rows
+    assert all(0.0 < r["containment"] <= 1.0 for r in rows)
+    # directionality: containment(l->r) uses |l|'s size; verify one pair
+    # against a driver-side recomputation
+    import re as _re
+
+    docs = {
+        r["doc_id"]: set(
+            t for t in _re.split(r"[^\w]+", r["text"].lower()) if t
+        )
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") % dp.CONTAIN_MOD == 0)
+        .collect()
+    }
+    for r in rows[:25]:
+        a, b = docs[r["id_l"]], docs[r["id_r"]]
+        assert r["containment"] == pytest.approx(len(a & b) / len(a), abs=1e-6)
