@@ -633,8 +633,7 @@ def _sq_dist(a, b):
     return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
 
 
-_PQ_ORACLE = f"""
-        WITH normed AS (
+_PQ_CTES = f"""normed AS (
             SELECT vec_id,
                    CASE WHEN sqrt({dot_sql('embedding', 'embedding')}) > 0
                         THEN list_transform(embedding, x -> CAST(x AS DOUBLE)
@@ -668,7 +667,10 @@ _PQ_ORACLE = f"""
                         AS DECIMAL(18,9)) AS pd
             FROM subs q JOIN codebook cb USING (s)
             WHERE q.vec_id % {QUERY_MOD} = 0
-        ),
+        )"""
+
+_PQ_ORACLE = f"""
+        WITH {_PQ_CTES},
         scored AS (
             SELECT l.query_id, a.vec_id AS neighbor_id, sum(l.pd) AS adc
             FROM assigned a
@@ -686,23 +688,9 @@ _PQ_ORACLE = f"""
 """
 
 
-@register(
-    "ann_pq_adc_topk",
-    oracle=_PQ_ORACLE,
-    doc=f"[ext] Product Quantization ANN: {PQ_M}x{PQ_SUB}-dim subspaces, "
-    f"{PQ_KS} data-derived codewords each (subvectors of vec_id < {PQ_KS}, "
-    "the IVF seed-centroid trick applied to PQ so the whole index is "
-    "oracle-checkable), asymmetric-distance top-k per query. Partial "
-    "distances round to 9dp and sum as DECIMAL so the 8-term ADC total is "
-    "bit-identical on both engines regardless of summation order.",
-)
-def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: PQ is the MEMORY-bound ANN tier — each vector compresses
-    64 floats -> 8 codes (32x), so a 100 TB embedding corpus scans as
-    ~3 TB of codes. Encoding is a broadcast-codebook window argmin (one
-    pass); the ADC scan joins codes against the broadcast |Q|x{m}x{ks}
-    lookup table and never touches raw vectors. Composes with IVF
-    (IVF-PQ): cells prune the scan, codes compress what remains."""
+def _pq_parts(spark: SparkSession, sf_dir: str):
+    """Shared PQ building blocks: (normalized embeddings, subvectors,
+    codebook, per-vector codes, per-query ADC lookup table)."""
     emb = load_table(spark, sf_dir, "embeddings")
     # normalize FIRST so ADC's L2 ordering matches the cosine ordering the
     # exact baseline ranks by (||a-b||² = 2 - 2·cos on unit vectors);
@@ -751,6 +739,27 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_sq_dist("sub", "cw"), 9).cast("decimal(18,9)").alias("pd"),
         )
     )
+    return emb, subs, cb, assigned, lut
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=_PQ_ORACLE,
+    doc=f"[ext] Product Quantization ANN: {PQ_M}x{PQ_SUB}-dim subspaces, "
+    f"{PQ_KS} data-derived codewords each (subvectors of vec_id < {PQ_KS}, "
+    "the IVF seed-centroid trick applied to PQ so the whole index is "
+    "oracle-checkable), asymmetric-distance top-k per query. Partial "
+    "distances round to 9dp and sum as DECIMAL so the 8-term ADC total is "
+    "bit-identical on both engines regardless of summation order.",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: PQ is the MEMORY-bound ANN tier — each vector compresses
+    64 floats -> 8 codes (32x), so a 100 TB embedding corpus scans as
+    ~3 TB of codes. Encoding is a broadcast-codebook window argmin (one
+    pass); the ADC scan joins codes against the broadcast |Q|x{m}x{ks}
+    lookup table and never touches raw vectors. Composes with IVF
+    (IVF-PQ): cells prune the scan, codes compress what remains."""
+    _emb, _subs, _cb, assigned, lut = _pq_parts(spark, sf_dir)
     scored = (
         assigned.join(F.broadcast(lut), ["s", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -818,4 +827,97 @@ def ann_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "n_hits",
         F.round(F.col("n_hits").cast("double") / TOP_K, 6).alias("recall_at_k"),
+    )
+
+
+_IVFPQ_ORACLE = f"""
+        WITH {_PQ_CTES},
+        cells AS (
+            SELECT vec_id AS cell_id, nv AS cell_vec
+            FROM normed WHERE vec_id < {N_CELLS}
+        ),
+        cellmap AS (
+            SELECT vec_id, cell_id FROM (
+                SELECT n.vec_id, c.cell_id,
+                       row_number() OVER (
+                           PARTITION BY n.vec_id
+                           ORDER BY round({dot_sql('n.nv', 'c.cell_vec')}, 6)
+                                        DESC,
+                                    c.cell_id
+                       ) AS rn
+                FROM normed n CROSS JOIN cells c
+            ) WHERE rn = 1
+        ),
+        scored AS (
+            SELECT l.query_id, a.vec_id AS neighbor_id, sum(l.pd) AS adc
+            FROM assigned a
+            JOIN cellmap cm ON cm.vec_id = a.vec_id
+            JOIN lut l ON l.s = a.s AND l.code = a.code
+            JOIN cellmap qm ON qm.vec_id = l.query_id
+                           AND qm.cell_id = cm.cell_id
+            WHERE a.vec_id <> l.query_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id,
+               CAST(round(CAST(adc AS DOUBLE), 6) AS DOUBLE) AS adc_dist,
+               rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY adc, neighbor_id) AS rnk
+              FROM scored)
+        WHERE rnk <= {TOP_K}
+"""
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=_IVFPQ_ORACLE,
+    doc=f"[ext] IVF-PQ: the two pruning geometries composed — {N_CELLS} "
+    "IVF cells (unit-dot argmax assignment on the normalized vectors) "
+    "restrict the ADC scan to the query's cell, PQ codes compress what "
+    "remains. The full production ANN layout (FAISS IVFPQ's shape), "
+    "entirely SQL-expressible and oracle-checked.",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: at 100 TB the cell id becomes the partition key of the code
+    table (scan prunes to nprobe cells) and each vector costs 8 bytes in
+    it — the index fits where the raw corpus could not. Assignment and
+    encoding are one broadcast pass each; the search never reads raw
+    vectors."""
+    emb, _subs, _cb, assigned, lut = _pq_parts(spark, sf_dir)
+    cells = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec")
+    )
+    w_cell = W.partitionBy("vec_id").orderBy(
+        F.desc(F.round(dot("embedding", "cell_vec"), 6)), F.asc("cell_id")
+    )
+    cellmap = (
+        emb.crossJoin(F.broadcast(cells))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id")
+    )
+    q_cell = cellmap.select(
+        F.col("vec_id").alias("query_id"), F.col("cell_id").alias("q_cell_id")
+    )
+    scored = (
+        assigned.join(cellmap, "vec_id")
+        .join(F.broadcast(lut), ["s", "code"])
+        .join(F.broadcast(q_cell), "query_id")
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("cell_id") == F.col("q_cell_id"))
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pd").alias("adc"))
+    )
+    w_rank = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("adc").cast("double"), 6).alias("adc_dist"),
+            "rnk",
+        )
     )

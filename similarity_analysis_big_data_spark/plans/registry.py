@@ -90,6 +90,10 @@ PRIORITY: tuple[str, ...] = (
     "embedding_covariance_cells",
     "stable_doc_reindex",
     "incremental_dedup_delta",
+    "recursive_cte_trade_reachability",
+    "ann_pq_adc_topk",
+    "ann_pq_recall_at_k",
+    "ann_ivfpq_topk",
 )
 
 
