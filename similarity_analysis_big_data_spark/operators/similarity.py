@@ -338,7 +338,12 @@ def dense_topk_neighbors(
             out_s.extend(col[keep])
         yield pd.DataFrame({query_id: out_q, "neighbor_id": out_n, "cosine": out_s})
 
-    candidates = corpus.mapInPandas(block_topk, schema=out_schema)
+    # project to (id, vec) BEFORE the Python boundary: mapInPandas input is
+    # not pruned by Catalyst, so an unprojected corpus would ship every
+    # column through Arrow (seen as `label` riding along in PLANS.md)
+    candidates = corpus.select(id_col, vec_col).mapInPandas(
+        block_topk, schema=out_schema
+    )
     w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         candidates.withColumn("rnk", F.row_number().over(w).cast("long"))
