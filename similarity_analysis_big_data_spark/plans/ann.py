@@ -921,3 +921,111 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---- trained PQ (sample-trained codebooks — the quality path) --------------
+
+PQ_TRAIN_CAP = 4096  # driver-side training sample bound (rows x 64 doubles)
+PQ_TRAIN_ITERS = 8
+
+
+def _train_pq_codebooks(emb: DataFrame):
+    """Per-subspace Lloyd's k-means on a BOUNDED deterministic sample.
+
+    PQ training is sample-based by design at any corpus size (FAISS trains
+    on ~10⁵-10⁶ vectors for billion-vector indexes): the driver holds at
+    most PQ_TRAIN_CAP x 64 doubles. Deterministic: ordered sample, first-
+    KS-distinct init, round-before-argmin assignment, empty clusters keep
+    their previous centroid.
+    """
+    rows = (
+        emb.orderBy("vec_id").limit(PQ_TRAIN_CAP).collect()
+    )
+    X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    books = []
+    for s in range(PQ_M):
+        sub = X[:, s * PQ_SUB:(s + 1) * PQ_SUB]
+        C = sub[:PQ_KS].copy()
+        for _ in range(PQ_TRAIN_ITERS):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            code = np.round(d2, 9).argmin(axis=1)  # ties -> smallest code
+            for j in range(PQ_KS):
+                members = sub[code == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books.append(C)
+    return books
+
+
+@register(
+    "ann_pq_trained_recall_at_k",
+    # No oracle: the codebooks are trained at runtime (deterministically,
+    # but from data the static oracle text cannot embed). The seed-codebook
+    # twin ann_pq_recall_at_k IS oracle-checked, and
+    # tests/test_operators.py::test_trained_pq_beats_seed_codebooks pins
+    # that training improves recall on the fixture.
+    doc=f"[ext] recall@{TOP_K} of PQ with TRAINED codebooks (per-subspace "
+    f"Lloyd's on a deterministic ≤{PQ_TRAIN_CAP}-row sample) against exact "
+    "brute force — the quality path over the oracle-checked seed-codebook "
+    "index; rows-only by design.",
+)
+def ann_pq_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: training state is bounded (KS x d doubles per subspace);
+    encode/ADC are the same broadcast passes as the seed-codebook index —
+    the corpus never shuffles and raw vectors are read, not moved."""
+    emb, subs, _cb, _assigned, _lut = _pq_parts(spark, sf_dir)
+    books = _train_pq_codebooks(emb)
+    cb_rows = [
+        (s, j, [float(x) for x in books[s][j]])
+        for s in range(PQ_M)
+        for j in range(PQ_KS)
+    ]
+    cb = spark.createDataFrame(cb_rows, "s int, code long, cw array<double>")
+    w_assign = W.partitionBy("vec_id", "s").orderBy(
+        F.round(_sq_dist("sub", "cw"), 9).asc(), F.asc("code")
+    )
+    assigned = (
+        subs.join(F.broadcast(cb), "s")
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code")
+    )
+    lut = (
+        subs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cb), "s")
+        .select(
+            "query_id",
+            "s",
+            "code",
+            F.round(_sq_dist("sub", "cw"), 9).cast("decimal(18,9)").alias("pd"),
+        )
+    )
+    approx = (
+        assigned.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pd").alias("adc"))
+    )
+    w_rank = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    approx_k = (
+        approx.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", F.col("neighbor_id").alias("a_neighbor_id"))
+    )
+    exact = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(
+            approx_k,
+            (exact.query_id == approx_k.query_id)
+            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+            "left",
+        )
+        .groupBy(exact.query_id)
+        .agg(F.count("a_neighbor_id").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / TOP_K, 6).alias("recall_at_k"),
+    )

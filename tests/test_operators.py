@@ -364,3 +364,22 @@ def test_stable_dense_ids_skewed_coarse_key(spark):
     assert len(by_rid) == 97
     for new_id, (rid, _k) in enumerate(want):
         assert by_rid[rid] == new_id
+
+
+def test_trained_pq_beats_seed_codebooks(spark):
+    """Lloyd's-trained codebooks must not lose to the raw seed subvectors:
+    mean recall@k (vs exact brute force) strictly improves on the sf0.01
+    fixture (0.14 seed vs 0.24 trained when written — assert the ordering,
+    not the point values)."""
+    from similarity_analysis_big_data_spark.plans.ann import (
+        ann_pq_recall_at_k,
+        ann_pq_trained_recall_at_k,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    seed = [r["recall_at_k"] for r in ann_pq_recall_at_k(spark, sf).collect()]
+    trained = [
+        r["recall_at_k"] for r in ann_pq_trained_recall_at_k(spark, sf).collect()
+    ]
+    assert len(seed) == len(trained) > 0
+    assert sum(trained) / len(trained) > sum(seed) / len(seed)
