@@ -406,3 +406,93 @@ def incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("source").alias("source"),
         )
     )
+
+
+# ---- scalar-function breadth: array + regexp batteries ---------------------
+
+
+@register(
+    "array_function_battery",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^\w]+'),
+                               x -> x <> '') AS tokens
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(tokens) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct,
+               array_to_string(list_sort(list_distinct(tokens))[1:3], ' ')
+                   AS first3_sorted,
+               CAST(coalesce(list_position(tokens, 'the'), 0) AS BIGINT)
+                   AS pos_the,
+               CAST(list_contains(tokens, 'data') AS BIGINT) AS has_data,
+               CAST(len(list_filter(tokens, x -> x <> 'the')) AS BIGINT)
+                   AS n_without_the,
+               CAST(list_aggregate(list_transform(tokens, x -> len(x)),
+                                   'max') AS BIGINT) AS max_token_len,
+               array_to_string(list_reverse(tokens[1:3]), '|') AS rev_head
+        FROM toks
+    """,
+    doc="[ext] §2.8 array-function battery: size / distinct / sort+slice / "
+    "position (Spark's 0-on-missing vs DuckDB's NULL reconciled with "
+    "coalesce) / contains / filter / element max via transform / reverse — "
+    "one projection, bit-identical across engines.",
+)
+def array_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: pure narrow projection inside whole-stage codegen — the
+    whole battery is one scan, zero shuffles, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokenize(F.lower("text")))  # distinct for sort
+    raw = tokenize(F.lower("text"))
+    return docs.select(
+        "doc_id",
+        F.size(raw).cast("long").alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_distinct"),
+        F.array_join(F.slice(F.sort_array(toks), 1, 3), " ").alias("first3_sorted"),
+        F.array_position(raw, "the").cast("long").alias("pos_the"),
+        F.array_contains(raw, "data").cast("long").alias("has_data"),
+        F.size(F.filter(raw, lambda x: x != "the")).cast("long").alias("n_without_the"),
+        F.array_max(F.transform(raw, F.length)).cast("long").alias("max_token_len"),
+        F.array_join(F.reverse(F.slice(raw, 1, 3)), "|").alias("rev_head"),
+    )
+
+
+@register(
+    "regexp_function_battery",
+    oracle=r"""
+        SELECT p_partkey,
+               regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+               CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT)
+                   AS n_vowels,
+               array_to_string(regexp_extract_all(p_name, '[a-z]+'), '_')
+                   AS words_joined,
+               CAST(regexp_matches(p_type, '^(PROMO|SMALL)$') AS BIGINT)
+                   AS is_promo_or_small,
+               regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled
+        FROM part
+    """,
+    doc="[ext] §2.8 regexp battery: extract / extract_all+count / "
+    "extract_all+join / full-match predicate / global replace — Java "
+    "regex (Spark) vs RE2 (DuckDB) agree on this ASCII class/anchor "
+    "subset; DuckDB's regexp_replace needs the explicit 'g' flag to "
+    "match Spark's replace-all default.",
+)
+def regexp_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one scan, zero shuffles, codegen'd regex — and the battery
+    doubles as the documented cross-dialect regex subset (anchors, ASCII
+    classes, alternation) that is safe against a second engine."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_count("p_name", F.lit("[aeiou]")).cast("long").alias("n_vowels"),
+        F.array_join(F.regexp_extract_all("p_name", F.lit("([a-z]+)")), "_").alias(
+            "words_joined"
+        ),
+        F.col("p_type").rlike("^(PROMO|SMALL)$").cast("long").alias(
+            "is_promo_or_small"
+        ),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+    )

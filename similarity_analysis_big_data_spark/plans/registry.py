@@ -94,6 +94,9 @@ PRIORITY: tuple[str, ...] = (
     "ann_pq_adc_topk",
     "ann_pq_recall_at_k",
     "ann_ivfpq_topk",
+    "ann_pq_trained_recall_at_k",
+    "array_function_battery",
+    "regexp_function_battery",
 )
 
 
