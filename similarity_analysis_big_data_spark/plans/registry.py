@@ -97,6 +97,7 @@ PRIORITY: tuple[str, ...] = (
     "ann_pq_trained_recall_at_k",
     "array_function_battery",
     "regexp_function_battery",
+    "null_safe_join_segments",
 )
 
 

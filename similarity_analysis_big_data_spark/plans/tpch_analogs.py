@@ -593,3 +593,43 @@ def recursive_cte_trade_reachability(spark: SparkSession, sf_dir: str) -> DataFr
 
     register_views(spark, sf_dir, ("lineitem", "orders", "customer", "supplier"))
     return spark.sql(_REACH_SQL)
+
+
+@register(
+    "null_safe_join_segments",
+    oracle="""
+        WITH keyed AS (
+            SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+            FROM customer
+        ),
+        segs AS (SELECT DISTINCT seg FROM keyed)
+        SELECT coalesce(s.seg, '<null>') AS segment,
+               count(k.c_custkey) AS n_customers
+        FROM segs s
+        JOIN keyed k ON k.seg IS NOT DISTINCT FROM s.seg
+        GROUP BY s.seg
+    """,
+    doc="[ext] §2.3 null-safe equi-join: Spark's <=> (eqNullSafe) vs ANSI "
+    "IS NOT DISTINCT FROM — NULL keys MATCH each other instead of "
+    "dropping (nullif manufactures a NULL segment so the semantics are "
+    "exercised, not vacuous). A plain = join would silently lose the "
+    "whole NULL group.",
+)
+def null_safe_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: null-safe equality still hash-partitions (NULL hashes to a
+    single bucket — a hot key if NULLs dominate; the salting operator
+    covers that case). Here the distinct-segments side broadcasts."""
+    keyed = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr("nullif(c_mktsegment, 'BUILDING')").alias("seg"),
+    )
+    segs = keyed.select("seg").distinct().select(F.col("seg").alias("s_seg"))
+    return (
+        keyed.join(F.broadcast(segs), F.col("seg").eqNullSafe(F.col("s_seg")))
+        .groupBy("s_seg")
+        .agg(F.count("c_custkey").alias("n_customers"))
+        .select(
+            F.coalesce("s_seg", F.lit("<null>")).alias("segment"),
+            "n_customers",
+        )
+    )
