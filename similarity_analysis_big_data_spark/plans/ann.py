@@ -1029,3 +1029,135 @@ def ann_pq_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.round(F.col("n_hits").cast("double") / TOP_K, 6).alias("recall_at_k"),
     )
+
+
+# ---- kNN graph construction -------------------------------------------------
+
+KNN_GRAPH_K = 3  # neighbors per vertex
+KNN_GRAPH_MOD = 4  # 1-in-4 vectors participate (bounds the fixture cell size)
+
+_KNN_EDGES_CTES = f"""
+    cent AS (
+        SELECT vec_id AS cell_id, embedding AS cell_vec
+        FROM embeddings WHERE vec_id < {N_CELLS}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell_id
+        FROM (
+            SELECT e.vec_id, e.embedding, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cosine_sql('e.embedding', 'c.cell_vec')}, 6) DESC,
+                                c.cell_id) AS rn
+            FROM embeddings e CROSS JOIN cent c
+            WHERE e.vec_id % {KNN_GRAPH_MOD} = 0
+        ) WHERE rn = 1
+    ),
+    edges AS (
+        SELECT src_id, dst_id, cosine, rnk
+        FROM (SELECT src_id, dst_id, cosine,
+                     row_number() OVER (PARTITION BY src_id
+                                        ORDER BY cosine DESC, dst_id) AS rnk
+              FROM (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+                           round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+                    FROM assigned a JOIN assigned b
+                      ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id))
+        WHERE rnk <= {KNN_GRAPH_K}
+    )
+"""
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared IVF-bounded kNN-graph edge relation: every participating
+    vector is a query against its own cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.desc(F.round(cosine_similarity("embedding", "cell_vec"), 6)), F.asc("cell_id")
+    )
+    assigned = (
+        emb.filter(F.col("vec_id") % KNN_GRAPH_MOD == 0)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+        .withColumn("nrm", l2_norm("embedding"))
+    )
+    lhs = assigned.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("src_vec"),
+        F.col("nrm").alias("src_norm"),
+        "cell_id",
+    )
+    rhs = assigned.select(
+        F.col("vec_id").alias("dst_id"),
+        F.col("embedding").alias("dst_vec"),
+        F.col("nrm").alias("dst_norm"),
+        "cell_id",
+    )
+    cos = F.when(
+        (F.col("src_norm") > 0) & (F.col("dst_norm") > 0),
+        dot("src_vec", "dst_vec") / (F.col("src_norm") * F.col("dst_norm")),
+    )
+    scored = (
+        lhs.join(rhs, "cell_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id", F.round(cos, 6).alias("cosine"))
+    )
+    w = W.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("dst_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= KNN_GRAPH_K)
+    )
+
+
+@register(
+    "knn_graph_edges",
+    oracle="WITH " + _KNN_EDGES_CTES + "\n    SELECT src_id, dst_id, cosine, rnk FROM edges",
+    doc=f"[ext] kNN-graph construction: every participating vector's top-"
+    f"{KNN_GRAPH_K} neighbors within its IVF cell — the edge list that "
+    "seeds graph-based ANN indexes (HNSW/NSG lineage) and semantic-dedup "
+    "clustering.",
+)
+def knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the all-vs-all is bounded per IVF cell (n/cells each side),
+    so the pair stage is sum-of-squares over cells, not n²; the per-source
+    top-k is a WindowGroupLimit keyed on src_id. At 100 TB the cells are
+    the partition keys — each executor builds its cell's subgraph locally."""
+    return _knn_edges(spark, sf_dir)
+
+
+@register(
+    "mutual_knn_pairs",
+    oracle="WITH " + _KNN_EDGES_CTES + """
+    SELECT e1.src_id AS id_l, e1.dst_id AS id_r, e1.cosine
+    FROM edges e1 JOIN edges e2
+      ON e1.src_id = e2.dst_id AND e1.dst_id = e2.src_id
+    WHERE e1.src_id < e1.dst_id
+    """,
+    doc="[ext] mutual-kNN pairs: edges present in BOTH directions of the "
+    "kNN graph — the high-precision pair set semantic dedup and "
+    "agglomerative clustering start from.",
+)
+def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: self-join of the n·k edge relation on the reversed key —
+    edge lists are tiny relative to the corpus, and the join keys are
+    (src,dst) hashes with no skew. The edge subtree is computed twice
+    here; a pipeline materializing the graph would persist/bucket it by
+    src_id and reuse."""
+    edges = _knn_edges(spark, sf_dir)
+    e1 = edges.select("src_id", "dst_id", "cosine")
+    e2 = edges.select(
+        F.col("src_id").alias("dst_id"), F.col("dst_id").alias("src_id")
+    )
+    return (
+        e1.join(e2, ["src_id", "dst_id"])
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .select(
+            F.col("src_id").alias("id_l"),
+            F.col("dst_id").alias("id_r"),
+            "cosine",
+        )
+    )

@@ -496,3 +496,127 @@ def regexp_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
     )
+
+
+@register(
+    "datetime_function_battery",
+    oracle=r"""
+        SELECT event_id,
+               CAST(year(ts) AS BIGINT) AS yr,
+               CAST(month(ts) AS BIGINT) AS mo,
+               CAST(day(ts) AS BIGINT) AS dy,
+               CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(minute(ts) AS BIGINT) AS mi,
+               CAST(quarter(ts) AS BIGINT) AS qtr,
+               CAST(dayofyear(ts) AS BIGINT) AS doy,
+               CAST(weekofyear(ts) AS BIGINT) AS woy,
+               CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+               strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+               strftime(date_trunc('month', ts), '%Y-%m-%d') AS month_start,
+               strftime(CAST(ts AS DATE) + 30, '%Y-%m-%d') AS plus_30d,
+               strftime(last_day(CAST(ts AS DATE)), '%Y-%m-%d') AS month_end,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+                   AS epoch_day,
+               strftime(ts, '%Y-%m') AS ym_str,
+               strftime(make_date(CAST(year(ts) AS INT), CAST(month(ts) AS INT), 1),
+                        '%Y-%m-%d') AS mk,
+               CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS BIGINT)
+                   AS epoch_sec,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ts_hour
+        FROM events
+    """,
+    doc="[ext] §2.8 datetime battery: field extraction (year..minute, "
+    "quarter, day-of-year, ISO week, day-of-week with Spark's 1=Sunday vs "
+    "DuckDB's 0=Sunday reconciled), date casts/truncation/arithmetic, "
+    "epoch day/second via timestamp differencing (timezone-free on NTZ "
+    "values — robust to any session timezone), format strings, and "
+    "make_date — one projection; date-typed outputs serialized as ISO "
+    "strings (pandas date dtypes differ across engines) — bit-identical.",
+)
+def datetime_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one scan, one narrow codegen'd projection, zero shuffles.
+    The epoch columns difference two NTZ values instead of calling
+    unix_timestamp, so the battery is session-timezone-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("long").alias("yr"),
+        F.month("ts").cast("long").alias("mo"),
+        F.dayofmonth("ts").cast("long").alias("dy"),
+        F.hour("ts").cast("long").alias("hr"),
+        F.minute("ts").cast("long").alias("mi"),
+        F.quarter("ts").cast("long").alias("qtr"),
+        F.dayofyear("ts").cast("long").alias("doy"),
+        F.weekofyear("ts").cast("long").alias("woy"),
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.date_format(d, "yyyy-MM-dd").alias("d"),
+        F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus_30d"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(d, F.lit("1970-01-01").cast("date")).cast("long").alias("epoch_day"),
+        F.date_format("ts", "yyyy-MM").alias("ym_str"),
+        F.date_format(F.make_date(F.year("ts"), F.month("ts"), F.lit(1)), "yyyy-MM-dd").alias("mk"),
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).cast("long").alias("epoch_sec"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_hour"),
+    )
+
+
+@register(
+    "math_function_battery",
+    oracle=r"""
+        SELECT l_orderkey, l_linenumber,
+               abs(l_extendedprice - 30000.0) AS abs_centered,
+               CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS sgn,
+               CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_ceil_k,
+               CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_floor_k,
+               round(l_extendedprice * l_discount, 1) AS disc_rounded,
+               round(exp(l_discount), 6) AS exp_disc,
+               round(ln(l_extendedprice), 6) AS ln_price,
+               round(log10(l_extendedprice), 6) AS log10_price,
+               round(sqrt(l_quantity), 6) AS sqrt_qty,
+               round(pow(l_quantity, 1.5), 6) AS qty_pow,
+               CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS qty_mod7,
+               round(sin(l_quantity), 6) AS sin_qty,
+               round(atan2(l_tax, l_discount + 0.001), 6) AS tax_angle,
+               greatest(l_tax, l_discount) AS max_rate,
+               least(l_tax, l_discount) AS min_rate,
+               round(CAST(l_quantity AS DOUBLE) / nullif(l_discount, 0.0), 4)
+                   AS qty_per_disc
+        FROM lineitem
+        WHERE l_orderkey % 16 = 0
+    """,
+    doc="[ext] §2.8 math battery: abs/sign/ceil/floor/round, exp/ln/log10, "
+    "sqrt/pow, integer modulo, trig (sin, atan2), greatest/least, and "
+    "NULL-safe division via nullif — transcendental outputs rounded to 6 "
+    "places so libm-vs-JVM last-ulp differences cannot flip the hash.",
+)
+def math_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one pushed-filter scan + narrow projection, zero shuffles,
+    all whole-stage codegen."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 16 == 0)
+    price, qty = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(price - 30000.0).alias("abs_centered"),
+        F.signum(price - 30000.0).alias("sgn"),
+        F.ceil(price / 1000.0).cast("long").alias("price_ceil_k"),
+        F.floor(price / 1000.0).cast("long").alias("price_floor_k"),
+        F.round(price * F.col("l_discount"), 1).alias("disc_rounded"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.round(F.log(price), 6).alias("ln_price"),
+        F.round(F.log10(price), 6).alias("log10_price"),
+        F.round(F.sqrt(qty), 6).alias("sqrt_qty"),
+        F.round(F.pow(qty, 1.5), 6).alias("qty_pow"),
+        (qty.cast("long") % 7).alias("qty_mod7"),
+        F.round(F.sin(qty), 6).alias("sin_qty"),
+        F.round(F.atan2(F.col("l_tax"), F.col("l_discount") + 0.001), 6).alias("tax_angle"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.round(qty.cast("double") / F.nullif(F.col("l_discount"), F.lit(0.0)), 4).alias(
+            "qty_per_disc"
+        ),
+    )

@@ -300,3 +300,152 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", rnk.cast("long"))
         .filter(F.col("rnk") <= 10)
     )
+
+
+# ---- collocations + BPE training step --------------------------------------
+
+PMI_MIN_COUNT = 5  # drop noise pairs before ranking
+PMI_TOP_N = 50
+
+
+@register(
+    "token_pmi_collocations",
+    oracle=_SQL_BIGRAMS
+    + f"""
+    , uni AS (
+        SELECT unnest(tokens) AS term FROM toks
+    ),
+    uni_counts AS (SELECT term, count(*) AS c1 FROM uni GROUP BY term),
+    nt AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_tokens FROM uni_counts),
+    bg_counts AS (
+        SELECT bg, count(*) AS c12 FROM bigs GROUP BY bg
+        HAVING count(*) >= {PMI_MIN_COUNT}
+    ),
+    nb AS (SELECT CAST(count(*) AS DOUBLE) AS n_bigrams FROM bigs),
+    scored AS (
+        SELECT b.bg,
+               b.c12,
+               round(log2((b.c12 / nb.n_bigrams)
+                          / ((u1.c1 / nt.n_tokens) * (u2.c1 / nt.n_tokens))), 6)
+                   AS pmi
+        FROM bg_counts b
+        JOIN uni_counts u1 ON u1.term = split_part(b.bg, ' ', 1)
+        JOIN uni_counts u2 ON u2.term = split_part(b.bg, ' ', 2)
+        CROSS JOIN nt CROSS JOIN nb
+    )
+    SELECT bg AS pair, c12 AS pair_count, pmi, rnk
+    FROM (SELECT bg, c12, pmi,
+                 row_number() OVER (ORDER BY pmi DESC, bg) AS rnk
+          FROM scored)
+    WHERE rnk <= {PMI_TOP_N}
+    """,
+    doc="[ext] pointwise mutual information collocations: top adjacent "
+    f"token pairs (count >= {PMI_MIN_COUNT}) by PMI = log2(p(w1,w2) / "
+    "(p(w1) p(w2))) — the classic phrase-mining statistic for building "
+    "multi-word vocabulary entries from a training corpus.",
+)
+def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one corpus explode each for unigrams and bigrams, both
+    reduced to vocabulary-sized count relations by partial+final hash
+    aggs; everything downstream (the two unigram join-backs, the scalar
+    totals, the global top-N) runs on model-sized data. The unigram
+    relation BROADCASTs onto the bigram counts; the final top-N is a
+    single-partition window over an already-filtered vocab relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.lower("text")).alias("tokens"))
+    uni_counts = (
+        toks.select(F.explode("tokens").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c1"))
+    )
+    nt = uni_counts.agg(F.sum("c1").cast("double").alias("n_tokens"))
+    bigrams = F.when(
+        F.size("tokens") >= 2,
+        F.expr("transform(sequence(1, size(tokens)-1), i -> concat(tokens[i-1], ' ', tokens[i]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    bigs = toks.select(F.explode(bigrams).alias("bg"))
+    nb = bigs.agg(F.count("*").cast("double").alias("n_bigrams"))
+    bg_counts = (
+        bigs.groupBy("bg")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    u1 = uni_counts.select(F.col("term").alias("w1"), F.col("c1").alias("c1_l"))
+    u2 = uni_counts.select(F.col("term").alias("w2"), F.col("c1").alias("c1_r"))
+    scored = (
+        bg_counts.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("bg").alias("pair"),
+            F.col("c12").alias("pair_count"),
+            F.round(
+                F.log2(
+                    (F.col("c12") / F.col("n_bigrams"))
+                    / ((F.col("c1_l") / F.col("n_tokens")) * (F.col("c1_r") / F.col("n_tokens")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(W.orderBy(F.desc("pmi"), F.asc("pair")))
+    return scored.withColumn("rnk", rnk.cast("long")).filter(F.col("rnk") <= PMI_TOP_N)
+
+
+BPE_TOP_N = 30
+
+
+@register(
+    "bpe_merge_pairs",
+    oracle=_SQL_TERMS
+    + f"""
+    , wf AS (SELECT term, count(*) AS w FROM terms GROUP BY term),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(term)),
+                                     i -> substr(term, i, 2))) AS sym_pair,
+               w
+        FROM wf WHERE len(term) >= 2
+    ),
+    pc AS (
+        SELECT sym_pair, CAST(sum(w) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY sym_pair
+    )
+    SELECT sym_pair, pair_count, rnk
+    FROM (SELECT sym_pair, pair_count,
+                 row_number() OVER (ORDER BY pair_count DESC, sym_pair) AS rnk
+          FROM pc)
+    WHERE rnk <= {BPE_TOP_N}
+    """,
+    doc="[ext] one BPE training iteration: adjacent character-pair counts "
+    "weighted by word frequency, ranked — the merge-candidate statistic a "
+    "byte-pair-encoding tokenizer trainer computes over the corpus each "
+    "round (Sennrich et al. 2016).",
+)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the corpus collapses to the word-frequency relation (one
+    vocabulary-keyed hash agg) BEFORE any character work — char pairs
+    explode off |vocab| rows, not |corpus| tokens, so each extra BPE
+    iteration is vocabulary-priced. Weighted pair counts are one more
+    hash agg; the top-N is a single-partition window on a tiny relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(tokenize(F.lower("text"))).alias("term"))
+    wf = terms.groupBy("term").agg(F.count("*").alias("w"))
+    pairs = (
+        wf.filter(F.length("term") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(term)-1), i -> substring(term, i, 2))")
+            ).alias("sym_pair"),
+            "w",
+        )
+    )
+    pc = pairs.groupBy("sym_pair").agg(F.sum("w").alias("pair_count"))
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(W.orderBy(F.desc("pair_count"), F.asc("sym_pair")))
+    return pc.withColumn("rnk", rnk.cast("long")).filter(F.col("rnk") <= BPE_TOP_N)

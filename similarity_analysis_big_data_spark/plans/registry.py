@@ -98,6 +98,13 @@ PRIORITY: tuple[str, ...] = (
     "array_function_battery",
     "regexp_function_battery",
     "null_safe_join_segments",
+    "token_pmi_collocations",
+    "bpe_merge_pairs",
+    "quality_logreg_gate",
+    "knn_graph_edges",
+    "mutual_knn_pairs",
+    "datetime_function_battery",
+    "math_function_battery",
 )
 
 

@@ -84,10 +84,9 @@ def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select("doc_id", "actual_lang", *cols)
 
 
-@register(
-    "text_quality_scores",
-    oracle=_SQL_TOKS
-    + f"""
+# Feature SELECT shared by text_quality_scores and the logistic gate below
+# (kept as one constant so the two oracles can never drift apart).
+_QUALITY_FEATURES_SELECT = f"""
     SELECT doc_id,
            len(tokens) AS n_tokens,
            round(CASE WHEN len(tokens) > 0
@@ -107,7 +106,12 @@ def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                  THEN CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
                  ELSE 0.0 END, 6) AS punct_ratio
     FROM toks
-    """,
+    """
+
+
+@register(
+    "text_quality_scores",
+    oracle=_SQL_TOKS + _QUALITY_FEATURES_SELECT,
     headline=True,
     doc="[ext] document quality scoring: token count, mean token length, "
     "uniqueness, stopword ratio, punctuation ratio — the filter features of "
@@ -505,4 +509,60 @@ def gopher_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
             F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
         )
+    )
+
+
+# Logistic quality-gate weights (fasttext-style linear classifier applied
+# as pure column math; features are the rounded quality scores so both
+# engines feed bit-identical inputs into the sigmoid).
+QGATE_BIAS = -2.0
+QGATE_W = {
+    "n_tokens": 0.01,
+    "avg_token_len": -0.2,
+    "uniq_ratio": 2.0,
+    "stopword_ratio": 3.0,
+    "punct_ratio": -8.0,
+}
+
+
+@register(
+    "quality_logreg_gate",
+    oracle=_SQL_TOKS
+    + ", feat AS ("
+    + _QUALITY_FEATURES_SELECT
+    + f""")
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-({QGATE_BIAS}
+                 + {QGATE_W['n_tokens']} * n_tokens
+                 + {QGATE_W['avg_token_len']} * avg_token_len
+                 + {QGATE_W['uniq_ratio']} * uniq_ratio
+                 + {QGATE_W['stopword_ratio']} * stopword_ratio
+                 + {QGATE_W['punct_ratio']} * punct_ratio))), 6) AS quality_score,
+           CAST(1.0 / (1.0 + exp(-({QGATE_BIAS}
+                 + {QGATE_W['n_tokens']} * n_tokens
+                 + {QGATE_W['avg_token_len']} * avg_token_len
+                 + {QGATE_W['uniq_ratio']} * uniq_ratio
+                 + {QGATE_W['stopword_ratio']} * stopword_ratio
+                 + {QGATE_W['punct_ratio']} * punct_ratio))) >= 0.5 AS BIGINT) AS keep
+    FROM feat
+    """,
+    doc="[ext] logistic quality classifier: a linear model with literal "
+    "weights over the quality features (the shape of a fasttext/linear "
+    "quality gate scored in-engine — model application is column math, "
+    "no Python, no shuffle).",
+)
+def quality_logreg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: composes the quality-feature projection with a sigmoid —
+    still one scan, one narrow codegen'd projection. A real trained
+    classifier with thousands of weights would follow the same pattern
+    with the weight vector as a broadcast literal array."""
+    feat = text_quality_scores(spark, sf_dir)
+    z = F.lit(QGATE_BIAS)
+    for col, w in QGATE_W.items():
+        z = z + F.lit(w) * F.col(col)
+    score = 1.0 / (1.0 + F.exp(-z))
+    return feat.select(
+        "doc_id",
+        F.round(score, 6).alias("quality_score"),
+        (score >= 0.5).cast("long").alias("keep"),
     )
