@@ -620,3 +620,88 @@ def math_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_per_disc"
         ),
     )
+
+
+MERGE_CUTOFF = "1997-01-01"
+
+
+@register(
+    "merge_upsert_customer_state",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_custkey AS custkey,
+                   count(*) AS n_orders,
+                   sum(o_totalprice) AS total_spend
+            FROM orders WHERE o_orderdate < TIMESTAMP '{MERGE_CUTOFF} 00:00:00'
+            GROUP BY 1
+        ),
+        changes AS (
+            SELECT o_custkey AS custkey,
+                   count(*) AS n_new,
+                   sum(o_totalprice) AS new_spend,
+                   arg_max(o_orderstatus, o_orderkey) AS last_status
+            FROM orders WHERE o_orderdate >= TIMESTAMP '{MERGE_CUTOFF} 00:00:00'
+            GROUP BY 1
+        )
+        SELECT coalesce(b.custkey, c.custkey) AS custkey,
+               CAST(coalesce(b.n_orders, 0) + coalesce(c.n_new, 0) AS BIGINT)
+                   AS n_orders,
+               round(coalesce(b.total_spend, 0) + coalesce(c.new_spend, 0), 2)
+                   AS total_spend,
+               CASE WHEN b.custkey IS NULL THEN 'insert'
+                    WHEN c.custkey IS NULL THEN 'unchanged'
+                    ELSE 'update' END AS action
+        FROM base b FULL JOIN changes c ON b.custkey = c.custkey
+        WHERE NOT (b.custkey IS NOT NULL AND c.custkey IS NOT NULL
+                   AND c.last_status = 'F')
+    """,
+    doc="[ext] MERGE INTO semantics (Delta/Iceberg-style upsert) expressed "
+    "as one full outer join: WHEN MATCHED AND <cond> THEN DELETE / "
+    "WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT, applied to "
+    "per-customer order state with a post-cutoff CDC batch.",
+)
+def merge_upsert_customer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: both sides reduce to key-grained aggregates before the
+    merge, so the full outer join shuffles state-sized relations on the
+    merge key — the exact shape lakehouse MERGE executes (minus the
+    file-rewrite commit). CDC batches are usually small: at 100 TB the
+    changes side broadcasts and base partitions are rewritten in place."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp_ntz")
+    base = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("total_spend"))
+    )
+    changes = (
+        orders.filter(F.col("o_orderdate") >= cutoff)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").alias("n_new"),
+            F.sum("o_totalprice").alias("new_spend"),
+            F.expr("max_by(o_orderstatus, o_orderkey)").alias("last_status"),
+        )
+    )
+    b = base.alias("b")
+    c = changes.alias("c")
+    matched = F.col("b.custkey").isNotNull() & F.col("c.custkey").isNotNull()
+    return (
+        b.join(c, F.col("b.custkey") == F.col("c.custkey"), "full_outer")
+        .filter(~(matched & (F.col("c.last_status") == "F")))
+        .select(
+            F.coalesce(F.col("b.custkey"), F.col("c.custkey")).alias("custkey"),
+            (
+                F.coalesce(F.col("b.n_orders"), F.lit(0))
+                + F.coalesce(F.col("c.n_new"), F.lit(0))
+            ).alias("n_orders"),
+            F.round(
+                F.coalesce(F.col("b.total_spend"), F.lit(0.0))
+                + F.coalesce(F.col("c.new_spend"), F.lit(0.0)),
+                2,
+            ).alias("total_spend"),
+            F.when(F.col("b.custkey").isNull(), "insert")
+            .when(F.col("c.custkey").isNull(), "unchanged")
+            .otherwise("update")
+            .alias("action"),
+        )
+    )

@@ -139,3 +139,87 @@ def pagerank_trade_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(nodes, _edges(spark, sf_dir), PAGERANK_ITERS, DAMPING)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+# ---- triangle counting ------------------------------------------------------
+
+# Undirected edge exists between two nations when their trade volume in
+# either direction clears this floor (keeps the fixture graph off K25).
+TRIANGLE_MIN_VOLUME = 2_000_000.0
+
+_TRIANGLE_EDGE_CTES = f"""
+    vol AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               sum(l.l_extendedprice) AS v
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    und AS (
+        SELECT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM vol
+        WHERE src <> dst
+        GROUP BY 1, 2
+        HAVING sum(v) >= {TRIANGLE_MIN_VOLUME}
+    )
+"""
+
+
+def _und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (a < b) nation-trade edges above the volume floor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(cust.c_nationkey.alias("src"), supp.s_nationkey.alias("dst"))
+        .agg(F.sum("l_extendedprice").alias("v"))
+    )
+    return (
+        vol.filter(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .agg(F.sum("v").alias("v"))
+        .filter(F.col("v") >= TRIANGLE_MIN_VOLUME)
+        .select("a", "b")
+    )
+
+
+@register(
+    "triangle_count_trade",
+    oracle="WITH " + _TRIANGLE_EDGE_CTES + """
+    , tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges
+    FROM tri
+    """,
+    doc="[ext] triangle counting on the undirected nation-trade graph "
+    "(edges above a volume floor): the canonical two-path + closing-edge "
+    "join — each triangle (x<y<z) counted exactly once by ordering "
+    "vertices within every edge.",
+)
+def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the fact table collapses to the |E|-sized edge relation
+    first; the triangle join is edges-with-edges (two hash joins on
+    vertex keys), never touching the fact table again. The a<b vertex
+    orientation both deduplicates triangles and — on power-law graphs —
+    is where degree-based orientation bounds the two-path fan-out."""
+    und = _und_edges(spark, sf_dir)
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
+        und.agg(F.count("*").alias("n_edges"))
+    )

@@ -449,3 +449,61 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rnk = F.row_number().over(W.orderBy(F.desc("pair_count"), F.asc("sym_pair")))
     return pc.withColumn("rnk", rnk.cast("long")).filter(F.col("rnk") <= BPE_TOP_N)
+
+
+VOCAB_SIZE = 500
+
+
+@register(
+    "vocab_oov_rates",
+    oracle=_SQL_TERMS
+    + f"""
+    , counts AS (SELECT term, count(*) AS cf FROM terms GROUP BY term),
+    vocab AS (
+        SELECT term
+        FROM (SELECT term, row_number() OVER (ORDER BY cf DESC, term) AS rnk
+              FROM counts)
+        WHERE rnk <= {VOCAB_SIZE}
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS oov_rate
+    FROM terms t LEFT JOIN vocab v USING (term)
+    GROUP BY t.doc_id
+    """,
+    doc=f"[ext] vocabulary coverage: per-document out-of-vocabulary rate "
+    f"against the corpus top-{VOCAB_SIZE} vocabulary — the tokenizer-"
+    "coverage statistic that decides whether a vocab ships.",
+)
+def vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the vocabulary is a top-N over the vocab-sized count
+    relation (single-partition window on counts, NOT the corpus), then
+    BROADCASTs back onto the exploded corpus as a left join; the per-doc
+    agg is the only corpus-sized shuffle."""
+    terms = _doc_terms(spark, sf_dir)
+    counts = terms.groupBy("term").agg(F.count("*").alias("cf"))
+    from pyspark.sql import Window as W
+
+    vocab = (
+        counts.withColumn(
+            "rnk", F.row_number().over(W.orderBy(F.desc("cf"), F.asc("term")))
+        )
+        .filter(F.col("rnk") <= VOCAB_SIZE)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        terms.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0))
+                / F.count("*"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

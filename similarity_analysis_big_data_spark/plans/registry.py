@@ -105,6 +105,9 @@ PRIORITY: tuple[str, ...] = (
     "mutual_knn_pairs",
     "datetime_function_battery",
     "math_function_battery",
+    "triangle_count_trade",
+    "merge_upsert_customer_state",
+    "vocab_oov_rates",
 )
 
 
