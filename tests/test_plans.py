@@ -371,3 +371,54 @@ def test_scd2_single_user_shuffle(spark, sf_oracle):
     hashpartitioning(user_id) exchange."""
     plan = _plan(spark, sf_oracle, "scd2_user_state_history")
     assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_knn_graph_never_cartesian(spark, sf_oracle):
+    """The kNN-graph pair stage joins on cell_id — a CartesianProduct or
+    BroadcastNestedLoopJoin in the scored-pairs subtree would mean the
+    IVF bounding silently fell out of the plan."""
+    plan = _plan(spark, sf_oracle, "knn_graph_edges")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are the broadcast centroid cross
+    # joins (8 rows, one per side of the pair join); the pair stage itself
+    # must be an equi-join on cell_id
+    # formatted plans print each operator twice (tree + detail section)
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    assert "SortMergeJoin Inner" in plan or "BroadcastHashJoin" in plan
+
+
+def test_vocab_oov_broadcasts_vocabulary(spark, sf_oracle):
+    """The top-N vocabulary must ride a broadcast join back onto the
+    exploded corpus — a shuffle join there would move the corpus twice."""
+    plan = _plan(spark, sf_oracle, "vocab_oov_rates")
+    assert "BroadcastHashJoin" in plan
+    # per-doc agg is the only corpus-sized shuffle: partial then final
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_pmi_joins_are_broadcast_and_aggs_partial(spark, sf_oracle):
+    """PMI's two unigram join-backs land on the vocab-sized bigram-count
+    relation via broadcast; the corpus-sized aggregations keep map-side
+    combine."""
+    plan = _plan(spark, sf_oracle, "token_pmi_collocations")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "partial_count" in plan
+
+
+def test_merge_upsert_reduces_before_join(spark, sf_oracle):
+    """MERGE's full outer join must consume key-grained aggregates (both
+    sides HashAggregate below the SortMergeJoin), not raw order rows."""
+    plan = _plan(spark, sf_oracle, "merge_upsert_customer_state")
+    assert "FullOuter" in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_triangle_count_collapses_fact_first(spark, sf_oracle):
+    """Triangle joins run over the aggregated edge relation: the plan has
+    hash joins keyed on vertices and no nested-loop pair stage."""
+    plan = _plan(spark, sf_oracle, "triangle_count_trade")
+    assert "CartesianProduct" not in plan
+    # one BNLJ allowed: the final 1-row x 1-row scalar combine
+    # formatted plans print each operator twice (tree + detail section)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "SortMergeJoin Inner" in plan or "BroadcastHashJoin" in plan
