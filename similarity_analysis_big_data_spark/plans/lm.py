@@ -507,3 +507,76 @@ def vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+UNK_ID = -1
+
+
+@register(
+    "tokenize_corpus_to_ids",
+    oracle=_SQL_TERMS.replace(
+        "terms AS (\n    SELECT doc_id, unnest(tokens) AS term FROM toks\n)",
+        """terms AS (
+    SELECT doc_id,
+           unnest(tokens) AS term,
+           unnest(range(1, len(tokens) + 1)) AS pos
+    FROM toks
+)""",
+    )
+    + f"""
+    , counts AS (SELECT term, count(*) AS cf FROM terms GROUP BY term),
+    vocab AS (
+        SELECT term, CAST(rnk - 1 AS BIGINT) AS tid
+        FROM (SELECT term, row_number() OVER (ORDER BY cf DESC, term) AS rnk
+              FROM counts)
+        WHERE rnk <= {VOCAB_SIZE}
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           string_agg(CAST(coalesce(v.tid, {UNK_ID}) AS VARCHAR), ','
+                      ORDER BY t.pos) AS token_ids
+    FROM terms t LEFT JOIN vocab v USING (term)
+    GROUP BY t.doc_id
+    """,
+    doc=f"[ext] corpus tokenization to ids: every document encoded as its "
+    f"token-id sequence under the corpus top-{VOCAB_SIZE} vocabulary "
+    f"(OOV -> {UNK_ID}) — the final encode step that turns a curated "
+    "corpus into model input; order-preserving under distribution.",
+)
+def tokenize_corpus_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the vocabulary (term -> id) is a top-N over the vocab-sized
+    count relation and BROADCASTs onto the position-exploded corpus; the
+    re-assembly groupBy shuffles (doc_id, pos, tid) triples once and
+    restores order with array_sort over (pos, tid) structs — no window,
+    no single-partition stage touches corpus-sized data (the vocab
+    ranking window runs on |vocab| rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.posexplode(tokenize(F.lower("text"))).alias("pos", "term"),
+    )
+    counts = terms.groupBy("term").agg(F.count("*").alias("cf"))
+    from pyspark.sql import Window as W
+
+    vocab = (
+        counts.withColumn(
+            "rnk", F.row_number().over(W.orderBy(F.desc("cf"), F.asc("term")))
+        )
+        .filter(F.col("rnk") <= VOCAB_SIZE)
+        .select("term", (F.col("rnk") - 1).cast("long").alias("tid"))
+    )
+    return (
+        terms.join(F.broadcast(vocab), "term", "left")
+        .select("doc_id", "pos", F.coalesce("tid", F.lit(UNK_ID)).alias("tid"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                    lambda s: s.tid.cast("string"),
+                ),
+                ",",
+            ).alias("token_ids"),
+        )
+    )

@@ -108,6 +108,7 @@ PRIORITY: tuple[str, ...] = (
     "triangle_count_trade",
     "merge_upsert_customer_state",
     "vocab_oov_rates",
+    "tokenize_corpus_to_ids",
 )
 
 

@@ -170,3 +170,27 @@ def read_stopwords(spark: SparkSession, path: str) -> list[str]:
     """
     rows = spark.read.text(path).collect()
     return [r.value for r in rows]
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    row_tag: str = "row",
+) -> DataFrame:
+    """XML scan ([ext]): explicit schema for the same reasons as the CSV
+    scan (inference costs a full extra pass and widens integer types), with
+    PERMISSIVE-mode quarantine of malformed rows."""
+    out_schema = schema
+    if "_corrupt_record" not in out_schema.fieldNames():
+        out_schema = T.StructType(
+            list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+        )
+    return (
+        spark.read.schema(out_schema)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .load(path)
+    )

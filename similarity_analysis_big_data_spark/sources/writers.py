@@ -127,3 +127,18 @@ def read_with_schema_evolution(spark, *paths: str):
     (``.schema(...)``), keeping this reader for schema DISCOVERY jobs.
     """
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    mode: str = "overwrite",
+    single_file: bool = False,
+) -> None:
+    """XML sink ([ext]) — Spark 4's built-in StAX XML source (the former
+    spark-xml package, upstreamed); the interchange format feeds/archives
+    still arrive in."""
+    _maybe_coalesce(df, single_file).write.mode(mode).format("xml").option(
+        "rowTag", row_tag
+    ).save(path)

@@ -239,3 +239,31 @@ def test_schema_evolution_merge(spark, tmp_path_factory):
     assert rows[0] == ("a", None)  # evolved column null-filled for old files
     assert rows[7] == ("b", 14)
     assert len(rows) == 10
+
+
+def test_xml_roundtrip_with_explicit_schema(spark, sf_smoke, tmp_path_factory):
+    """[ext] XML sink/scan roundtrip (Spark 4 built-in StAX source):
+    explicit schema preserves types; values survive bit-for-bit."""
+    from pyspark.sql import types as T
+
+    from similarity_analysis_big_data_spark.sources.readers import read_xml
+    from similarity_analysis_big_data_spark.sources.writers import write_xml
+
+    base = tmp_path_factory.mktemp("xml")
+    nation = load_table(spark, sf_smoke, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_xml(nation, str(base / "nation_xml"), row_tag="nation")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    back = read_xml(spark, str(base / "nation_xml"), schema, row_tag="nation")
+    assert back.count() == nation.count()
+    orig = {(r["n_nationkey"], r["n_name"], r["n_regionkey"]) for r in nation.collect()}
+    got = {(r["n_nationkey"], r["n_name"], r["n_regionkey"]) for r in back.collect()}
+    assert got == orig
+    assert all(r["_corrupt_record"] is None for r in back.collect())
