@@ -239,3 +239,161 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s"), 2).cast("double").alias("total_price"),
         F.round(F.col("s").cast("double") / F.col("n_orders"), 4).alias("avg_price"),
     )
+
+
+@register(
+    "window_running_distinct_types",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN row_number() OVER (
+                            PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) = 1
+                        THEN 1 ELSE 0 END AS is_first
+            FROM events
+        )
+        SELECT user_id, event_id,
+               CAST(sum(is_first) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS distinct_types_so_far
+        FROM firsts
+    """,
+    doc="[ext] running DISTINCT count per user (distinct event types seen "
+    "so far): COUNT(DISTINCT) is not frameable in either engine, so it is "
+    "recast as a running SUM over first-occurrence flags — two stacked "
+    "windows sharing one user_id shuffle.",
+)
+def window_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: both windows partition by user_id, so one Exchange serves
+    the pair (the inner window's (user_id, event_type) partitioning is a
+    prefix-compatible sort within the same hash partitioning). State per
+    row is one flag — no per-row distinct set is ever materialized."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "is_first",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("is_first").over(w_run).cast("long").alias("distinct_types_so_far"),
+        )
+    )
+
+
+@register(
+    "markov_event_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+            FROM events
+        ),
+        trans AS (
+            SELECT event_type AS src, next_type AS dst, count(*) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT src, dst, CAST(n AS BIGINT) AS n,
+               round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6)
+                   AS p_next
+        FROM trans
+    """,
+    doc="[ext] first-order Markov transition matrix over per-user event "
+    "sequences: P(next event type | current) — the session-behavior model "
+    "behind next-action prediction and anomaly scoring.",
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the lead window shuffles the event stream once on user_id;
+    everything after is |types|²-sized (the transition matrix), where the
+    normalizing window is trivially small. No self-join of the stream —
+    adjacency comes from the window, not a join."""
+    ev = load_table(spark, sf_dir, "events")
+    w_seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w_seq))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count("*").alias("n"))
+    )
+    w_norm = W.partitionBy("src")
+    return trans.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_norm), 6).alias("p_next"),
+    )
+
+
+RFM_BUCKETS = 4
+RFM_REF_DATE = "1998-12-01"
+
+
+@register(
+    "rfm_customer_segments",
+    oracle=f"""
+        WITH rfm AS (
+            SELECT o_custkey AS custkey,
+                   date_diff('day', CAST(max(o_orderdate) AS DATE),
+                             DATE '{RFM_REF_DATE}') AS recency_days,
+                   count(*) AS frequency,
+                   round(sum(o_totalprice), 2) AS monetary
+            FROM orders GROUP BY 1
+        )
+        SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+               CAST(frequency AS BIGINT) AS frequency, monetary,
+               CAST(ntile({RFM_BUCKETS}) OVER (ORDER BY recency_days, custkey)
+                    AS BIGINT) AS r_score,
+               CAST(ntile({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, custkey)
+                    AS BIGINT) AS f_score,
+               CAST(ntile({RFM_BUCKETS}) OVER (ORDER BY monetary DESC, custkey)
+                    AS BIGINT) AS m_score
+        FROM rfm
+    """,
+    doc="[ext] RFM segmentation: per-customer recency/frequency/monetary "
+    f"with ntile({RFM_BUCKETS}) scores on each axis (ties broken by "
+    "custkey so bucket membership is engine-independent) — the classic "
+    "customer-value segmentation built from one aggregate plus ranking "
+    "windows.",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: orders reduce to customer grain in one hash agg; the three
+    global ntile windows run on the customer-sized relation. Global
+    ntile is the one single-partition stage — at 100 TB the same scores
+    come from approx-quantile bucket boundaries broadcast back (the
+    stable_doc_reindex pattern); stated here, exact windows kept because
+    scores must be exact for the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    ref = F.lit(RFM_REF_DATE).cast("date")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(ref, F.max("o_orderdate").cast("date")).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    return rfm.select(
+        "custkey",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+        F.ntile(RFM_BUCKETS)
+        .over(W.orderBy("recency_days", "custkey"))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(RFM_BUCKETS)
+        .over(W.orderBy(F.desc("frequency"), "custkey"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(RFM_BUCKETS)
+        .over(W.orderBy(F.desc("monetary"), "custkey"))
+        .cast("long")
+        .alias("m_score"),
+    )

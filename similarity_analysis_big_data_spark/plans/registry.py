@@ -109,6 +109,9 @@ PRIORITY: tuple[str, ...] = (
     "merge_upsert_customer_state",
     "vocab_oov_rates",
     "tokenize_corpus_to_ids",
+    "window_running_distinct_types",
+    "markov_event_transitions",
+    "rfm_customer_segments",
 )
 
 
