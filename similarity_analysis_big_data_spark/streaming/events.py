@@ -116,6 +116,7 @@ def interval_join_stream(
     purchases: DataFrame,
     band_minutes: int = 30,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """STREAM-STREAM inner join: every purchase within ``band_minutes`` after
     a click by the same user — the streaming twin of the batch
@@ -126,7 +127,14 @@ def interval_join_stream(
     dropped once the purchase-side watermark passes click_ts + band (inner
     joins additionally emit matches eagerly, without waiting for the
     watermark). Without the time bound the state store would grow without
-    limit — the unbounded-state trap of naive stream joins."""
+    limit — the unbounded-state trap of naive stream joins.
+
+    ``how="left_outer"`` adds the unmatched-click rows: an outer result can
+    only be emitted once the watermark proves no matching purchase can
+    still arrive, so null rows trail the eager inner matches by the
+    watermark delay — clicks younger than (watermark + band) at end of
+    input remain in state and are never emitted. That cutoff is inherent
+    to watermarked outer joins, not an implementation quirk."""
     c = (
         clicks.filter(F.col("event_type") == "click")
         .withWatermark("ts", watermark)
@@ -141,13 +149,14 @@ def interval_join_stream(
         "c.user_id = p.user_id AND p.ts > c.ts "
         f"AND p.ts <= c.ts + interval {band_minutes} minutes"
     )
-    return c.join(p, cond).select(
+    return c.join(p, cond, how).select(
         F.col("c.event_id").alias("click_id"),
         F.col("p.event_id").alias("purchase_id"),
         F.col("c.user_id").alias("user_id"),
         F.timestamp_diff("MICROSECOND", F.col("c.ts"), F.col("p.ts")).alias(
             "micros_to_purchase"
         ),
+        F.col("c.ts").alias("click_ts"),
     )
 
 

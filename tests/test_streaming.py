@@ -289,3 +289,56 @@ def test_idempotent_sink_replay_converges(spark, sf_smoke, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == n_events  # no duplication
     assert got.select("event_id").distinct().count() == n_events
+
+
+def test_stream_stream_left_outer_join_emits_expired_unmatched(spark, sf_smoke):
+    """LEFT OUTER stream-stream join: matched pairs equal the batch
+    interval join exactly; unmatched clicks emit with null purchase once
+    the watermark proves no in-band purchase can still arrive. Clicks
+    younger than (watermark delay + band) at end of input stay buffered —
+    the documented outer-join cutoff — so the expected null set is the
+    batch anti-set filtered to clicks the final watermark expired."""
+    import datetime as dt
+
+    from similarity_analysis_big_data_spark.sources.readers import load_table
+    from similarity_analysis_big_data_spark.streaming.events import (
+        interval_join_stream,
+        read_event_stream,
+    )
+
+    band_min, wm_hours = 30, 2
+    joined = interval_join_stream(
+        read_event_stream(spark, sf_smoke),
+        read_event_stream(spark, sf_smoke),
+        band_minutes=band_min,
+        watermark=f"{wm_hours} hours",
+        how="left_outer",
+    )
+    got = run_to_memory(joined, "stream_interval_left_join").collect()
+
+    stream_matched = {
+        (r["click_id"], r["purchase_id"]) for r in got if r["purchase_id"] is not None
+    }
+    stream_nulls = {r["click_id"] for r in got if r["purchase_id"] is None}
+
+    batch_pairs = QUERIES["interval_join_click_purchase"].fn(spark, sf_smoke).collect()
+    batch_matched = {(r["click_id"], r["purchase_id"]) for r in batch_pairs}
+    assert stream_matched == batch_matched
+
+    # Soundness: a null row may only appear for a click no purchase ever
+    # matched (outer rows must never contradict the inner join).
+    ev = load_table(spark, sf_smoke, "events")
+    clicks = {r["event_id"]: r["ts"] for r in ev.filter(F.col("event_type") == "click").collect()}
+    matched_click_ids = {c for c, _ in batch_matched}
+    unmatched = set(clicks) - matched_click_ids
+    assert stream_nulls <= unmatched
+
+    # Completeness (conservative): eviction trails the watermark by up to
+    # one micro-batch, so assert only that every unmatched click older
+    # than (2 x delay + band) before max event time was emitted — the
+    # bound that holds regardless of where batch boundaries fell.
+    max_ts = max(clicks.values())
+    safe_cutoff = max_ts - dt.timedelta(hours=2 * wm_hours, minutes=band_min)
+    must_emit = {cid for cid in unmatched if clicks[cid] < safe_cutoff}
+    assert must_emit <= stream_nulls
+    assert stream_nulls  # non-vacuous: some clicks do expire unmatched
