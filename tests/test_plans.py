@@ -422,3 +422,52 @@ def test_triangle_count_collapses_fact_first(spark, sf_oracle):
     # formatted plans print each operator twice (tree + detail section)
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "SortMergeJoin Inner" in plan or "BroadcastHashJoin" in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join is the engine-native lever SCALE.md names for skewed
+    equi-joins: with one hot key dominating the left side, the runtime
+    re-plan must split the oversized partition (skew=true in the final
+    adaptive plan) instead of letting one task process the whole key.
+    Conf is scoped to a cloned session; thresholds are lowered so
+    fixture-scale data crosses the skew detector."""
+    import pyspark.sql.functions as F
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+    n_hot, n_keys = 200_000, 50
+    # payload must be incompressible and actually consumed downstream —
+    # 200k identical longs lz4-compress under the skew threshold, and a
+    # column the join doesn't need gets pruned before the shuffle
+    left = s2.range(n_hot + n_keys * 100).select(
+        F.when(F.col("id") < n_hot, F.lit(0))
+        .otherwise((F.col("id") % n_keys) + 1)
+        .alias("k"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    right = s2.range(n_keys + 1).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim")
+    )
+    # NOTE: a groupBy(k) directly after the join would pin the join's
+    # hash distribution and make AQE refuse to split (splitting breaks
+    # the downstream requirement) — a global aggregate imposes none.
+    # max(payload) — count(payload) on a non-null column is rewritten to
+    # count(1) and the column pruned anyway
+    joined = left.join(right, "k").agg(
+        F.count("*").alias("n"), F.max(F.col("payload")).alias("mp")
+    )
+    # collect() executes THIS DataFrame's queryExecution (first() would
+    # plan a separate limited query and leave this one unexecuted)
+    total = joined.collect()[0]["n"]
+    assert total == n_hot + n_keys * 100  # every left row matches exactly once
+    final_plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in final_plan, (
+        "AQE did not split the hot partition:\n" + final_plan[:2000]
+    )

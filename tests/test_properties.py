@@ -389,3 +389,64 @@ def test_containment_detects_subset_docs(spark):
     for r in rows[:25]:
         a, b = docs[r["id_l"]], docs[r["id_r"]]
         assert r["containment"] == pytest.approx(len(a & b) / len(a), abs=1e-6)
+
+
+def test_tokenize_to_ids_roundtrip(spark):
+    """Decode invariant: mapping a document's token_ids back through the
+    vocabulary reproduces exactly its in-vocab tokens in order, and every
+    -1 lines up with an out-of-vocab token."""
+    import re as _re
+
+    from similarity_analysis_big_data_spark.plans.lm import (
+        UNK_ID,
+        VOCAB_SIZE,
+        tokenize_corpus_to_ids,
+    )
+    from similarity_analysis_big_data_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["doc_id"]: r["token_ids"] for r in tokenize_corpus_to_ids(spark, sf).collect()}
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, sf, "documents").collect()}
+
+    # reference vocabulary built driver-side with the same (count desc,
+    # term asc) ranking
+    from collections import Counter
+
+    def toks(text):
+        return [t for t in _re.split(r"\W+", text.lower()) if t]
+
+    counts = Counter()
+    for text in docs.values():
+        counts.update(toks(text))
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_SIZE]
+    vocab = {term: i for i, (term, _) in enumerate(ranked)}
+
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        want = [vocab.get(t, UNK_ID) for t in toks(text)]
+        have = [int(x) for x in got[doc_id].split(",")] if got[doc_id] else []
+        assert have == want, f"doc {doc_id}: id sequence diverges"
+
+
+def test_bpe_pair_counts_match_reference(spark):
+    """The top BPE merge-pair counts equal a driver-side recomputation of
+    frequency-weighted adjacent char pairs."""
+    import re as _re
+    from collections import Counter
+
+    from similarity_analysis_big_data_spark.plans.lm import bpe_merge_pairs
+    from similarity_analysis_big_data_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r["sym_pair"]): (r["pair_count"], r["rnk"]) for r in bpe_merge_pairs(spark, sf).collect()}
+
+    wf = Counter()
+    for r in load_table(spark, sf, "documents").collect():
+        wf.update(t for t in _re.split(r"\W+", r["text"].lower()) if t)
+    pairs = Counter()
+    for word, w in wf.items():
+        for i in range(len(word) - 1):
+            pairs[word[i : i + 2]] += w
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+    for rnk, (pair, cnt) in enumerate(want, start=1):
+        assert got[pair] == (cnt, rnk)
