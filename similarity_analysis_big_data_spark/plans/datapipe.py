@@ -705,3 +705,128 @@ def merge_upsert_customer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("action"),
         )
     )
+
+
+@register(
+    "explode_variants_battery",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^\w]+'),
+                               x -> len(x) > 12) AS long_toks
+            FROM documents
+        ),
+        -- explode_outer: empty arrays keep their row with a NULL element;
+        -- DuckDB's unnest drops them, so union the empties back
+        exploded AS (
+            SELECT doc_id,
+                   unnest(long_toks) AS tok,
+                   unnest(range(1, len(long_toks) + 1)) AS pos
+            FROM t WHERE len(long_toks) > 0
+            UNION ALL
+            SELECT doc_id, NULL AS tok, NULL AS pos
+            FROM t WHERE len(long_toks) = 0
+        )
+        SELECT doc_id,
+               CAST(pos AS BIGINT) AS pos,
+               tok
+        FROM exploded
+    """,
+    doc="[ext] U3 explode-variant semantics: posexplode_outer keeps a "
+    "(NULL, NULL) row for documents whose filtered token array is empty — "
+    "the row-preserving flatten an engine must offer so downstream "
+    "left-join accounting doesn't silently lose parents (DuckDB's unnest "
+    "drops empties; the oracle unions them back).",
+)
+def explode_variants_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: map-side Generate with outer=true — one scan, zero
+    shuffles; the empty-array rows cost nothing extra."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.filter(tokenize(F.lower("text")), lambda x: F.length(x) > 12).alias("long_toks"),
+    )
+    return t.select(
+        "doc_id",
+        F.posexplode_outer("long_toks").alias("pos0", "tok"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),  # oracle range() is 1-based
+        "tok",
+    )
+
+
+# 10% bump in exact integer cents: double-rounding of x*1.1 lands on
+# half-way ties that the two engines break differently
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+        WITH cents AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders
+        ),
+        v1 AS (
+            SELECT o_orderkey, o_orderstatus, c / 100.0 AS price
+            FROM cents WHERE o_orderkey % 7 <> 0
+        ),
+        v2 AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 3 = 0
+                        THEN ((c * 11) // 10) / 100.0
+                        ELSE c / 100.0 END AS price
+            FROM cents WHERE o_orderkey % 5 <> 0
+        )
+        SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.o_orderkey IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change_type,
+               a.price AS old_price, b.price AS new_price
+        FROM v1 a FULL JOIN v2 b ON a.o_orderkey = b.o_orderkey
+        WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+           OR a.price <> b.price OR a.o_orderstatus <> b.o_orderstatus
+    """,
+    doc="[ext] snapshot diff: added / removed / changed rows between two "
+    "table versions (simulated v1/v2 of orders) via one full outer join "
+    "with value comparison — the audit primitive behind data-versioning "
+    "and reconciliation jobs.",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one key-partitioned full outer join of the two versions;
+    unchanged rows (the overwhelming majority in real diffs) are dropped
+    by the comparison predicate before anything downstream sees them.
+    Real deployments diff per partition and skip partitions whose
+    content hashes match — stated; this is the per-partition kernel."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    v1 = cents.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", (F.col("c") / 100.0).alias("price")
+    )
+    v2 = cents.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.expr("(c * 11) div 10") / 100.0
+        ).otherwise(F.col("c") / 100.0).alias("price"),
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    diff = joined.filter(
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.price") != F.col("b.price"))
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+    )
+    return diff.select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+        F.col("a.price").alias("old_price"),
+        F.col("b.price").alias("new_price"),
+    )

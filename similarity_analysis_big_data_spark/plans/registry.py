@@ -112,6 +112,8 @@ PRIORITY: tuple[str, ...] = (
     "window_running_distinct_types",
     "markov_event_transitions",
     "rfm_customer_segments",
+    "explode_variants_battery",
+    "snapshot_diff_orders",
 )
 
 
