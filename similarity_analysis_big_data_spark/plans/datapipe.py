@@ -830,3 +830,82 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.price").alias("old_price"),
         F.col("b.price").alias("new_price"),
     )
+
+
+@register(
+    "try_function_battery",
+    oracle=r"""
+        SELECT o_orderkey,
+               CASE WHEN CAST(o_orderkey % 4 AS INT) = 0 THEN NULL
+                    ELSE o_orderkey // CAST(o_orderkey % 4 AS INT) END
+                   AS safe_div,
+               TRY_CAST(split_part(o_orderpriority, '-', 1) AS BIGINT)
+                   AS prio_num,
+               TRY_CAST(o_orderpriority AS BIGINT) AS bad_cast,
+               CASE WHEN o_orderkey % 2 = 0
+                    THEN strftime(TRY_CAST(strftime(o_orderdate, '%Y-%m-%d')
+                                           AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+                    ELSE strftime(TRY_CAST('not a date' AS TIMESTAMP),
+                                  '%Y-%m-%d %H:%M:%S') END AS parsed_ts,
+               list_extract(['a', 'b'], 5) AS oob_elem
+        FROM orders
+    """,
+    doc="[ext] §2.8 ANSI-safe try_* battery: Spark 4 runs in ANSI mode "
+    "where integer division by zero, malformed casts, and bad timestamp "
+    "parses are ERRORS — try_divide / try_cast / try_to_timestamp / "
+    "try_element_at are the row-poison quarantine a pipeline needs so one "
+    "bad record nulls out instead of killing a 100 TB job.",
+)
+def try_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one scan, narrow codegen'd projection; the try_* forms cost
+    the same as their throwing counterparts."""
+    orders = load_table(spark, sf_dir, "orders")
+    divisor = (F.col("o_orderkey") % 4).cast("int")
+    return orders.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_orderkey"), divisor).cast("long").alias("safe_div"),
+        F.try_to_number(
+            F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)), F.lit("9")
+        ).cast("long").alias("prio_num"),
+        F.expr("try_cast(o_orderpriority AS BIGINT)").alias("bad_cast"),
+        F.date_format(
+            F.try_to_timestamp(
+                F.when(
+                    F.col("o_orderkey") % 2 == 0,
+                    F.date_format("o_orderdate", "yyyy-MM-dd"),
+                ).otherwise(F.lit("not a date"))
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("parsed_ts"),
+        F.try_element_at(F.array(F.lit("a"), F.lit("b")), F.lit(5)).alias("oob_elem"),
+    )
+
+
+@register(
+    "union_by_name_evolution",
+    oracle="""
+        SELECT doc_id, lang, source, n_chars, NULL AS quality_note
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, lang, NULL AS source, NULL AS n_chars,
+               'short' AS quality_note
+        FROM documents WHERE doc_id % 2 = 1 AND n_chars < 300
+    """,
+    doc="[ext] schema-evolution union: two relations with different "
+    "column sets combined by NAME (missing columns null-filled) — "
+    "unionByName(allowMissingColumns=True), the append path when a feed "
+    "adds or drops columns mid-stream; positional UNION would silently "
+    "misalign.",
+)
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: pure narrow union — no shuffle; the null-fill is a literal
+    projection per branch."""
+    docs = load_table(spark, sf_dir, "documents")
+    old_feed = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    new_feed = (
+        docs.filter((F.col("doc_id") % 2 == 1) & (F.col("n_chars") < 300))
+        .select("doc_id", "lang", F.lit("short").alias("quality_note"))
+    )
+    return old_feed.unionByName(new_feed, allowMissingColumns=True)

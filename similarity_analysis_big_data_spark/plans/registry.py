@@ -114,6 +114,8 @@ PRIORITY: tuple[str, ...] = (
     "rfm_customer_segments",
     "explode_variants_battery",
     "snapshot_diff_orders",
+    "try_function_battery",
+    "union_by_name_evolution",
 )
 
 
