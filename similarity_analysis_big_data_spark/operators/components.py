@@ -32,6 +32,7 @@ def connected_components(
     id_l: str = "id_l",
     id_r: str = "id_r",
     max_iterations: int = 20,
+    iteration_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """(id_l, id_r) undirected edges -> (id, component) with component =
     min node id reachable.
@@ -46,6 +47,20 @@ def connected_components(
     diff. Isolated nodes never appear in pairs — union the full node set
     downstream if needed (dedup_survivors does).
     """
+    spark = pairs.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(conf_key)
+    if iteration_shuffle_partitions is not None:
+        spark.conf.set(conf_key, str(iteration_shuffle_partitions))
+    try:
+        return _connected_components_loop(pairs, id_l, id_r, max_iterations)
+    finally:
+        spark.conf.set(conf_key, saved)
+
+
+def _connected_components_loop(
+    pairs: DataFrame, id_l: str, id_r: str, max_iterations: int
+) -> DataFrame:
     # materialize the pair relation ONCE before the symmetric union — both
     # union branches reference it, and without this the entire upstream
     # chain (for dedup: LSH + exact-Jaccard verify) is computed twice
@@ -107,6 +122,7 @@ def dedup_survivors(
     id_col: str,
     id_l: str = "id_l",
     id_r: str = "id_r",
+    iteration_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """The deduplicated relation: per near-dup component keep the smallest
     id; docs in no component survive untouched.
@@ -115,7 +131,10 @@ def dedup_survivors(
     (component members whose id != component min) and left_anti it away —
     the docs relation streams through one join, never widens.
     """
-    comp = connected_components(dup_pairs, id_l, id_r)
+    comp = connected_components(
+        dup_pairs, id_l, id_r,
+        iteration_shuffle_partitions=iteration_shuffle_partitions,
+    )
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

@@ -372,9 +372,12 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_pairs = jaccard_verify_candidates(toksets, "doc_id", "toks", cand).filter(
         F.col("jaccard") >= 0.5
     )
-    return dedup_survivors(docs, dup_pairs, "doc_id").select(
-        "doc_id", "lang", "source", "n_chars"
-    )
+    # the CC iteration state is label-sized, not corpus-sized: 8
+    # partitions cover it at any bench scale (production sizes this to
+    # the candidate-pair node count; see operators/components.py)
+    return dedup_survivors(
+        docs, dup_pairs, "doc_id", iteration_shuffle_partitions=8
+    ).select("doc_id", "lang", "source", "n_chars")
 
 
 # Blocked edit-distance dedup: levenshtein is O(len_a·len_b) per pair, so it
