@@ -40,6 +40,45 @@ def register_udtfs(spark) -> None:
     """Expose the UDTF to SQL: ``SELECT s.* FROM docs, LATERAL
     sentence_segments(text) s``."""
     spark.udtf.register("sentence_segments", SentenceSegments)
+    if SplitToColumns is not None:
+        spark.udtf.register("split_to_columns", SplitToColumns)
 
 
-__all__ = ["SentenceSegments", "register_udtfs"]
+__all__ = ["SentenceSegments", "SplitToColumns", "register_udtfs"]
+
+
+# Polymorphic UDTF: output schema computed at ANALYSIS time from a constant
+# argument (Spark 4 ``analyze()`` static analysis) — the contract that lets
+# one UDTF serve schemas the caller chooses per query.
+try:  # pragma: no cover - import shape varies across 4.x
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    @udtf
+    class SplitToColumns:
+        """Split a string on whitespace into the first N tokens as N typed
+        columns ``tok0..tok{N-1}`` (padding with NULL): N is a literal
+        argument, so ``analyze()`` derives the output schema statically and
+        the query compiles with real column names/types."""
+
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if n.value is None or not isinstance(n.value, int) or n.value < 1:
+                raise ValueError("n must be a positive integer literal")
+            return AnalyzeResult(
+                StructType(
+                    [StructField(f"tok{i}", StringType()) for i in range(n.value)]
+                    + [StructField("n_found", IntegerType())]
+                )
+            )
+
+        def eval(self, text: str, n: int):  # noqa: D102 — Spark contract
+            toks = (text or "").split()
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n)) + (
+                min(len(toks), n),
+            )
+
+    _HAVE_ANALYZE = True
+except ImportError:  # pragma: no cover
+    SplitToColumns = None
+    _HAVE_ANALYZE = False

@@ -383,3 +383,67 @@ def test_trained_pq_beats_seed_codebooks(spark):
     ]
     assert len(seed) == len(trained) > 0
     assert sum(trained) / len(trained) > sum(seed) / len(seed)
+
+
+def test_polymorphic_udtf_analyze_schema(spark):
+    """Spark 4 UDTF static analysis: the output schema is computed from a
+    constant argument at analysis time (tok0..tokN-1 typed columns), and
+    values match a driver-side reference split."""
+    from similarity_analysis_big_data_spark.functions.udtf_ops import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two"), (3, "")],
+        "id long, text string",
+    )
+    df.createOrReplaceTempView("poly_docs")
+    out = spark.sql(
+        "SELECT d.id, s.* FROM poly_docs d, LATERAL split_to_columns(d.text, 3) s"
+    )
+    assert out.columns == ["id", "tok0", "tok1", "tok2", "n_found"]
+    rows = {r["id"]: (r["tok0"], r["tok1"], r["tok2"], r["n_found"]) for r in out.collect()}
+    assert rows[1] == ("alpha", "beta", "gamma", 3)
+    assert rows[2] == ("one", "two", None, 2)
+    assert rows[3] == (None, None, None, 0)
+
+
+def test_apply_in_arrow_matches_builtin_agg(spark):
+    """groupBy().applyInArrow (the zero-pandas grouped-map surface): a
+    per-group Arrow-table normalization matches the Catalyst window
+    formulation exactly."""
+    import pyarrow as pa
+
+    from similarity_analysis_big_data_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("n_chars")
+    )
+
+    def center(table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mean = pc.mean(table.column("n_chars"))
+        centered = pc.subtract(table.column("n_chars"), mean)
+        return pa.table(
+            {
+                "doc_id": table.column("doc_id"),
+                "lang": table.column("lang"),
+                "centered": centered,
+            }
+        )
+
+    got = {
+        (r["doc_id"]): round(r["centered"], 9)
+        for r in docs.groupBy("lang")
+        .applyInArrow(center, schema="doc_id long, lang string, centered double")
+        .collect()
+    }
+    from pyspark.sql import Window as W
+
+    want = {
+        r["doc_id"]: round(r["centered"], 9)
+        for r in docs.withColumn(
+            "centered", F.col("n_chars") - F.avg("n_chars").over(W.partitionBy("lang"))
+        ).collect()
+    }
+    assert got == want
