@@ -1115,6 +1115,7 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_graph_edges",
+    headline=True,
     oracle="WITH " + _KNN_EDGES_CTES + "\n    SELECT src_id, dst_id, cosine, rnk FROM edges",
     doc=f"[ext] kNN-graph construction: every participating vector's top-"
     f"{KNN_GRAPH_K} neighbors within its IVF cell — the edge list that "

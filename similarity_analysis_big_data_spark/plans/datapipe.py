@@ -909,3 +909,37 @@ def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.lit("short").alias("quality_note"))
     )
     return old_feed.unionByName(new_feed, allowMissingColumns=True)
+
+
+@register(
+    "hll_sketch_merge_users",
+    oracle=None,  # Datasketches HLL estimates cannot hash-match an exact engine
+    doc="[ext] mergeable distinct-count sketches (Apache DataSketches HLL): "
+    "per-event-type user sketches built in one pass, then UNION-merged to a "
+    "global estimate — the incremental-distinct pattern where yesterday's "
+    "sketches merge with today's instead of rescanning history. Rows-only "
+    "by design (approximate); accuracy and merge associativity are "
+    "property-tested in tests/test_operators.py.",
+)
+def hll_sketch_merge_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: sketches are fixed-size (lgConfigK=12 -> 4 KiB) regardless
+    of cardinality, so the per-type partial states and the final merge
+    move kilobytes where exact distinct moves the key universe. This is
+    THE pattern for distinct-users-per-X over 100 TB of events."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 12).alias("sketch"),
+        F.count("*").alias("n_events"),
+    )
+    merged = per_type.agg(
+        F.hll_union_agg("sketch").alias("sketch"),
+        F.sum("n_events").alias("n_events"),
+    ).select(F.lit("ALL").alias("event_type"), "sketch", "n_events")
+    return (
+        per_type.unionByName(merged)
+        .select(
+            "event_type",
+            F.round(F.hll_sketch_estimate("sketch"), 0).cast("long").alias("approx_users"),
+            "n_events",
+        )
+    )

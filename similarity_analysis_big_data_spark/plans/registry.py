@@ -116,6 +116,7 @@ PRIORITY: tuple[str, ...] = (
     "snapshot_diff_orders",
     "try_function_battery",
     "union_by_name_evolution",
+    "hll_sketch_merge_users",
 )
 
 

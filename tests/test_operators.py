@@ -447,3 +447,23 @@ def test_apply_in_arrow_matches_builtin_agg(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_hll_sketch_estimates_and_merge(spark):
+    """DataSketches HLL: per-type estimates within 5% of exact distinct
+    counts, and the UNION-merged sketch estimates the global distinct —
+    the mergeability property that makes sketches incremental."""
+    from similarity_analysis_big_data_spark.plans.datapipe import hll_sketch_merge_users
+    from similarity_analysis_big_data_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r["approx_users"] for r in hll_sketch_merge_users(spark, sf).collect()}
+    ev = load_table(spark, sf, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
