@@ -492,3 +492,74 @@ def passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_shared") / F.col("n_windows"), 6).alias("shared_frac"),
         )
     )
+
+
+@register(
+    "dedup_paragraphs_reassemble",
+    oracle=r"""
+        WITH sent AS (
+            SELECT doc_id,
+                   trim(unnest(regexp_split_to_array(text, '[.!?]+'))) AS s,
+                   unnest(range(1, len(regexp_split_to_array(text, '[.!?]+')) + 1))
+                       AS pos
+            FROM documents
+        ),
+        nonempty AS (
+            SELECT doc_id, s, pos FROM sent WHERE s <> ''
+        ),
+        shared AS (
+            SELECT lower(s) AS key, count(DISTINCT doc_id) AS nd
+            FROM nonempty GROUP BY 1
+        )
+        SELECT n.doc_id,
+               count(*) AS n_sentences,
+               CAST(sum(CASE WHEN sh.nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               coalesce(string_agg(CASE WHEN sh.nd = 1 THEN n.s END, '. '
+                                   ORDER BY n.pos), '') AS cleaned_text
+        FROM nonempty n JOIN shared sh ON lower(n.s) = sh.key
+        GROUP BY n.doc_id
+    """,
+    doc="[ext] CCNet/C4-style boilerplate removal: sentences appearing in "
+    "MORE THAN ONE document are cut, and each document is reassembled "
+    "from its surviving sentences in original order — sub-document dedup "
+    "with order-preserving reconstruction, the step that strips shared "
+    "headers/footers from a crawl.",
+)
+def dedup_paragraphs_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: sentences explode map-side with positions; the shared-count
+    relation is keyed by sentence hash (vocabulary-of-sentences sized)
+    and joins back BROADCAST for crawl-boilerplate distributions (a few
+    hot shared sentences, most unique — if the unique tail is huge the
+    join flips to shuffle on the sentence key, still never all-pairs).
+    Reassembly is the same array_sort-over-(pos, s) shape as the corpus
+    encode — no corpus-sized window."""
+    docs = load_table(spark, sf_dir, "documents")
+    sent = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"[.!?]+")).alias("pos", "s_raw"),
+    ).select("doc_id", "pos", F.trim("s_raw").alias("s")).filter(F.col("s") != "")
+    shared = sent.groupBy(F.lower("s").alias("key")).agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    joined = sent.withColumn("key", F.lower("s")).join(F.broadcast(shared), "key")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_sentences"),
+        F.sum(F.when(F.col("nd") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("nd") == 1, F.struct("pos", "s")).otherwise(
+                                F.lit(None)
+                            )
+                        )
+                    ),
+                    lambda x: x.s,
+                ),
+                ". ",
+            ),
+            F.lit(""),
+        ).alias("cleaned_text"),
+    )

@@ -117,6 +117,7 @@ PRIORITY: tuple[str, ...] = (
     "try_function_battery",
     "union_by_name_evolution",
     "hll_sketch_merge_users",
+    "dedup_paragraphs_reassemble",
 )
 
 
