@@ -32,10 +32,12 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _VOCAB = (
@@ -215,3 +217,134 @@ class SyntheticEventsDataSource(DataSource):
 def register_synthetic_events(spark) -> None:
     """Idempotent registration: ``spark.readStream.format('synthetic_events')``."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# ---- jsonl_dir: Python DataSource WRITER with an atomic commit protocol ----
+
+_MANIFEST = "_MANIFEST.json"
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    """WriterCommitMessage payload: one temp file written by one task."""
+
+    tmp_path: str
+    rows: int
+
+
+class JsonlDirWriter(DataSourceWriter):
+    """Task-side writer: each task writes a uniquely-named TEMP file and
+    returns it in its commit message. Nothing becomes visible until the
+    driver's ``commit()`` renames the temp files and writes the manifest —
+    so a retried/zombie task's orphan file is simply never manifested.
+    This is the same two-phase rename-free protocol cloud-storage
+    committers use (manifest = the atomic pointer)."""
+
+    def __init__(self, options: dict, schema_str: str, field_names: list[str], overwrite: bool) -> None:
+        self.path = options["path"]
+        self.schema_str = schema_str
+        self.field_names = field_names
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(self.field_names, row))) + "\n")
+                n += 1
+        return _FileCommit(tmp_path=tmp, rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        finals = []
+        total = 0
+        for i, msg in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(msg.tmp_path, final)
+            finals.append(os.path.basename(final))
+            total += msg.rows
+        manifest = {
+            "schema": self.schema_str,
+            "files": finals,
+            "rows": total,
+            "columns": self.field_names,
+        }
+        tmp_manifest = os.path.join(self.path, _MANIFEST + ".tmp")
+        with open(tmp_manifest, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp_manifest, os.path.join(self.path, _MANIFEST))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for msg in messages:
+            try:
+                os.remove(msg.tmp_path)
+            except FileNotFoundError:
+                pass
+
+
+class JsonlDirReader(DataSourceReader):
+    """Committed-files-only read path: rows come from exactly the files the
+    manifest names — uncommitted temp files are invisible even if they
+    survived a crash."""
+
+    def __init__(self, options: dict) -> None:
+        import json
+        import os
+
+        self.path = options["path"]
+        with open(os.path.join(self.path, _MANIFEST), encoding="utf-8") as fh:
+            self.manifest = json.load(fh)
+
+    def partitions(self):
+        return [InputPartition(f) for f in self.manifest["files"]]
+
+    def read(self, partition):
+        import json
+        import os
+
+        cols = self.manifest["columns"]
+        with open(os.path.join(self.path, partition.value), encoding="utf-8") as fh:
+            for line in fh:
+                rec = json.loads(line)
+                yield tuple(rec[c] for c in cols)
+
+
+class JsonlDirDataSource(DataSource):
+    """``jsonl_dir``: manifest-committed JSONL directory (batch write+read)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def schema(self) -> str:
+        import json
+        import os
+
+        with open(os.path.join(self.options["path"], _MANIFEST), encoding="utf-8") as fh:
+            return json.load(fh)["schema"]
+
+    def reader(self, schema) -> JsonlDirReader:
+        return JsonlDirReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> JsonlDirWriter:
+        return JsonlDirWriter(
+            self.options,
+            schema.simpleString()[7:-1].replace(":", " "),  # struct<a:t,b:u> -> a t,b u
+            [f.name for f in schema.fields],
+            overwrite,
+        )
+
+
+def register_jsonl_dir(spark) -> None:
+    """Idempotent registration of the ``jsonl_dir`` batch write+read source."""
+    spark.dataSource.register(JsonlDirDataSource)

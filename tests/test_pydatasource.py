@@ -91,3 +91,42 @@ def test_stream_source_one_batch_deterministic(spark, tmp_path):
     rows = sorted(spark.sql("SELECT * FROM synth_events_once").collect())
     assert len(rows) == 40
     assert [tuple(r) for r in rows] == [_event_row(i) for i in range(40)]
+
+
+def test_jsonl_dir_writer_commit_protocol(spark, tmp_path):
+    """Python DataSource WRITER: values round-trip through the manifest-
+    committed JSONL sink; only manifested files are readable; an orphan
+    temp file (simulating a failed/zombie task) stays invisible."""
+    import json
+    import os
+
+    from similarity_analysis_big_data_spark.sources.pydatasource import (
+        register_jsonl_dir,
+    )
+
+    register_jsonl_dir(spark)
+    path = str(tmp_path / "sink")
+    df = spark.range(100).select(
+        F.col("id"),
+        F.md5(F.col("id").cast("string")).alias("digest"),
+        (F.col("id") * 0.5).alias("score"),
+    )
+    df.repartition(4).write.format("jsonl_dir").option("path", path).mode(
+        "append"
+    ).save()
+
+    manifest = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert manifest["rows"] == 100 and len(manifest["files"]) == 4
+    assert sorted(manifest["columns"]) == ["digest", "id", "score"]
+    # no temp files leaked past commit
+    assert not [f for f in os.listdir(path) if f.startswith("_tmp-")]
+
+    # drop an orphan "zombie task" file — the manifest-driven reader must
+    # not see it
+    with open(os.path.join(path, "_tmp-zombie.jsonl"), "w") as fh:
+        fh.write(json.dumps({"id": 999_999, "digest": "x", "score": 0.0}) + "\n")
+
+    back = spark.read.format("jsonl_dir").option("path", path).load()
+    got = {(r["id"], r["digest"], r["score"]) for r in back.collect()}
+    want = {(r["id"], r["digest"], r["score"]) for r in df.collect()}
+    assert got == want
