@@ -1162,3 +1162,173 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+# ---- Matryoshka truncation + retrieve-then-rerank ---------------------------
+
+MRL_DIM = 16  # truncated prefix dimensionality (of 64)
+RERANK_CAND = 20  # stage-1 candidates per query before full-dim rerank
+
+
+@register(
+    "ann_matryoshka_recall_at_k",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv,
+                   embedding[1:{MRL_DIM}] AS qt
+            FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+        ),
+        c AS (
+            SELECT vec_id, embedding AS cv, embedding[1:{MRL_DIM}] AS ct
+            FROM embeddings
+        ),
+        full_topk AS (
+            SELECT query_id, vec_id, rnk FROM (
+                SELECT q.query_id, c.vec_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY round({cosine_sql('q.qv', 'c.cv')}, 6) DESC,
+                                    c.vec_id) AS rnk
+                FROM q JOIN c ON c.vec_id <> q.query_id
+            ) WHERE rnk <= {TOP_K}
+        ),
+        trunc_topk AS (
+            SELECT query_id, vec_id, rnk FROM (
+                SELECT q.query_id, c.vec_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY round({cosine_sql('q.qt', 'c.ct')}, 6) DESC,
+                                    c.vec_id) AS rnk
+                FROM q JOIN c ON c.vec_id <> q.query_id
+            ) WHERE rnk <= {TOP_K}
+        )
+        SELECT f.query_id,
+               round(CAST(count(t.vec_id) AS DOUBLE) / {TOP_K}, 6)
+                   AS recall_at_k
+        FROM full_topk f LEFT JOIN trunc_topk t
+          ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+        GROUP BY f.query_id
+    """,
+    doc=f"[ext] Matryoshka truncation recall: top-{TOP_K} under the "
+    f"first-{MRL_DIM}-dim prefix cosine vs the full 64-dim ground truth, "
+    "per query — the measurement that decides how far MRL-style embedding "
+    "truncation can cut index size before recall pays.",
+)
+def ann_matryoshka_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: truncation is a zero-copy slice (no re-embedding, no extra
+    scan); both rankings share the query broadcast, and recall joins two
+    query-keyed top-k relations — query-sized, not corpus-sized. The
+    production win this measures: a {MRL_DIM}/64 prefix index is 4x
+    smaller and the full-dim vectors are only touched by rerank paths."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.slice("embedding", 1, MRL_DIM).alias("qt"),
+    )
+    c = emb.select(
+        "vec_id",
+        F.col("embedding").alias("cv"),
+        F.slice("embedding", 1, MRL_DIM).alias("ct"),
+    )
+
+    def topk(qcol: str, ccol: str) -> DataFrame:
+        scored = (
+            c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(cosine_similarity(qcol, ccol), 6).alias("cos"),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+        return scored.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") <= TOP_K
+        )
+
+    full = topk("qv", "cv").select("query_id", "vec_id")
+    trunc = topk("qt", "ct").select(
+        F.col("query_id").alias("t_qid"), F.col("vec_id").alias("t_vid")
+    )
+    return (
+        full.join(
+            trunc,
+            (F.col("query_id") == F.col("t_qid")) & (F.col("vec_id") == F.col("t_vid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.round(F.count("t_vid").cast("double") / TOP_K, 6).alias("recall_at_k")
+        )
+    )
+
+
+@register(
+    "ann_rerank_two_stage",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv,
+                   embedding[1:{MRL_DIM}] AS qt
+            FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+        ),
+        c AS (
+            SELECT vec_id, embedding AS cv, embedding[1:{MRL_DIM}] AS ct
+            FROM embeddings
+        ),
+        stage1 AS (
+            SELECT query_id, vec_id, qv, cv FROM (
+                SELECT q.query_id, c.vec_id, q.qv, c.cv,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY round({cosine_sql('q.qt', 'c.ct')}, 6) DESC,
+                                    c.vec_id) AS rnk
+                FROM q JOIN c ON c.vec_id <> q.query_id
+            ) WHERE rnk <= {RERANK_CAND}
+        )
+        SELECT query_id, vec_id AS neighbor_id, cosine, rnk FROM (
+            SELECT query_id, vec_id,
+                   round({cosine_sql('qv', 'cv')}, 6) AS cosine,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY round({cosine_sql('qv', 'cv')}, 6) DESC,
+                                vec_id) AS rnk
+            FROM stage1
+        ) WHERE rnk <= {TOP_K}
+    """,
+    doc=f"[ext] retrieve-then-rerank: stage 1 ranks by the cheap "
+    f"{MRL_DIM}-dim prefix cosine and keeps {RERANK_CAND} candidates; "
+    f"stage 2 reranks ONLY those by full-dim cosine for the final "
+    f"top-{TOP_K} — the two-stage shape every production retrieval "
+    "system uses (cheap index metric, expensive exact metric on a "
+    "bounded candidate set).",
+)
+def ann_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the expensive full-dim metric touches RERANK_CAND rows per
+    query instead of the corpus; stage 1 is the prefix-index scan (IVF/
+    LSH-prunable like every other index path here). The rerank stage is
+    query-keyed WindowGroupLimit on a candidate-sized relation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.slice("embedding", 1, MRL_DIM).alias("qt"),
+    )
+    c = emb.select(
+        "vec_id",
+        F.col("embedding").alias("cv"),
+        F.slice("embedding", 1, MRL_DIM).alias("ct"),
+    )
+    w1 = W.partitionBy("query_id").orderBy(
+        F.desc(F.round(cosine_similarity("qt", "ct"), 6)), F.asc("vec_id")
+    )
+    stage1 = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("rnk", F.row_number().over(w1))
+        .filter(F.col("rnk") <= RERANK_CAND)
+        .select("query_id", "vec_id", "qv", "cv")
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.desc(F.round(cosine_similarity("qv", "cv"), 6)), F.asc("vec_id")
+    )
+    return (
+        stage1.withColumn("cosine", F.round(cosine_similarity("qv", "cv"), 6))
+        .withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rnk")
+    )

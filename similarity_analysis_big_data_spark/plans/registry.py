@@ -118,6 +118,8 @@ PRIORITY: tuple[str, ...] = (
     "union_by_name_evolution",
     "hll_sketch_merge_users",
     "dedup_paragraphs_reassemble",
+    "ann_matryoshka_recall_at_k",
+    "ann_rerank_two_stage",
 )
 
 
