@@ -943,3 +943,47 @@ def hll_sketch_merge_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "aggregate_function_battery",
+    oracle=r"""
+        SELECT o_orderstatus,
+               CAST(bit_and(o_orderkey) AS BIGINT) AS key_band,
+               CAST(bit_or(o_orderkey) AS BIGINT) AS key_bor,
+               CAST(bit_xor(o_orderkey) AS BIGINT) AS key_bxor,
+               bool_and(o_totalprice > 1000) AS all_over_1k,
+               bool_or(o_totalprice > 400000) AS any_over_400k,
+               CAST(count_if(o_orderpriority LIKE '1-%') AS BIGINT)
+                   AS n_urgent,
+               CAST(min_by(o_orderkey, o_totalprice) AS BIGINT)
+                   AS cheapest_key,
+               CAST(max_by(o_orderkey, o_totalprice) AS BIGINT)
+                   AS priciest_key,
+               round(median(o_totalprice), 2) AS median_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="[ext] §2.4 aggregate battery: bitwise (bit_and/or/xor), boolean "
+    "(bool_and/bool_or), conditional count_if, arg-min/arg-max by a "
+    "DISTINCT ordering column (min_by/max_by are nondeterministic under "
+    "ties — o_totalprice ties broken by uniqueness of the fixture's "
+    "float prices), and interpolated median — one grouped aggregation, "
+    "bit-identical across engines.",
+)
+def aggregate_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: all algebraic or sketch-free aggregates with partial+final
+    hash agg except median, which is exact-percentile (full sort within
+    group at 100 TB -> swap for approx_percentile; stated trade-off)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.bit_and("o_orderkey").alias("key_band"),
+        F.bit_or("o_orderkey").alias("key_bor"),
+        F.bit_xor("o_orderkey").alias("key_bxor"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_orderpriority").like("1-%")).alias("n_urgent"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_key"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_key"),
+        F.round(F.median("o_totalprice"), 2).alias("median_price"),
+    )

@@ -120,6 +120,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_paragraphs_reassemble",
     "ann_matryoshka_recall_at_k",
     "ann_rerank_two_stage",
+    "aggregate_function_battery",
 )
 
 
