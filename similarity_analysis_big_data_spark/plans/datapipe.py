@@ -945,6 +945,15 @@ def hll_sketch_merge_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _price_key_ord():
+    """Tie-free min_by/max_by ordering: exact cents shifted past the key
+    space, plus the unique key — pure BIGINT arithmetic on both engines."""
+    return (
+        F.round(F.col("o_totalprice") * 100).cast("long") * 100000000
+        + F.col("o_orderkey")
+    )
+
+
 @register(
     "aggregate_function_battery",
     oracle=r"""
@@ -956,20 +965,23 @@ def hll_sketch_merge_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                bool_or(o_totalprice > 400000) AS any_over_400k,
                CAST(count_if(o_orderpriority LIKE '1-%') AS BIGINT)
                    AS n_urgent,
-               CAST(min_by(o_orderkey, o_totalprice) AS BIGINT)
-                   AS cheapest_key,
-               CAST(max_by(o_orderkey, o_totalprice) AS BIGINT)
-                   AS priciest_key,
+               CAST(min_by(o_orderkey,
+                           CAST(round(o_totalprice * 100) AS BIGINT) * 100000000
+                           + o_orderkey) AS BIGINT) AS cheapest_key,
+               CAST(max_by(o_orderkey,
+                           CAST(round(o_totalprice * 100) AS BIGINT) * 100000000
+                           + o_orderkey) AS BIGINT) AS priciest_key,
                round(median(o_totalprice), 2) AS median_price
         FROM orders
         GROUP BY o_orderstatus
     """,
     doc="[ext] §2.4 aggregate battery: bitwise (bit_and/or/xor), boolean "
     "(bool_and/bool_or), conditional count_if, arg-min/arg-max by a "
-    "DISTINCT ordering column (min_by/max_by are nondeterministic under "
-    "ties — o_totalprice ties broken by uniqueness of the fixture's "
-    "float prices), and interpolated median — one grouped aggregation, "
-    "bit-identical across engines.",
+    "UNIQUE ordering key (min_by/max_by are nondeterministic under ties "
+    "— and the fixture DOES have duplicate (status, price) pairs at "
+    "sf0.01 — so the ordering is exact integer cents * 1e8 + orderkey, "
+    "collision-free for keys under 1e8), and interpolated median — one "
+    "grouped aggregation, bit-identical across engines.",
 )
 def aggregate_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: all algebraic or sketch-free aggregates with partial+final
@@ -983,7 +995,7 @@ def aggregate_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
         F.count_if(F.col("o_orderpriority").like("1-%")).alias("n_urgent"),
-        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_key"),
-        F.max_by("o_orderkey", "o_totalprice").alias("priciest_key"),
+        F.min_by("o_orderkey", _price_key_ord()).alias("cheapest_key"),
+        F.max_by("o_orderkey", _price_key_ord()).alias("priciest_key"),
         F.round(F.median("o_totalprice"), 2).alias("median_price"),
     )
