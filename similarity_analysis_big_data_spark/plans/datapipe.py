@@ -999,3 +999,75 @@ def aggregate_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderkey", _price_key_ord()).alias("priciest_key"),
         F.round(F.median("o_totalprice"), 2).alias("median_price"),
     )
+
+
+@register(
+    "point_in_time_state_join",
+    oracle="""
+        WITH dedup AS (
+            SELECT user_id, ts, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_type
+            FROM events
+        ),
+        dim AS (
+            SELECT user_id, event_type AS state, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+            FROM dedup
+            WHERE prev_type IS NULL OR event_type <> prev_type
+        ),
+        fact AS (
+            SELECT event_id, user_id, ts, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT f.event_id, f.user_id,
+               strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               d.state AS state_at_purchase,
+               round(f.value, 2) AS value
+        FROM fact f
+        JOIN dim d
+          ON d.user_id = f.user_id
+         AND f.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+    doc="[ext] point-in-time join: each purchase matched to the SCD2 "
+    "state interval VALID AT ITS EVENT TIME (feature-store temporal "
+    "correctness — joining against current state instead leaks the "
+    "future into training features).",
+)
+def point_in_time_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the dimension is change-compressed (states, not events)
+    before the join, and both sides hash on user_id, so the interval
+    predicate evaluates within co-partitioned groups — never a global
+    range join. Every fact row matches exactly one interval by
+    construction (intervals partition each user's timeline)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts")
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    cond = (
+        (F.col("d_user") == F.col("user_id"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return fact.join(dim, cond).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("state").alias("state_at_purchase"),
+        F.round("value", 2).alias("value"),
+    )

@@ -121,6 +121,7 @@ PRIORITY: tuple[str, ...] = (
     "ann_matryoshka_recall_at_k",
     "ann_rerank_two_stage",
     "aggregate_function_battery",
+    "point_in_time_state_join",
 )
 
 
