@@ -1071,3 +1071,112 @@ def point_in_time_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("state").alias("state_at_purchase"),
         F.round("value", 2).alias("value"),
     )
+
+
+@register(
+    "hourly_series_interpolated",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+            FROM bounds
+        ),
+        actual AS (
+            SELECT date_trunc('hour', ts) AS hr, round(sum(value), 4) AS v
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        series AS (
+            SELECT s.hr,
+                   CAST(date_diff('hour', TIMESTAMP '1970-01-01', s.hr) AS BIGINT)
+                       AS hx,
+                   a.v
+            FROM spine s LEFT JOIN actual a ON a.hr = s.hr
+        ),
+        ctx AS (
+            SELECT hr, hx, v,
+                   last_value(v IGNORE NULLS) OVER (
+                       ORDER BY hx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN hx END IGNORE NULLS)
+                       OVER (ORDER BY hx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS px,
+                   first_value(v IGNORE NULLS) OVER (
+                       ORDER BY hx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN hx END IGNORE NULLS)
+                       OVER (ORDER BY hx
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS nx
+            FROM series
+        )
+        SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+               CAST(v IS NULL AS BIGINT) AS interpolated,
+               round(CASE
+                   WHEN v IS NOT NULL THEN v
+                   WHEN pv IS NULL THEN nv
+                   WHEN nv IS NULL THEN pv
+                   ELSE pv + (nv - pv) * (hx - px) / (nx - px)
+               END, 4) AS value
+        FROM ctx
+    """,
+    doc="[ext] time-series linear interpolation: silent hours get the "
+    "straight-line value between the nearest real observations on either "
+    "side (IGNORE NULLS window carries; edges clamp to the nearest "
+    "observation) — gap repair for downstream models that can't take "
+    "zeros as signal.",
+)
+def hourly_series_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the series relation is time-range sized, not volume sized,
+    so the single-partition ordering window is bounded by hours-of-
+    history regardless of corpus size (per-series keys partition it in
+    production). The only corpus-sized work is the hourly rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    actual = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(hour.alias("hr"))
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
+    bounds = ev.agg(F.min(hour).alias("lo"), F.max(hour).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    series = spine.join(F.broadcast(actual), "hr", "left").withColumn(
+        "hx",
+        F.expr("timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', hr)").cast(
+            "long"
+        ),
+    )
+    w_back = W.orderBy("hx").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_fwd = W.orderBy("hx").rowsBetween(W.currentRow, W.unboundedFollowing)
+    hx_if_v = F.when(F.col("v").isNotNull(), F.col("hx"))
+    ctx = series.select(
+        "hr",
+        "hx",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(hx_if_v, ignorenulls=True).over(w_back).alias("px"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(hx_if_v, ignorenulls=True).over(w_fwd).alias("nx"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("hx") - F.col("px"))
+            / (F.col("nx") - F.col("px"))
+        )
+    )
+    return ctx.select(
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
+        F.col("v").isNull().cast("long").alias("interpolated"),
+        F.round(interp, 4).alias("value"),
+    )

@@ -122,6 +122,7 @@ PRIORITY: tuple[str, ...] = (
     "ann_rerank_two_stage",
     "aggregate_function_battery",
     "point_in_time_state_join",
+    "hourly_series_interpolated",
 )
 
 
