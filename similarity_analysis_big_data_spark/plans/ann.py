@@ -1332,3 +1332,63 @@ def ann_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rnk")
     )
+
+
+@register(
+    "label_centroid_cohesion",
+    oracle=f"""
+        WITH pos AS (
+            SELECT vec_id, label,
+                   unnest(embedding) AS x,
+                   unnest(range(1, len(embedding) + 1)) AS pos
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label, pos, avg(CAST(x AS DOUBLE)) AS c
+            FROM pos GROUP BY label, pos
+        ),
+        cvecs AS (
+            SELECT label, list(c ORDER BY pos) AS cvec
+            FROM cent GROUP BY label
+        ),
+        scored AS (
+            SELECT e.label,
+                   round({cosine_sql('e.embedding', 'v.cvec')}, 6) AS cos
+            FROM embeddings e JOIN cvecs v USING (label)
+        )
+        SELECT label,
+               count(*) AS n_vecs,
+               round(avg(cos), 6) AS mean_cohesion,
+               round(min(cos), 6) AS min_cohesion
+        FROM scored GROUP BY label
+    """,
+    doc="[ext] per-label centroid cohesion: element-wise class centroids "
+    "(posexplode + (label, dim) average + ordered re-assembly) and each "
+    "vector's cosine to its own centroid — the embedding-quality probe "
+    "(tight cohesion = linearly separable classes) computed without "
+    "leaving the engine.",
+)
+def label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the exploded (vec, dim) relation is corpus x dim rows but
+    reduces immediately via partial+final agg to |labels| x dim; centroid
+    arrays re-assemble with the array_sort-over-struct shape and
+    BROADCAST back onto the corpus — one corpus-sized shuffle (the
+    explode agg), everything after is label-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    cent = pos.groupBy("label", "pos").agg(F.avg(F.col("x").cast("double")).alias("c"))
+    cvecs = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
+        ).alias("cvec")
+    )
+    scored = emb.join(F.broadcast(cvecs), "label").select(
+        "label", F.round(cosine_similarity("embedding", "cvec"), 6).alias("cos")
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("cos"), 6).alias("mean_cohesion"),
+        F.round(F.min("cos"), 6).alias("min_cohesion"),
+    )

@@ -123,6 +123,7 @@ PRIORITY: tuple[str, ...] = (
     "aggregate_function_battery",
     "point_in_time_state_join",
     "hourly_series_interpolated",
+    "label_centroid_cohesion",
 )
 
 
