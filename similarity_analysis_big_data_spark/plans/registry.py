@@ -124,6 +124,7 @@ PRIORITY: tuple[str, ...] = (
     "point_in_time_state_join",
     "hourly_series_interpolated",
     "label_centroid_cohesion",
+    "quantile_normalize_doclen",
 )
 
 

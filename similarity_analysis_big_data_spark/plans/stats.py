@@ -237,3 +237,85 @@ def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_distinct_chars"),
         F.round(F.log2(n) - F.sum(F.col("k") * F.log2("k")) / n, 6).alias("char_entropy"),
     )
+
+
+@register(
+    "quantile_normalize_doclen",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source, n_chars,
+                   percent_rank() OVER (PARTITION BY source
+                                        ORDER BY n_chars, doc_id) AS pr
+            FROM documents
+        ),
+        gq AS (
+            SELECT n_chars AS g_chars,
+                   percent_rank() OVER (ORDER BY n_chars, doc_id) AS gpr
+            FROM documents
+        )
+        SELECT r.doc_id, r.source,
+               CAST(r.n_chars AS BIGINT) AS n_chars,
+               round(r.pr, 6) AS pr,
+               CAST(g.g_chars AS BIGINT) AS norm_chars
+        FROM ranked r
+        ASOF JOIN gq g ON r.pr >= g.gpr
+    """,
+    doc="[ext] quantile normalization: each document's length is mapped to "
+    "the GLOBAL length distribution's value at the document's "
+    "within-source percent rank — removes per-source length bias before "
+    "cross-source comparisons (the microarray-normalization classic, "
+    "applied to corpus stats). Oracle states the rank lookup as a native "
+    "DuckDB ASOF JOIN; the engine uses the union+ordered-window "
+    "formulation (greatest global rank <= the doc's rank).",
+)
+def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: percent ranks are exact rational doubles ((rank-1)/(n-1) on
+    both engines, bit-identical), so the as-of lookup is exact. The
+    union+window runs a single global ordering here (documents-sized);
+    at 100 TB the global side collapses to B quantile boundaries
+    (approx_percentile) broadcast as a bucket table — the
+    stable_doc_reindex pattern — with identical join semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_src = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.percent_rank().over(w_src).alias("pr"),
+    )
+    w_glob = W.orderBy("n_chars", "doc_id")
+    glob = docs.select(
+        F.col("n_chars").alias("g_chars"),
+        F.percent_rank().over(w_glob).alias("gpr"),
+    )
+    # union+window as-of: at equal rank keys the global row sorts FIRST
+    # (flag 0 < 1), so a doc row picks up a global value whose gpr == pr
+    left = ranked.select(
+        F.col("pr").alias("k"),
+        F.lit(1).alias("flag"),
+        "doc_id",
+        "source",
+        "n_chars",
+        F.lit(None).cast("long").alias("g_chars"),
+    )
+    right = glob.select(
+        F.col("gpr").alias("k"),
+        F.lit(0).alias("flag"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("n_chars"),
+        "g_chars",
+    )
+    w_asof = W.orderBy("k", "flag", "g_chars").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    merged = left.unionByName(right).withColumn(
+        "norm_chars", F.last("g_chars", ignorenulls=True).over(w_asof)
+    )
+    return merged.filter(F.col("flag") == 1).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("k", 6).alias("pr"),
+        F.col("norm_chars").cast("long").alias("norm_chars"),
+    )
