@@ -581,3 +581,87 @@ def tokenize_corpus_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_ids"),
         )
     )
+
+
+BOOL_QUERY_TERMS = ["spark", "data", "join"]
+PHRASE = ("fast", "join")
+
+
+@register(
+    "boolean_and_retrieval",
+    oracle=_SQL_TERMS
+    + f"""
+    SELECT doc_id,
+           CAST(count(DISTINCT term) AS BIGINT) AS n_matched
+    FROM terms
+    WHERE term IN ({', '.join(chr(39) + t + chr(39) for t in BOOL_QUERY_TERMS)})
+    GROUP BY doc_id
+    HAVING count(DISTINCT term) = {len(BOOL_QUERY_TERMS)}
+    """,
+    doc=f"[ext] boolean AND retrieval: documents containing ALL of "
+    f"{BOOL_QUERY_TERMS} — the conjunctive posting-list intersection, "
+    "expressed as a filtered distinct-count (each posting list visited "
+    "once, intersection via the HAVING gate).",
+)
+def boolean_and_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the corpus-sized explode is pre-filtered to query terms
+    (query-sized rows survive), then one hash agg keyed on doc_id —
+    the same cost shape as a posting-list merge, without materializing
+    an index. With the inverted index built (inverted_index_postings),
+    the same query runs off the index instead of the corpus."""
+    terms = _doc_terms(spark, sf_dir)
+    qarr = F.array(*[F.lit(t) for t in BOOL_QUERY_TERMS])
+    return (
+        terms.filter(F.array_contains(qarr, F.col("term")))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n_matched"))
+        .filter(F.col("n_matched") == len(BOOL_QUERY_TERMS))
+    )
+
+
+@register(
+    "phrase_search_positions",
+    oracle=_SQL_TERMS.replace(
+        "terms AS (\n    SELECT doc_id, unnest(tokens) AS term FROM toks\n)",
+        """terms AS (
+    SELECT doc_id,
+           unnest(tokens) AS term,
+           unnest(range(1, len(tokens) + 1)) AS pos
+    FROM toks
+)""",
+    )
+    + f"""
+    SELECT a.doc_id,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(a.pos) AS BIGINT) AS first_pos
+    FROM terms a JOIN terms b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+    GROUP BY a.doc_id
+    """,
+    doc=f"[ext] positional phrase search: documents containing the exact "
+    f"phrase {PHRASE[0]!r} {PHRASE[1]!r} via position-adjacency join on "
+    "the positional index — the operator behind quoted-phrase queries.",
+)
+def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: both join sides are pre-filtered to ONE term each before
+    the (doc_id, pos) equi-join, so the join is posting-list sized; the
+    positional relation itself is the by-product of the same explode
+    every index build pays. Spark-side positions are 1-based to match
+    the oracle's range()."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.posexplode(tokenize(F.lower("text"))).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    a = terms.filter(F.col("term") == PHRASE[0]).select("doc_id", "pos")
+    b = terms.filter(F.col("term") == PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+    )

@@ -125,6 +125,8 @@ PRIORITY: tuple[str, ...] = (
     "hourly_series_interpolated",
     "label_centroid_cohesion",
     "quantile_normalize_doclen",
+    "boolean_and_retrieval",
+    "phrase_search_positions",
 )
 
 
