@@ -127,6 +127,8 @@ PRIORITY: tuple[str, ...] = (
     "quantile_normalize_doclen",
     "boolean_and_retrieval",
     "phrase_search_positions",
+    "langid_confusion_matrix",
+    "user_event_chisq_anomaly",
 )
 
 

@@ -566,3 +566,117 @@ def quality_logreg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("quality_score"),
         (score >= 0.5).cast("long").alias("keep"),
     )
+
+
+@register(
+    "langid_confusion_matrix",
+    oracle=_SQL_TOKS
+    + "\n    , scored AS (\n        SELECT doc_id, lang AS actual_lang,\n"
+    + ",\n".join(
+        f"               {_marker_score_sql(m)} AS score_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    + "\n        FROM toks\n    ),\n"
+    + """    predicted AS (
+        SELECT actual_lang,
+               CASE
+"""
+    + "\n".join(
+        f"                   WHEN score_{lang} >= greatest("
+        + ", ".join(f"score_{o}" for o in LANG_MARKERS)
+        + f") THEN '{lang}'"
+        for lang in sorted(LANG_MARKERS)
+    )
+    + """
+               END AS predicted_lang
+        FROM scored
+    )
+    SELECT actual_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM predicted GROUP BY actual_lang, predicted_lang
+    """,
+    doc="[ext] language-ID confusion matrix: the classifier's argmax "
+    "(alphabetically-first language wins score ties — stated identically "
+    "in both engines) cross-tabulated against the labeled language — the "
+    "evaluation artifact that turns a heuristic into a measured "
+    "classifier.",
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: scoring is the same constant-folded projection as
+    lang_id_scores; the argmax is a CASE chain over five columns (no
+    shuffle), and the confusion matrix is one |langs|²-bounded agg."""
+    scored = lang_id_scores(spark, sf_dir)
+    all_scores = [F.col(f"score_{lang}") for lang in LANG_MARKERS]
+    pred = None
+    for lang in sorted(LANG_MARKERS):
+        cond = F.col(f"score_{lang}") >= F.greatest(*all_scores)
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return (
+        scored.select("actual_lang", pred.alias("predicted_lang"))
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "user_event_chisq_anomaly",
+    oracle="""
+        WITH user_type AS (
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        user_tot AS (
+            SELECT user_id, sum(n) AS un FROM user_type GROUP BY 1
+        ),
+        gdist AS (
+            SELECT event_type, CAST(count(*) AS DOUBLE)
+                   / (SELECT count(*) FROM events) AS p
+            FROM events GROUP BY 1
+        ),
+        cells AS (
+            SELECT t.user_id,
+                   coalesce(u.n, 0) AS obs,
+                   ut.un * g.p AS exp
+            FROM (SELECT DISTINCT user_id FROM events) t
+            CROSS JOIN gdist g
+            JOIN user_tot ut ON ut.user_id = t.user_id
+            LEFT JOIN user_type u
+              ON u.user_id = t.user_id AND u.event_type = g.event_type
+        )
+        SELECT user_id,
+               round(sum((obs - exp) * (obs - exp) / exp), 6) AS chisq
+        FROM cells GROUP BY user_id
+    """,
+    doc="[ext] per-user chi-square anomaly score: each user's event-type "
+    "distribution tested against the corpus-wide distribution (missing "
+    "types count as zero observations) — the behavioral-outlier screen "
+    "that flags bots and broken clients.",
+)
+def user_event_chisq_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one corpus-sized (user, type) agg; the global distribution
+    is |types| rows and cross-joins BROADCAST onto the user list so
+    zero-observation cells exist explicitly. Everything after the first
+    agg is user-count sized."""
+    ev = load_table(spark, sf_dir, "events")
+    user_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    user_tot = user_type.groupBy("user_id").agg(F.sum("n").alias("un"))
+    total = ev.count()
+    glob = ev.groupBy("event_type").agg(
+        (F.count("*").cast("double") / F.lit(total)).alias("p")
+    )
+    users = ev.select("user_id").distinct()
+    cells = (
+        users.crossJoin(F.broadcast(glob))
+        .join(user_tot, "user_id")
+        .join(user_type, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            F.coalesce("n", F.lit(0)).alias("obs"),
+            (F.col("un") * F.col("p")).alias("exp"),
+        )
+    )
+    return cells.groupBy("user_id").agg(
+        F.round(
+            F.sum((F.col("obs") - F.col("exp")) * (F.col("obs") - F.col("exp")) / F.col("exp")),
+            6,
+        ).alias("chisq")
+    )
