@@ -72,29 +72,20 @@ PRIORITY: tuple[str, ...] = (
     "window_range_7day_spend",
     "window_value_functions",
     "supplier_part_list",
-    # round-3 additions — no driver row yet
+    # round-3 families — one representative of each inside the driver's
+    # ~50-query sample window; remaining members follow after slot 50
     "q2_min_cost_supplier",
     "q4_late_order_priority",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_late_lines_by_status",
-    "q15_top_revenue_supplier",
-    "q16_supplier_variety",
     "q17_small_quantity_revenue",
-    "q20_dominant_part_suppliers",
     "q21_blocking_suppliers",
     "mixture_temperature_resample",
     "scd2_user_state_history",
     "doc_containment_pairs",
-    "embedding_dim_variance",
-    "embedding_covariance_cells",
     "stable_doc_reindex",
     "incremental_dedup_delta",
     "recursive_cte_trade_reachability",
     "ann_pq_adc_topk",
-    "ann_pq_recall_at_k",
     "ann_ivfpq_topk",
-    "ann_pq_trained_recall_at_k",
     "array_function_battery",
     "regexp_function_battery",
     "null_safe_join_segments",
@@ -109,19 +100,31 @@ PRIORITY: tuple[str, ...] = (
     "merge_upsert_customer_state",
     "vocab_oov_rates",
     "tokenize_corpus_to_ids",
-    "window_running_distinct_types",
     "markov_event_transitions",
     "rfm_customer_segments",
-    "explode_variants_battery",
     "snapshot_diff_orders",
     "try_function_battery",
-    "union_by_name_evolution",
-    "hll_sketch_merge_users",
     "dedup_paragraphs_reassemble",
     "ann_matryoshka_recall_at_k",
     "ann_rerank_two_stage",
     "aggregate_function_battery",
     "point_in_time_state_join",
+    # past the typical sample window — still ahead of the already-driver-
+    # green bulk so they lead the next round's sample
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_lines_by_status",
+    "q15_top_revenue_supplier",
+    "q16_supplier_variety",
+    "q20_dominant_part_suppliers",
+    "embedding_dim_variance",
+    "embedding_covariance_cells",
+    "ann_pq_recall_at_k",
+    "ann_pq_trained_recall_at_k",
+    "window_running_distinct_types",
+    "explode_variants_battery",
+    "union_by_name_evolution",
+    "hll_sketch_merge_users",
     "hourly_series_interpolated",
     "label_centroid_cohesion",
     "quantile_normalize_doclen",
