@@ -397,3 +397,157 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("m_score"),
     )
+
+
+BASKET_TOP_N = 25
+
+
+@register(
+    "copurchase_part_pairs",
+    oracle=f"""
+        WITH order_parts AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_l, b.l_partkey AS part_r,
+                   count(*) AS support
+            FROM order_parts a JOIN order_parts b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        )
+        SELECT part_l, part_r, CAST(support AS BIGINT) AS support, rnk
+        FROM (SELECT part_l, part_r, support,
+                     row_number() OVER (ORDER BY support DESC, part_l, part_r)
+                         AS rnk
+              FROM pairs)
+        WHERE rnk <= {BASKET_TOP_N}
+    """,
+    doc=f"[ext] market-basket co-occurrence: top-{BASKET_TOP_N} part pairs "
+    "purchased together in the same order (the A-Priori support-counting "
+    "step) — pair generation is bounded by per-basket item count, never "
+    "catalog-quadratic.",
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the self-join is keyed on l_orderkey, so each order
+    contributes items_per_order-choose-2 pairs (a small constant for
+    retail baskets) — work is linear in orders. The pair-count agg is
+    the only catalog-keyed shuffle; giant baskets (the skew case) get
+    capped or salted upstream. Top-N is a single-partition window on the
+    already-aggregated pair relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    order_parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = order_parts.select("l_orderkey", F.col("l_partkey").alias("part_l"))
+    b = order_parts.select("l_orderkey", F.col("l_partkey").alias("part_r"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_l") < F.col("part_r"))
+        .groupBy("part_l", "part_r")
+        .agg(F.count("*").alias("support"))
+    )
+    rnk = F.row_number().over(
+        W.orderBy(F.desc("support"), F.asc("part_l"), F.asc("part_r"))
+    )
+    return pairs.withColumn("rnk", rnk.cast("long")).filter(
+        F.col("rnk") <= BASKET_TOP_N
+    )
+
+
+RULE_MIN_SUPPORT = 3
+
+
+@register(
+    "association_rules_parts",
+    oracle=f"""
+        WITH order_parts AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+              FROM order_parts),
+        item AS (
+            SELECT l_partkey, count(*) AS item_support
+            FROM order_parts GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_l, b.l_partkey AS part_r,
+                   count(*) AS pair_support
+            FROM order_parts a JOIN order_parts b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {RULE_MIN_SUPPORT}
+        ),
+        rules AS (
+            SELECT part_l AS antecedent, part_r AS consequent,
+                   pair_support, il.item_support AS ante_support,
+                   ir.item_support AS cons_support
+            FROM pairs
+            JOIN item il ON il.l_partkey = pairs.part_l
+            JOIN item ir ON ir.l_partkey = pairs.part_r
+            UNION ALL
+            SELECT part_r, part_l, pair_support,
+                   ir.item_support, il.item_support
+            FROM pairs
+            JOIN item il ON il.l_partkey = pairs.part_l
+            JOIN item ir ON ir.l_partkey = pairs.part_r
+        )
+        SELECT antecedent, consequent,
+               CAST(pair_support AS BIGINT) AS pair_support,
+               round(CAST(pair_support AS DOUBLE) / ante_support, 6)
+                   AS confidence,
+               round((CAST(pair_support AS DOUBLE) / ante_support)
+                     / (cons_support / n.n_orders), 6) AS lift
+        FROM rules, n
+    """,
+    doc=f"[ext] association rules (support >= {RULE_MIN_SUPPORT}): "
+    "confidence = P(consequent | antecedent) and lift vs the consequent's "
+    "base rate, both rule directions — the A-Priori rule-generation step "
+    "on top of the co-purchase pair counts.",
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: pair counts come from the basket-bounded self-join; item
+    supports are one catalog-keyed agg that joins back BROADCAST (rules
+    relation is support-filtered and tiny); the scalar n_orders rides a
+    1-row cross join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    order_parts = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = order_parts.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    item = order_parts.groupBy("l_partkey").agg(F.count("*").alias("item_support"))
+    a = order_parts.select("l_orderkey", F.col("l_partkey").alias("part_l"))
+    b = order_parts.select("l_orderkey", F.col("l_partkey").alias("part_r"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_l") < F.col("part_r"))
+        .groupBy("part_l", "part_r")
+        .agg(F.count("*").alias("pair_support"))
+        .filter(F.col("pair_support") >= RULE_MIN_SUPPORT)
+    )
+    il = item.select(F.col("l_partkey").alias("part_l"), F.col("item_support").alias("sl"))
+    ir = item.select(F.col("l_partkey").alias("part_r"), F.col("item_support").alias("sr"))
+    joined = pairs.join(F.broadcast(il), "part_l").join(F.broadcast(ir), "part_r")
+    fwd = joined.select(
+        F.col("part_l").alias("antecedent"),
+        F.col("part_r").alias("consequent"),
+        "pair_support",
+        F.col("sl").alias("ante_support"),
+        F.col("sr").alias("cons_support"),
+    )
+    rev = joined.select(
+        F.col("part_r").alias("antecedent"),
+        F.col("part_l").alias("consequent"),
+        "pair_support",
+        F.col("sr").alias("ante_support"),
+        F.col("sl").alias("cons_support"),
+    )
+    conf = F.col("pair_support").cast("double") / F.col("ante_support")
+    return (
+        fwd.unionByName(rev)
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_support",
+            F.round(conf, 6).alias("confidence"),
+            F.round(conf / (F.col("cons_support") / F.col("n_orders")), 6).alias("lift"),
+        )
+    )

@@ -109,6 +109,7 @@ PRIORITY: tuple[str, ...] = (
     "ann_rerank_two_stage",
     "aggregate_function_battery",
     "point_in_time_state_join",
+    "copurchase_part_pairs",
     # past the typical sample window — still ahead of the already-driver-
     # green bulk so they lead the next round's sample
     "q9_product_profit",
@@ -132,6 +133,7 @@ PRIORITY: tuple[str, ...] = (
     "phrase_search_positions",
     "langid_confusion_matrix",
     "user_event_chisq_anomaly",
+    "association_rules_parts",
 )
 
 
