@@ -551,3 +551,51 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(conf / (F.col("cons_support") / F.col("n_orders")), 6).alias("lift"),
         )
     )
+
+
+@register(
+    "daily_revenue_deseasonalized",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   sum(o_totalprice) AS revenue
+            FROM orders GROUP BY 1
+        ),
+        seasonal AS (
+            SELECT CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+                   avg(revenue) AS dow_mean
+            FROM daily GROUP BY 1
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS day,
+               CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+               round(revenue, 2) AS revenue,
+               round(s.dow_mean, 2) AS dow_mean,
+               round(revenue - s.dow_mean, 2) AS residual
+        FROM daily JOIN seasonal s ON CAST(dayofweek(d) + 1 AS BIGINT) = s.dow
+    """,
+    doc="[ext] weekday-seasonal decomposition of daily revenue: per-day "
+    "totals split into the day-of-week mean (the seasonal component) and "
+    "the residual — the detrending step before anomaly thresholds are "
+    "applied to business time series.",
+)
+def daily_revenue_deseasonalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: daily totals are the only corpus-sized agg; the seasonal
+    relation is 7 rows and joins back broadcast. Residuals are column
+    math on the days-of-history-sized relation."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("revenue")
+    )
+    dow = F.dayofweek("d").cast("long")
+    seasonal = daily.groupBy(dow.alias("dow")).agg(F.avg("revenue").alias("dow_mean"))
+    return (
+        daily.withColumn("dow", dow)
+        .join(F.broadcast(seasonal), "dow")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dow",
+            F.round("revenue", 2).alias("revenue"),
+            F.round("dow_mean", 2).alias("dow_mean"),
+            F.round(F.col("revenue") - F.col("dow_mean"), 2).alias("residual"),
+        )
+    )

@@ -223,3 +223,76 @@ def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
         und.agg(F.count("*").alias("n_edges"))
     )
+
+
+@register(
+    "trade_clustering_coefficients",
+    oracle="WITH " + _TRIANGLE_EDGE_CTES + """
+    , deg AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+        GROUP BY v
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    node_tri AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS n_tri
+        FROM (SELECT x AS v FROM tri
+              UNION ALL SELECT y AS v FROM tri
+              UNION ALL SELECT z AS v FROM tri)
+        GROUP BY v
+    )
+    SELECT CAST(d.v AS BIGINT) AS nation, d.degree,
+           CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+           round(CASE WHEN d.degree >= 2
+                 THEN CAST(coalesce(t.n_tri, 0) AS DOUBLE) * 2
+                      / (d.degree * (d.degree - 1))
+                 ELSE 0.0 END, 6) AS clustering_coef
+    FROM deg d LEFT JOIN node_tri t ON t.v = d.v
+    """,
+    doc="[ext] local clustering coefficients on the trade graph: per-node "
+    "triangle participation over (degree choose 2) — the transitivity "
+    "measure community detection thresholds on; composes the same "
+    "vertex-ordered triangle join with degree counting.",
+)
+def trade_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same edge-relation collapse as triangle counting; per-node
+    triangle counts come from unioning the three triangle vertex columns
+    (each triangle credits all three corners exactly once) — one more
+    |triangles|-sized agg, no extra pass over the fact table."""
+    und = _und_edges(spark, sf_dir)
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    node_tri = (
+        tri.select(F.col("x").alias("v"))
+        .unionAll(tri.select(F.col("y").alias("v")))
+        .unionAll(tri.select(F.col("z").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    coef = F.when(
+        F.col("degree") >= 2,
+        F.coalesce("n_tri", F.lit(0)).cast("double") * 2
+        / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(0.0)
+    return (
+        deg.join(node_tri, "v", "left")
+        .select(
+            F.col("v").cast("long").alias("nation"),  # nationkey scans int32
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).alias("n_triangles"),
+            F.round(coef, 6).alias("clustering_coef"),
+        )
+    )

@@ -110,6 +110,7 @@ PRIORITY: tuple[str, ...] = (
     "aggregate_function_battery",
     "point_in_time_state_join",
     "copurchase_part_pairs",
+    "trade_clustering_coefficients",
     # past the typical sample window — still ahead of the already-driver-
     # green bulk so they lead the next round's sample
     "q9_product_profit",
@@ -134,6 +135,7 @@ PRIORITY: tuple[str, ...] = (
     "langid_confusion_matrix",
     "user_event_chisq_anomaly",
     "association_rules_parts",
+    "daily_revenue_deseasonalized",
 )
 
 
