@@ -111,6 +111,7 @@ PRIORITY: tuple[str, ...] = (
     "point_in_time_state_join",
     "copurchase_part_pairs",
     "trade_clustering_coefficients",
+    "session_concurrency_sweep",
     # past the typical sample window — still ahead of the already-driver-
     # green bulk so they lead the next round's sample
     "q9_product_profit",
@@ -136,6 +137,7 @@ PRIORITY: tuple[str, ...] = (
     "user_event_chisq_anomaly",
     "association_rules_parts",
     "daily_revenue_deseasonalized",
+    "readability_scores",
 )
 
 

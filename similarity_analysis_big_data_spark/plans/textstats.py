@@ -680,3 +680,140 @@ def user_event_chisq_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chisq")
     )
+
+
+@register(
+    "readability_scores",
+    oracle=r"""
+        WITH feats AS (
+            SELECT doc_id,
+                   greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                                            s -> trim(s) <> '')), 1) AS n_sents,
+                   greatest(len(list_filter(regexp_split_to_array(lower(text), '[^\w]+'),
+                                            x -> x <> '')), 1) AS n_words,
+                   greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                       AS n_syll
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_sents AS BIGINT) AS n_sents,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_syll AS BIGINT) AS n_syll,
+               round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                     - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4)
+                   AS flesch_score
+        FROM feats
+    """,
+    doc="[ext] Flesch reading-ease scoring: sentence/word/syllable-proxy "
+    "counts (vowel-group runs approximate syllables — the standard cheap "
+    "proxy) feeding the classic readability formula — the reading-level "
+    "gate some training-mix recipes bucket on.",
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: three regexp counts and one arithmetic projection — one
+    scan, zero shuffles, whole-stage codegen; greatest(...,1) guards the
+    degenerate empty-document divisions identically on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_sents = F.greatest(
+        F.size(F.filter(F.split("text", r"[.!?]+"), lambda s: F.trim(s) != "")),
+        F.lit(1),
+    )
+    n_words = F.greatest(F.size(tokenize(F.lower("text"))), F.lit(1))
+    n_syll = F.greatest(
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)), F.lit(1)
+    )
+    feats = docs.select(
+        "doc_id",
+        n_sents.cast("long").alias("n_sents"),
+        n_words.cast("long").alias("n_words"),
+        n_syll.cast("long").alias("n_syll"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (F.col("n_words").cast("double") / F.col("n_sents"))
+        - 84.6 * (F.col("n_syll").cast("double") / F.col("n_words"))
+    )
+    return feats.withColumn("flesch_score", F.round(flesch, 4))
+
+
+@register(
+    "session_concurrency_sweep",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN prev_ts IS NULL
+                             OR date_diff('second', prev_ts, ts) > 1800
+                        THEN 1 ELSE 0 END AS is_start
+            FROM ordered
+        ),
+        sessions AS (
+            SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+            FROM (SELECT user_id, ts,
+                         sum(is_start) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS sess_no
+                  FROM flagged)
+            GROUP BY user_id, sess_no
+        ),
+        sweep AS (
+            SELECT s_start AS ts, 1 AS delta, user_id FROM sessions
+            UNION ALL
+            SELECT s_end AS ts, -1 AS delta, user_id FROM sessions
+        ),
+        running AS (
+            SELECT ts,
+                   sum(delta) OVER (ORDER BY ts, delta, user_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS concurrent
+            FROM sweep
+        )
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(max(concurrent) AS BIGINT) AS peak_concurrency
+        FROM running GROUP BY 1
+    """,
+    doc="[ext] sweep-line concurrency: sessions become (+1 at start, -1 "
+    "at end) deltas, a running sum over the globally ordered sweep gives "
+    "instantaneous concurrency, and the per-day max is the capacity-"
+    "planning number. Ends sort before starts at equal instants (delta "
+    "ascending) — the conservative convention, stated identically in "
+    "both engines.",
+)
+def session_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: sessionization is the one corpus-sized shuffle (user_id);
+    the sweep relation is 2x sessions rows. The global running sum is a
+    single-partition window on that session-sized relation — at 100 TB
+    the sweep day-partitions with per-day carry-in counts (sessions
+    spanning midnight), the standard segmented-sweep trick."""
+    ev = load_table(spark, sf_dir, "events")
+    w_u = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts").over(w_u).isNull()
+            | (micros_between(F.lag("ts").over(w_u), F.col("ts")) > 1800 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = (
+        flagged.withColumn("sess_no", F.sum("is_start").over(w_u))
+        .groupBy("user_id", "sess_no")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    sweep = sessions.select(
+        F.col("s_start").alias("ts"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        sessions.select(F.col("s_end").alias("ts"), F.lit(-1).alias("delta"), "user_id")
+    )
+    w_sweep = W.orderBy("ts", "delta", "user_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    running = sweep.withColumn("concurrent", F.sum("delta").over(w_sweep))
+    return (
+        running.groupBy(F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"))
+        .agg(F.max("concurrent").cast("long").alias("peak_concurrency"))
+    )
