@@ -1180,3 +1180,75 @@ def hourly_series_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNull().cast("long").alias("interpolated"),
         F.round(interp, 4).alias("value"),
     )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+        SELECT 'lineitem_orphan_order' AS check_name,
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT) AS n_violations
+        UNION ALL
+        SELECT 'order_without_lines',
+               CAST((SELECT count(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                       WHERE l.l_orderkey = o.o_orderkey))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'order_orphan_customer',
+               CAST((SELECT count(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'customer_without_orders',
+               CAST((SELECT count(*) FROM customer c
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_custkey = c.c_custkey))
+                    AS BIGINT)
+    """,
+    doc="[ext] referential-integrity audit: orphan counts in both "
+    "directions across the order graph (lines without orders, orders "
+    "without lines, orders without customers, customers without orders) "
+    "— the FK health check a pipeline runs before trusting joins.",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: four anti-joins, each a key-partitioned LeftAnti (dims
+    broadcast where small) collapsing straight into a count — no row
+    payload survives the join. At 100 TB the four checks share scans via
+    a multi-action job or run as one pass with boolean flags."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    return (
+        check(
+            "lineitem_orphan_order",
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti"),
+        )
+        .unionByName(
+            check(
+                "order_without_lines",
+                orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti"),
+            )
+        )
+        .unionByName(
+            check(
+                "order_orphan_customer",
+                orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti"),
+            )
+        )
+        .unionByName(
+            check(
+                "customer_without_orders",
+                cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti"),
+            )
+        )
+    )

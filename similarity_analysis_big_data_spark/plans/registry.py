@@ -112,6 +112,7 @@ PRIORITY: tuple[str, ...] = (
     "copurchase_part_pairs",
     "trade_clustering_coefficients",
     "session_concurrency_sweep",
+    "doc_top_keywords",
     # past the typical sample window — still ahead of the already-driver-
     # green bulk so they lead the next round's sample
     "q9_product_profit",
@@ -138,6 +139,7 @@ PRIORITY: tuple[str, ...] = (
     "association_rules_parts",
     "daily_revenue_deseasonalized",
     "readability_scores",
+    "referential_integrity_audit",
 )
 
 

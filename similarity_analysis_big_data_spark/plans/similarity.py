@@ -13,7 +13,7 @@ arg-max so ranking ties break identically across engines (SURVEY §7).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -418,4 +418,59 @@ def mismatch_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wrong_abstract_prefix",
             "correct_abstract_prefix",
         )
+    )
+
+
+KEYWORDS_PER_DOC = 3
+
+
+@register(
+    "doc_top_keywords",
+    oracle=_SQL_TERMS
+    + f"""
+    , w AS (
+        SELECT doc_id, term,
+               (1 + log10(tf)) * (log10((n + 1) / (df + 1)) + 1) AS w
+        FROM tf JOIN df USING (term) CROSS JOIN corpus
+    ),
+    normalized AS (
+        SELECT doc_id, term,
+               round(w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)), 6)
+                   AS weight
+        FROM w
+    )
+    SELECT doc_id,
+           string_agg(term, ',' ORDER BY weight DESC, term) AS keywords,
+           CAST(count(*) AS BIGINT) AS n_keywords
+    FROM (SELECT doc_id, term, weight,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY weight DESC, term) AS rn
+          FROM normalized)
+    WHERE rn <= {KEYWORDS_PER_DOC}
+    GROUP BY doc_id
+    """,
+    doc=f"[ext] keyword extraction: each document's top-{KEYWORDS_PER_DOC} "
+    "TF-IDF terms (rounded-weight ordering with a term tiebreak, so the "
+    "keyword list is engine-independent) — the per-document tag surface "
+    "search and clustering UIs consume.",
+)
+def doc_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: composes the TF-IDF relation (same plan as
+    doc_tfidf_normalized) with a WindowGroupLimit top-k on doc_id and a
+    per-doc re-assembly — no new corpus-sized shuffles beyond the TF-IDF
+    plan's own."""
+    weighted = doc_tfidf_normalized(spark, sf_dir)
+    w_doc = W.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))
+    top = weighted.withColumn("rn", F.row_number().over(w_doc)).filter(
+        F.col("rn") <= KEYWORDS_PER_DOC
+    )
+    return top.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct((-F.col("weight")).alias("nw"), "term"))),
+                lambda s: s.term,
+            ),
+            ",",
+        ).alias("keywords"),
+        F.count("*").alias("n_keywords"),
     )
