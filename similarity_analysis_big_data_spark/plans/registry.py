@@ -113,6 +113,7 @@ PRIORITY: tuple[str, ...] = (
     "trade_clustering_coefficients",
     "session_concurrency_sweep",
     "doc_top_keywords",
+    "weighted_median_price",
     # past the typical sample window — still ahead of the already-driver-
     # green bulk so they lead the next round's sample
     "q9_product_profit",
@@ -140,6 +141,7 @@ PRIORITY: tuple[str, ...] = (
     "daily_revenue_deseasonalized",
     "readability_scores",
     "referential_integrity_audit",
+    "abtest_conversion_zstat",
 )
 
 

@@ -319,3 +319,145 @@ def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("k", 6).alias("pr"),
         F.col("norm_chars").cast("long").alias("norm_chars"),
     )
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+        WITH ordered AS (
+            SELECT l_returnflag, l_extendedprice, l_quantity,
+                   sum(l_quantity) OVER (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_w,
+                   sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot_w
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               round(min(l_extendedprice), 2) AS weighted_median,
+               round(CAST(min(cum_w) AS DOUBLE) / min(tot_w), 6)
+                   AS cum_frac_at_median
+        FROM ordered
+        WHERE cum_w >= tot_w / 2.0
+        GROUP BY l_returnflag
+    """,
+    doc="[ext] weighted median: the price at which cumulative quantity "
+    "weight first reaches half the group total (deterministic "
+    "(price, orderkey, linenumber) ordering) — the robust center for "
+    "quantity-weighted price distributions that plain median misstates.",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one window pass per group over the (returnflag)-partitioned
+    sort (both window specs share the single shuffle+sort); the
+    half-total crossing collapses via min() — no second pass, no
+    per-group collect."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w_cum = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_tot = W.partitionBy("l_returnflag")
+    ordered = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(w_cum).alias("cum_w"),
+        F.sum("l_quantity").over(w_tot).alias("tot_w"),
+    )
+    return (
+        ordered.filter(F.col("cum_w") >= F.col("tot_w") / 2.0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("weighted_median"),
+            F.round(F.min("cum_w").cast("double") / F.min("tot_w"), 6).alias(
+                "cum_frac_at_median"
+            ),
+        )
+    )
+
+
+@register(
+    "abtest_conversion_zstat",
+    oracle="""
+        WITH assign AS (
+            SELECT user_id,
+                   CASE WHEN CAST(ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+                             AS BIGINT) % 2 = 0
+                        THEN 'A' ELSE 'B' END AS arm,
+                   max(CASE WHEN event_type = 'purchase' AND value > 95
+                            THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY user_id
+        ),
+        arms AS (
+            SELECT arm, count(*) AS n_users,
+                   CAST(sum(converted) AS BIGINT) AS n_converted,
+                   CAST(sum(converted) AS DOUBLE) / count(*) AS rate
+            FROM assign GROUP BY arm
+        ),
+        wide AS (
+            SELECT max(CASE WHEN arm = 'A' THEN n_users END) AS na,
+                   max(CASE WHEN arm = 'A' THEN n_converted END) AS ca,
+                   max(CASE WHEN arm = 'A' THEN rate END) AS ra,
+                   max(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+                   max(CASE WHEN arm = 'B' THEN n_converted END) AS cb,
+                   max(CASE WHEN arm = 'B' THEN rate END) AS rb
+            FROM arms
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+               round(ra, 6) AS rate_a,
+               CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+               round(rb, 6) AS rate_b,
+               round((ra - rb)
+                     / nullif(sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                            * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                            * (1.0 / na + 1.0 / nb)), 0.0), 6) AS z_stat
+        FROM wide
+    """,
+    doc="[ext] two-proportion A/B test: deterministic md5-based arm "
+    "assignment, per-arm conversion (any purchase), and the pooled "
+    "two-proportion z-statistic — the experiment readout computed "
+    "in-engine with a hash assignment any engine reproduces (conversion "
+    "is a high-value purchase so the rate is properly inside (0, 1)).",
+)
+def abtest_conversion_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one user-keyed agg (conversion flags), one 2-row arm agg,
+    then scalar math on a single row — the corpus is touched once."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.ascii(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)).cast("long") % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 95), 1)
+            .otherwise(0)
+        ).alias("converted")
+    ).withColumn("arm", arm)
+    arms = assign.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count("*")).alias("rate"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_converted"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "A", F.col("rate"))).alias("ra"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_converted"))).alias("cb"),
+        F.max(F.when(F.col("arm") == "B", F.col("rate"))).alias("rb"),
+    )
+    pooled = (F.col("ca") + F.col("cb")).cast("double") / (F.col("na") + F.col("nb"))
+    # nullif guards the degenerate all-converted / none-converted case
+    # (z undefined) identically on both engines
+    z = (F.col("ra") - F.col("rb")) / F.nullif(
+        F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("na") + 1.0 / F.col("nb"))),
+        F.lit(0.0),
+    )
+    return wide.select(
+        F.col("na").alias("n_a"),
+        F.col("ca").alias("conv_a"),
+        F.round("ra", 6).alias("rate_a"),
+        F.col("nb").alias("n_b"),
+        F.col("cb").alias("conv_b"),
+        F.round("rb", 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+    )
