@@ -599,3 +599,55 @@ def daily_revenue_deseasonalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("revenue") - F.col("dow_mean"), 2).alias("residual"),
         )
     )
+
+
+@register(
+    "conversion_latency_percentiles",
+    oracle="""
+        WITH lat AS (
+            SELECT epoch_us(p.ts) - epoch_us(c.ts) AS micros
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               round(quantile_cont(micros, 0.50) / 1e6, 4) AS p50_sec,
+               round(quantile_cont(micros, 0.90) / 1e6, 4) AS p90_sec,
+               round(quantile_cont(micros, 0.99) / 1e6, 4) AS p99_sec
+        FROM lat
+    """,
+    doc="[ext] conversion-latency percentiles: p50/p90/p99 of the "
+    "click-to-purchase delay inside the attribution window — the SLA "
+    "summary of the interval-join pair stream (exact interpolated "
+    "percentiles; Spark percentile == DuckDB quantile_cont).",
+)
+def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the user-keyed interval join never cross-products; the exact
+    percentile is a single-group sort of the pair-latency relation (pairs,
+    not events) — swap for approx_percentile when the pair stream itself
+    is corpus-scale."""
+    from ..functions.timeutil import micros_between
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    lat = (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+        )
+        .select(micros_between(F.col("c_ts"), F.col("p_ts")).alias("micros"))
+    )
+    return lat.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.percentile("micros", F.lit(0.50)) / 1e6, 4).alias("p50_sec"),
+        F.round(F.percentile("micros", F.lit(0.90)) / 1e6, 4).alias("p90_sec"),
+        F.round(F.percentile("micros", F.lit(0.99)) / 1e6, 4).alias("p99_sec"),
+    )

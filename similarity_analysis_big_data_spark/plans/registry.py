@@ -114,6 +114,7 @@ PRIORITY: tuple[str, ...] = (
     "session_concurrency_sweep",
     "doc_top_keywords",
     "weighted_median_price",
+    "vocab_richness_by_source",
     # past the typical sample window — still ahead of the already-driver-
     # green bulk so they lead the next round's sample
     "q9_product_profit",
@@ -142,6 +143,7 @@ PRIORITY: tuple[str, ...] = (
     "readability_scores",
     "referential_integrity_audit",
     "abtest_conversion_zstat",
+    "conversion_latency_percentiles",
 )
 
 

@@ -817,3 +817,45 @@ def session_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         running.groupBy(F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"))
         .agg(F.max("concurrent").cast("long").alias("peak_concurrency"))
     )
+
+
+@register(
+    "vocab_richness_by_source",
+    oracle=_SQL_TOKS
+    + """
+    , terms AS (
+        SELECT source, unnest(tokens) AS term FROM toks
+    ),
+    counts AS (
+        SELECT source, term, count(*) AS c FROM terms GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS type_token_ratio,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS hapax_frac
+    FROM counts GROUP BY source
+    """,
+    doc="[ext] vocabulary richness per source: type-token ratio and hapax-"
+    "legomenon fraction (terms occurring exactly once) — the lexical-"
+    "diversity screen that separates template-generated text from "
+    "natural prose.",
+)
+def vocab_richness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one corpus explode reduced by a (source, term) hash agg to
+    the per-source vocabulary relation; the richness stats are a second
+    source-keyed agg over that — corpus touched once."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("source", F.explode(tokenize(F.lower("text"))).alias("term"))
+    counts = terms.groupBy("source", "term").agg(F.count("*").alias("c"))
+    return counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.round(F.count("*").cast("double") / F.sum("c"), 6).alias("type_token_ratio"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1.0).otherwise(0.0)) / F.count("*"), 6
+        ).alias("hapax_frac"),
+    )
