@@ -1392,3 +1392,55 @@ def label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("cos"), 6).alias("mean_cohesion"),
         F.round(F.min("cos"), 6).alias("min_cohesion"),
     )
+
+
+_NDCG_ORACLE = f"""
+    WITH exact AS (SELECT * FROM ({_Q['ann_bruteforce_topk'].oracle}) x),
+         approx AS (SELECT * FROM ({_Q['ann_ivf_topk'].oracle}) y),
+         dcg AS (
+             SELECT query_id,
+                    sum(cosine / log2(rnk + 1)) AS dcg
+             FROM approx GROUP BY query_id
+         ),
+         idcg AS (
+             SELECT query_id,
+                    sum(cosine / log2(rnk + 1)) AS idcg
+             FROM exact GROUP BY query_id
+         )
+    SELECT i.query_id,
+           round(coalesce(d.dcg, 0.0) / i.idcg, 6) AS ndcg_at_k
+    FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
+"""
+
+
+@register(
+    "ann_ivf_ndcg_at_k",
+    oracle=_NDCG_ORACLE,
+    doc=f"[ext] ANN evaluation, graded: per-query nDCG@{TOP_K} of the IVF "
+    "ranking — gains are the (exact) cosines the index surfaced, the "
+    "ideal is the brute-force ranking's DCG, so rank position and score "
+    "quality both count (recall@k treats a rank-1 and rank-5 hit alike).",
+)
+def ann_ivf_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same component plans as recall@k (corpus unshuffled); the
+    DCG aggregation runs on |Q|·k rows."""
+    log_denom = F.log2(F.col("rnk") + 1)
+    dcg = (
+        ann_ivf_topk(spark, sf_dir)
+        .groupBy("query_id")
+        .agg(F.sum(F.col("cosine") / log_denom).alias("dcg"))
+    )
+    idcg = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .groupBy("query_id")
+        .agg(F.sum(F.col("cosine") / log_denom).alias("idcg"))
+    )
+    return (
+        idcg.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"), 6).alias(
+                "ndcg_at_k"
+            ),
+        )
+    )

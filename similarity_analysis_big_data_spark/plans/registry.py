@@ -115,6 +115,7 @@ PRIORITY: tuple[str, ...] = (
     "doc_top_keywords",
     "weighted_median_price",
     "vocab_richness_by_source",
+    "ann_ivf_ndcg_at_k",
     # past the typical sample window — still ahead of the already-driver-
     # green bulk so they lead the next round's sample
     "q9_product_profit",
@@ -144,6 +145,7 @@ PRIORITY: tuple[str, ...] = (
     "referential_integrity_audit",
     "abtest_conversion_zstat",
     "conversion_latency_percentiles",
+    "brand_type_independence",
 )
 
 

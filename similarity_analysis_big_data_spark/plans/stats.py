@@ -461,3 +461,63 @@ def abtest_conversion_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rb", 6).alias("rate_b"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+@register(
+    "brand_type_independence",
+    oracle="""
+        WITH obs AS (
+            SELECT p_brand, p_type, CAST(count(*) AS DOUBLE) AS o
+            FROM part GROUP BY 1, 2
+        ),
+        rm AS (SELECT p_brand, sum(o) AS r FROM obs GROUP BY 1),
+        cm AS (SELECT p_type, sum(o) AS c FROM obs GROUP BY 1),
+        tot AS (SELECT sum(o) AS n FROM obs),
+        cells AS (
+            SELECT rm.p_brand, cm.p_type,
+                   coalesce(obs.o, 0) AS o,
+                   rm.r * cm.c / tot.n AS e
+            FROM rm CROSS JOIN cm CROSS JOIN tot
+            LEFT JOIN obs ON obs.p_brand = rm.p_brand
+                         AND obs.p_type = cm.p_type
+        )
+        SELECT round(sum((o - e) * (o - e) / e), 4) AS chisq,
+               CAST((count(DISTINCT p_brand) - 1)
+                    * (count(DISTINCT p_type) - 1) AS BIGINT) AS dof,
+               CAST(count(*) AS BIGINT) AS n_cells
+        FROM cells
+    """,
+    doc="[ext] chi-square test of independence between two categorical "
+    "columns (brand x type): expected counts from the marginals, "
+    "zero-observation cells explicit — the dependence screen feature "
+    "selection and schema profiling run over category pairs.",
+)
+def brand_type_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one (brand, container) hash agg over the scan; marginals
+    and the dense cell grid are category-cardinality sized and broadcast.
+    The corpus is touched once."""
+    part = load_table(spark, sf_dir, "part")
+    obs = part.groupBy("p_brand", "p_type").agg(
+        F.count("*").cast("double").alias("o")
+    )
+    rm = obs.groupBy("p_brand").agg(F.sum("o").alias("r"))
+    cm = obs.groupBy("p_type").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        rm.crossJoin(F.broadcast(cm))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(obs), ["p_brand", "p_type"], "left")
+        .select(
+            "p_brand",
+            "p_type",
+            F.coalesce("o", F.lit(0.0)).alias("o"),
+            (F.col("r") * F.col("c") / F.col("n")).alias("e"),
+        )
+    )
+    return cells.agg(
+        F.round(F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")), 4).alias("chisq"),
+        (
+            (F.countDistinct("p_brand") - 1) * (F.countDistinct("p_type") - 1)
+        ).alias("dof"),
+        F.count("*").alias("n_cells"),
+    )
