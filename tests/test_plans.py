@@ -530,3 +530,33 @@ def test_nested_schema_pruning_reads_one_leaf(spark, tmp_path_factory):
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "a:bigint" in read.replace(" ", "")
     assert "big_b" not in read and "c:" not in read.replace(" ", "")
+
+
+def test_weighted_median_shares_one_window_exchange(spark, sf_oracle):
+    """Both window specs (running cumulative weight + group total) must
+    share the single l_returnflag hash partitioning — a second Exchange
+    would double the sort cost for no reason."""
+    plan = _plan(spark, sf_oracle, "weighted_median_price")
+    assert plan.count("Exchange hashpartitioning(l_returnflag") <= 2  # tree+detail
+
+
+def test_copurchase_joins_on_basket_key(spark, sf_oracle):
+    """The pair self-join must be an equi-join on l_orderkey (basket-
+    bounded), never a cartesian pair stage."""
+    plan = _plan(spark, sf_oracle, "copurchase_part_pairs")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_doc_top_keywords_uses_window_group_limit(spark, sf_oracle):
+    """The per-doc top-k must compile to WindowGroupLimit (rank filter
+    pushed into the window sort), not a full per-group sort + filter."""
+    plan = _plan(spark, sf_oracle, "doc_top_keywords")
+    assert "WindowGroupLimit" in plan
+
+
+def test_point_in_time_join_is_equi_keyed(spark, sf_oracle):
+    """The SCD2 interval predicate must ride an equi-join on user (hash
+    or broadcast), never a nested-loop range join."""
+    plan = _plan(spark, sf_oracle, "point_in_time_state_join")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
