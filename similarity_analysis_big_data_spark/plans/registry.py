@@ -116,6 +116,7 @@ PRIORITY: tuple[str, ...] = (
     "weighted_median_price",
     "vocab_richness_by_source",
     "ann_ivf_ndcg_at_k",
+    "customer_spend_gini",
     # past the typical sample window — still ahead of the already-driver-
     # green bulk so they lead the next round's sample
     "q9_product_profit",
@@ -146,6 +147,7 @@ PRIORITY: tuple[str, ...] = (
     "abtest_conversion_zstat",
     "conversion_latency_percentiles",
     "brand_type_independence",
+    "user_event_burstiness",
 )
 
 

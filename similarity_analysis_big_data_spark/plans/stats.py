@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import micros_between
 from ..sources.readers import load_table
 from .registry import register
 
@@ -520,4 +521,113 @@ def brand_type_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.countDistinct("p_brand") - 1) * (F.countDistinct("p_type") - 1)
         ).alias("dof"),
         F.count("*").alias("n_cells"),
+    )
+
+
+@register(
+    "customer_spend_gini",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey, sum(o_totalprice) AS x
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT x,
+                   row_number() OVER (ORDER BY x, o_custkey) AS i,
+                   count(*) OVER () AS n,
+                   sum(x) OVER () AS sx
+            FROM spend
+        )
+        SELECT CAST(min(n) AS BIGINT) AS n_customers,
+               round(2.0 * sum(i * x) / (min(n) * min(sx))
+                     - (min(n) + 1.0) / min(n), 6) AS gini
+        FROM ranked
+    """,
+    doc="[ext] Gini coefficient of customer spend: the standard rank "
+    "formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over the (spend, "
+    "custkey)-ordered relation — the inequality measure revenue "
+    "concentration dashboards report.",
+)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: spend is one customer-keyed agg; the rank window orders the
+    customer-sized relation (single-partition stage at fixture scale —
+    at 100 TB the rank comes from the distributed stable_dense_ids
+    operator, same as stable_doc_reindex). Final reduction is scalar."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("x"))
+    w_rank = W.orderBy("x", "o_custkey")
+    w_all = W.partitionBy()
+    ranked = spend.select(
+        "x",
+        F.row_number().over(w_rank).alias("i"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("x").over(w_all).alias("sx"),
+    )
+    return ranked.agg(
+        F.min("n").alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.min("n") * F.min("sx"))
+            - (F.min("n") + 1.0) / F.min("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "user_event_burstiness",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id,
+                   (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)))
+                       / 1000000.0 AS gap_s
+            FROM events
+        ),
+        stats AS (
+            SELECT user_id,
+                   count(gap_s) AS n_gaps,
+                   avg(gap_s) AS mu,
+                   stddev_samp(gap_s) AS sigma
+            FROM gaps WHERE gap_s IS NOT NULL
+            GROUP BY user_id
+            HAVING count(gap_s) >= 2
+        )
+        SELECT user_id,
+               CAST(n_gaps AS BIGINT) AS n_gaps,
+               round(mu, 4) AS mean_gap_s,
+               round((sigma - mu) / nullif(sigma + mu, 0.0), 6) AS burstiness
+        FROM stats
+    """,
+    doc="[ext] burstiness of per-user inter-event gaps: B = (sigma - mu) "
+    "/ (sigma + mu) in [-1, 1] (Goh & Barabasi) — periodic traffic "
+    "scores near -1, Poisson near 0, bursty bots near +1. Gaps are exact "
+    "integer-microsecond deltas over 1e6 so both engines aggregate "
+    "identical doubles.",
+)
+def user_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one user_id window pass for the gaps and one user-keyed
+    agg; stddev/mean are algebraic (partial+final)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_u = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = micros_between(F.lag("ts").over(w_u), F.col("ts")) / F.lit(1_000_000.0)
+    gaps = ev.select("user_id", gap_s.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    stats = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.avg("gap_s").alias("mu"),
+            F.stddev_samp("gap_s").alias("sigma"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+    return stats.select(
+        "user_id",
+        "n_gaps",
+        F.round("mu", 4).alias("mean_gap_s"),
+        F.round(
+            (F.col("sigma") - F.col("mu")) / F.nullif(F.col("sigma") + F.col("mu"), F.lit(0.0)),
+            6,
+        ).alias("burstiness"),
     )
