@@ -563,3 +563,102 @@ def dedup_paragraphs_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("cleaned_text"),
     )
+
+
+_N_PERMS = len(MINHASH_PARAMS)
+
+_SQL_EST_ACC = (
+    _SQL_SAMPLE_SHINGLES
+    + _SQL_MH
+    + _SQL_BANDS
+    + """
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+        FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.id_l, c.id_r,
+               ("""
+    + " + ".join(
+        f"CASE WHEN l.mh{i} = r.mh{i} THEN 1 ELSE 0 END" for i in range(_N_PERMS)
+    )
+    + f""") / CAST({_N_PERMS} AS DOUBLE) AS est_j
+        FROM cand c
+        JOIN sig l ON l.doc_id = c.id_l
+        JOIN sig r ON r.doc_id = c.id_r
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT e.id_l, e.id_r,
+           round(e.est_j, 6) AS est_jaccard,
+           round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                 / (sl.set_size + sr.set_size - coalesce(i.n_common, 0)), 6)
+               AS exact_jaccard,
+           round(abs(e.est_j
+                 - CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                   / (sl.set_size + sr.set_size - coalesce(i.n_common, 0))), 6)
+               AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON i.id_l = e.id_l AND i.id_r = e.id_r
+    JOIN sizes sl ON sl.doc_id = e.id_l
+    JOIN sizes sr ON sr.doc_id = e.id_r
+    """
+)
+
+
+@register(
+    "minhash_estimate_accuracy",
+    oracle=_SQL_EST_ACC,
+    doc=f"[ext] sketch self-evaluation: per candidate pair, the MinHash "
+    f"Jaccard estimate (agreeing slots / {_N_PERMS}) against the exact "
+    "shingle Jaccard with the absolute error — the in-engine measurement "
+    "that tells you whether the signature width is adequate before "
+    "trusting the sketch at scale.",
+)
+def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: estimates come from the signature relation (K ints/doc —
+    the thing that already exists for LSH); only CANDIDATE pairs pay the
+    exact verify, so the evaluation costs one extra signature self-join
+    beyond the dedup pipeline itself."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SAMPLE_MOD == 0
+    )
+    toksets = docs.select(
+        "doc_id", F.array_distinct(tokenize(F.lower("text"))).alias("toks")
+    )
+    shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
+    sigs = minhash_signatures(shingles, "doc_id")
+    cand = lsh_candidate_pairs(sigs, "doc_id")
+    l = sigs.select(
+        F.col("doc_id").alias("id_l"),
+        *[F.col(f"mh{i}").alias(f"l{i}") for i in range(_N_PERMS)],
+    )
+    r = sigs.select(
+        F.col("doc_id").alias("id_r"),
+        *[F.col(f"mh{i}").alias(f"r{i}") for i in range(_N_PERMS)],
+    )
+    agree = sum(
+        F.when(F.col(f"l{i}") == F.col(f"r{i}"), 1).otherwise(0)
+        for i in range(_N_PERMS)
+    )
+    est = (
+        cand.join(l, "id_l")
+        .join(r, "id_r")
+        .select("id_l", "id_r", (agree / float(_N_PERMS)).alias("est_j"))
+    )
+    exact = jaccard_verify_candidates(toksets, "doc_id", "toks", cand).select(
+        "id_l", "id_r", F.col("jaccard").alias("exact_j")
+    )
+    return est.join(exact, ["id_l", "id_r"]).select(
+        "id_l",
+        "id_r",
+        F.round("est_j", 6).alias("est_jaccard"),
+        F.round("exact_j", 6).alias("exact_jaccard"),
+        F.round(F.abs(F.col("est_j") - F.col("exact_j")), 6).alias("abs_err"),
+    )

@@ -117,6 +117,7 @@ PRIORITY: tuple[str, ...] = (
     "vocab_richness_by_source",
     "ann_ivf_ndcg_at_k",
     "customer_spend_gini",
+    "minhash_estimate_accuracy",
     # past the typical sample window — still ahead of the already-driver-
     # green bulk so they lead the next round's sample
     "q9_product_profit",
