@@ -651,3 +651,86 @@ def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.percentile("micros", F.lit(0.90)) / 1e6, 4).alias("p90_sec"),
         F.round(F.percentile("micros", F.lit(0.99)) / 1e6, 4).alias("p99_sec"),
     )
+
+
+REC_TOP_PARTS = 3
+
+
+@register(
+    "cold_start_part_recommendations",
+    oracle=f"""
+        WITH cust_nation AS (
+            SELECT c_custkey, c_nationkey FROM customer
+        ),
+        nation_pop AS (
+            SELECT c.c_nationkey, l.l_partkey, count(*) AS n_buys
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN cust_nation c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        bought AS (
+            SELECT DISTINCT o.o_custkey, l.l_partkey
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        candidates AS (
+            SELECT cn.c_custkey, np.l_partkey, np.n_buys
+            FROM cust_nation cn
+            JOIN nation_pop np ON np.c_nationkey = cn.c_nationkey
+            LEFT JOIN bought b
+              ON b.o_custkey = cn.c_custkey AND b.l_partkey = np.l_partkey
+            WHERE b.o_custkey IS NULL
+        )
+        SELECT c_custkey, l_partkey AS part_rec,
+               CAST(n_buys AS BIGINT) AS nation_buys, rnk
+        FROM (SELECT c_custkey, l_partkey, n_buys,
+                     row_number() OVER (PARTITION BY c_custkey
+                         ORDER BY n_buys DESC, l_partkey) AS rnk
+              FROM candidates)
+        WHERE rnk <= {REC_TOP_PARTS} AND c_custkey % 100 = 0
+    """,
+    doc=f"[ext] cold-start recommendation shape: for each sampled "
+    f"customer, the top-{REC_TOP_PARTS} parts popular in their nation "
+    "that they have NOT bought — popularity join + personal anti-join + "
+    "per-user ranking, the non-personalized fallback every recommender "
+    "ships first.",
+)
+def cold_start_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: nation-level popularity is a (nation, part) agg — tiny
+    relative to the fact table and broadcastable; the personal exclusion
+    is a per-customer anti-join on (cust, part) purchase history; per-
+    customer top-k is WindowGroupLimit. The fact table is scanned twice
+    (popularity + history) — one pass with two aggregations in prod."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    nation_pop = fact.groupBy(
+        F.col("c_nationkey").alias("nk"), "l_partkey"
+    ).agg(F.count("*").alias("n_buys"))
+    bought = fact.select(F.col("o_custkey").alias("bk"), "l_partkey").distinct()
+    cn = cust.select("c_custkey", F.col("c_nationkey").alias("nk")).filter(
+        F.col("c_custkey") % 100 == 0
+    )
+    candidates = (
+        cn.join(nation_pop, "nk")
+        .join(
+            bought,
+            (F.col("c_custkey") == F.col("bk"))
+            & (nation_pop.l_partkey == bought.l_partkey),
+            "left_anti",
+        )
+    )
+    w = W.partitionBy("c_custkey").orderBy(F.desc("n_buys"), F.asc("l_partkey"))
+    return (
+        candidates.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= REC_TOP_PARTS)
+        .select(
+            "c_custkey",
+            F.col("l_partkey").alias("part_rec"),
+            F.col("n_buys").alias("nation_buys"),
+            "rnk",
+        )
+    )

@@ -1444,3 +1444,43 @@ def ann_ivf_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+COS_HIST_MOD = 5  # sampled pair stage, as embedding_near_dup_pairs
+
+
+@register(
+    "cosine_histogram_sampled",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id % {COS_HIST_MOD} = 0),
+        pairs AS (
+            SELECT round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+        )
+        SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1
+    """,
+    doc="[ext] corpus-geometry histogram: the distribution of pairwise "
+    "cosines over a deterministic vector sample, binned at 0.1 width — "
+    "the shape that tells you whether near-dup thresholds and LSH bucket "
+    "widths fit the embedding space before tuning them.",
+)
+def cosine_histogram_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the all-pairs stage runs on the SAMPLE (mod-keyed,
+    size-bounded — the same exactness-baseline pattern as
+    embedding_near_dup_pairs); the histogram itself is a 20-row agg.
+    Production geometry checks keep the sample a few thousand vectors
+    regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % COS_HIST_MOD == 0
+    )
+    lhs = emb.select(F.col("vec_id").alias("id_l"), F.col("embedding").alias("e_l"))
+    rhs = emb.select(F.col("vec_id").alias("id_r"), F.col("embedding").alias("e_r"))
+    pairs = lhs.join(rhs, F.col("id_l") < F.col("id_r")).select(
+        F.round(cosine_similarity("e_l", "e_r"), 6).alias("cos")
+    )
+    return pairs.groupBy(
+        F.floor(F.col("cos") * 10).cast("long").alias("bucket")
+    ).agg(F.count("*").alias("n_pairs"))

@@ -118,6 +118,7 @@ PRIORITY: tuple[str, ...] = (
     "ann_ivf_ndcg_at_k",
     "customer_spend_gini",
     "minhash_estimate_accuracy",
+    "cold_start_part_recommendations",
     # past the typical sample window — still ahead of the already-driver-
     # green bulk so they lead the next round's sample
     "q9_product_profit",
@@ -149,6 +150,7 @@ PRIORITY: tuple[str, ...] = (
     "conversion_latency_percentiles",
     "brand_type_independence",
     "user_event_burstiness",
+    "cosine_histogram_sampled",
 )
 
 
