@@ -560,3 +560,29 @@ def test_point_in_time_join_is_equi_keyed(spark, sf_oracle):
     or broadcast), never a nested-loop range join."""
     plan = _plan(spark, sf_oracle, "point_in_time_state_join")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cold_start_rec_uses_anti_join_and_group_limit(spark, sf_oracle):
+    """The personal exclusion must be a LeftAnti join and the per-user
+    top-k a WindowGroupLimit — the two operators that keep the
+    recommendation fan-out bounded."""
+    plan = _plan(spark, sf_oracle, "cold_start_part_recommendations")
+    assert "LeftAnti" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_accuracy_joins_signatures_not_corpus(spark, sf_oracle):
+    """The estimate stage must join the signature relation (hash equi-
+    joins), with the exact verify bounded to candidates — no cartesian
+    or nested-loop stage anywhere."""
+    plan = _plan(spark, sf_oracle, "minhash_estimate_accuracy")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_burstiness_single_user_shuffle(spark, sf_oracle):
+    """The gap window and the stats agg must share the user_id hash
+    partitioning — one corpus shuffle total."""
+    plan = _plan(spark, sf_oracle, "user_event_burstiness")
+    # one user_id exchange (printed twice: tree + detail section)
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
