@@ -1252,3 +1252,36 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "decimal_exact_totals",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18, 2))
+                             AS DECIMAL(38, 2))) AS VARCHAR) AS total_exact,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18, 2))
+                             AS DECIMAL(38, 2))
+                        * CAST(o_orderkey % 7 + 1 AS DECIMAL(38, 0)))
+                   AS VARCHAR) AS weighted_exact,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_orderstatus
+    """,
+    doc="[ext] exact DECIMAL arithmetic: sums and integer-weighted sums "
+    "in DECIMAL(38,2) serialized as strings — NO rounding declared, the "
+    "totals must match to the last cent because decimal aggregation is "
+    "exact in both engines regardless of partition order (the property "
+    "float money math can never give you).",
+)
+def decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: decimal sums are partial+final like any algebraic agg —
+    exactness costs nothing structurally; this is the accounting-grade
+    path the float queries' round(_,2) approximates."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(38,2)")
+    weight = (F.col("o_orderkey") % 7 + 1).cast("decimal(38,0)")
+    return orders.groupBy("o_orderstatus").agg(
+        F.sum(dec).cast("string").alias("total_exact"),
+        F.sum(dec * weight).cast("string").alias("weighted_exact"),
+        F.count("*").alias("n_orders"),
+    )

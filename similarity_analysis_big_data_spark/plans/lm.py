@@ -665,3 +665,77 @@ def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pos").cast("long").alias("first_pos"),
         )
     )
+
+
+LANG_TOP_TERMS = 5
+
+
+@register(
+    "lang_distinctive_terms",
+    oracle=r"""
+        WITH toks AS (
+            SELECT lang,
+                   list_filter(regexp_split_to_array(lower(text), '[^\w]+'),
+                               x -> x <> '') AS tokens
+            FROM documents
+        ),
+        tf AS (
+            SELECT lang, unnest(tokens) AS term FROM toks
+        ),
+        counts AS (
+            SELECT lang, term, count(*) AS tf FROM tf GROUP BY 1, 2
+        ),
+        df AS (
+            SELECT term, count(DISTINCT lang) AS df FROM counts GROUP BY term
+        ),
+        nl AS (SELECT count(DISTINCT lang) AS n_langs FROM counts),
+        scored AS (
+            SELECT c.lang, c.term,
+                   round((1 + log10(c.tf))
+                         * (log10((nl.n_langs + 1.0) / (d.df + 1)) + 1), 6)
+                       AS score
+            FROM counts c JOIN df d USING (term) CROSS JOIN nl
+        )
+        SELECT lang, term, score, rnk
+        FROM (SELECT lang, term, score,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY score DESC, term) AS rnk
+              FROM scored)
+        WHERE rnk <= 5
+    """,
+    doc="[ext] keyness analysis: each language's most DISTINCTIVE terms "
+    "— TF-IDF with languages as the document unit, so corpus-wide common "
+    "words score low and per-language markers surface — the corpus-"
+    "exploration view a multilingual data mix is tuned with.",
+)
+def lang_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the corpus collapses to the (lang, term) count relation in
+    one agg; everything after (language df, scoring, per-lang top-k) is
+    vocabulary-sized with a WindowGroupLimit finish."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(tokenize(F.lower("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfr = counts.groupBy("term").agg(F.countDistinct("lang").alias("df"))
+    nl = counts.agg(F.countDistinct("lang").alias("n_langs"))
+    scored = (
+        counts.join(F.broadcast(dfr), "term")
+        .crossJoin(F.broadcast(nl))
+        .select(
+            "lang",
+            "term",
+            F.round(
+                (1 + F.log10("tf"))
+                * (F.log10((F.col("n_langs") + 1.0) / (F.col("df") + 1)) + 1),
+                6,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= LANG_TOP_TERMS
+    )

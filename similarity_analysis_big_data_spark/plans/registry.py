@@ -119,6 +119,7 @@ PRIORITY: tuple[str, ...] = (
     "customer_spend_gini",
     "minhash_estimate_accuracy",
     "cold_start_part_recommendations",
+    "decimal_exact_totals",
     # past the typical sample window — still ahead of the already-driver-
     # green bulk so they lead the next round's sample
     "q9_product_profit",
@@ -151,6 +152,7 @@ PRIORITY: tuple[str, ...] = (
     "brand_type_independence",
     "user_event_burstiness",
     "cosine_histogram_sampled",
+    "lang_distinctive_terms",
 )
 
 
