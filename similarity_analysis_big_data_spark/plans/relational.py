@@ -2152,3 +2152,67 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id long, user_id long, purchase_ts string, last_click_ts string",
         )
     )
+
+
+@register(
+    "skyline_price_size_parts",
+    oracle="""
+        WITH pts AS (
+            SELECT p_partkey,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+                   CAST(p_size AS BIGINT) AS size
+            FROM part
+        ),
+        ctx AS (
+            SELECT p_partkey, cents, size,
+                   max(size) OVER (ORDER BY cents
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS best_lower,
+                   max(size) OVER (PARTITION BY cents) AS best_same
+            FROM pts
+        )
+        SELECT p_partkey,
+               round(cents / 100.0, 2) AS price,
+               size
+        FROM ctx
+        WHERE size = best_same AND size > coalesce(best_lower, -1)
+    """,
+    doc="[ext] 2-D skyline (Pareto front): parts no other part beats on "
+    "BOTH cheaper price and larger size — computed with one sort and two "
+    "windows (running max over strictly-lower prices via a RANGE frame "
+    "on exact cents, plus a same-price max), never the quadratic "
+    "dominance self-join.",
+)
+def skyline_price_size_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the classic skyline needs no all-pairs in 2-D — sort by one
+    dimension and carry the running max of the other. Single global sort
+    here (parts-catalog sized); at larger scale the standard trick is
+    grid-partitioned local skylines + a skyline-of-skylines merge."""
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w_lower = (
+        W.orderBy("cents").rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_same = W.partitionBy("cents")
+    ctx = pts.select(
+        "p_partkey",
+        "cents",
+        "size",
+        F.max("size").over(w_lower).alias("best_lower"),
+        F.max("size").over(w_same).alias("best_same"),
+    )
+    return (
+        ctx.filter(
+            (F.col("size") == F.col("best_same"))
+            & (F.col("size") > F.coalesce("best_lower", F.lit(-1)))
+        )
+        .select(
+            "p_partkey",
+            F.round(F.col("cents") / 100.0, 2).alias("price"),
+            "size",
+        )
+    )
