@@ -734,3 +734,58 @@ def cold_start_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFra
             "rnk",
         )
     )
+
+
+@register(
+    "user_longest_active_streak",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        islands AS (
+            SELECT user_id, d,
+                   CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT)
+                   - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                       AS island
+            FROM days
+        ),
+        streaks AS (
+            SELECT user_id, island, count(*) AS len,
+                   min(d) AS streak_start
+            FROM islands GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(max(len) AS BIGINT) AS longest_streak,
+               strftime(min_by(streak_start, island), '%Y-%m-%d')
+                   AS any_streak_start,
+               CAST(count(*) AS BIGINT) AS n_streaks
+        FROM streaks
+        GROUP BY user_id
+    """,
+    doc="[ext] gaps-and-islands: longest run of CONSECUTIVE active days "
+    "per user (day-number minus row-number labels each island; the "
+    "reported start is the earliest streak's, keyed by island id so both "
+    "engines pick the same one) — the retention-streak metric.",
+)
+def user_longest_active_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: distinct (user, day) is one hash agg; the island label is
+    one user-keyed window; streaks and the final rollup are active-days
+    sized. All shuffles keyed on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w_u = W.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island",
+        F.datediff("d", F.lit("1970-01-01").cast("date")).cast("long")
+        - F.row_number().over(w_u),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("len"), F.min("d").alias("streak_start")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.date_format(
+            F.expr("min_by(streak_start, island)"), "yyyy-MM-dd"
+        ).alias("any_streak_start"),
+        F.count("*").alias("n_streaks"),
+    )

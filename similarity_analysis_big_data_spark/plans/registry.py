@@ -121,6 +121,7 @@ PRIORITY: tuple[str, ...] = (
     "cold_start_part_recommendations",
     "decimal_exact_totals",
     "skyline_price_size_parts",
+    "user_longest_active_streak",
     # past the typical sample window — still ahead of the already-driver-
     # green bulk so they lead the next round's sample
     "q9_product_profit",
