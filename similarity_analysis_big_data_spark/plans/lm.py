@@ -739,3 +739,92 @@ def lang_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
         F.col("rnk") <= LANG_TOP_TERMS
     )
+
+
+DRIFT_MIN_COUNT = 10
+DRIFT_TOP_N = 30
+
+
+@register(
+    "vocab_drift_halves",
+    oracle=_SQL_TERMS.replace(
+        "terms AS (\n    SELECT doc_id, unnest(tokens) AS term FROM toks\n)",
+        """terms AS (
+    SELECT doc_id, CAST(doc_id % 2 AS BIGINT) AS half,
+           unnest(tokens) AS term
+    FROM toks
+)""",
+    )
+    + f"""
+    , counts AS (
+        SELECT term,
+               sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c_a,
+               sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c_b
+        FROM terms GROUP BY term
+        HAVING count(*) >= {DRIFT_MIN_COUNT}
+    ),
+    tot AS (
+        SELECT CAST(sum(c_a) AS DOUBLE) AS n_a, CAST(sum(c_b) AS DOUBLE) AS n_b
+        FROM counts
+    ),
+    scored AS (
+        SELECT c.term,
+               CAST(c.c_a AS BIGINT) AS count_a,
+               CAST(c.c_b AS BIGINT) AS count_b,
+               round(log2(((c.c_a + 1) / (t.n_a + 1))
+                          / ((c.c_b + 1) / (t.n_b + 1))), 6) AS drift
+        FROM counts c CROSS JOIN tot t
+    )
+    SELECT term, count_a, count_b, drift, rnk
+    FROM (SELECT term, count_a, count_b, drift,
+                 row_number() OVER (ORDER BY abs(drift) DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= {DRIFT_TOP_N}
+    """,
+    doc=f"[ext] vocabulary drift between two corpus halves: add-one-"
+    "smoothed log2 relative-frequency ratio per term (count >= "
+    f"{DRIFT_MIN_COUNT}), top-{DRIFT_TOP_N} by |drift| — the "
+    "distribution-shift screen run between corpus versions before "
+    "retraining on the new mix.",
+)
+def vocab_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the corpus collapses to per-term split counts in one agg
+    (the halves are a column, not two scans); totals and the ranking run
+    on the vocabulary-sized relation. Real version drift swaps the
+    doc_id%2 split for the two corpus snapshots' term counts — same
+    plan, two inputs."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(tokenize(F.lower("text"))).alias("term"),
+    )
+    counts = (
+        terms.groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c_a"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c_b"),
+        )
+        .filter((F.col("c_a") + F.col("c_b")) >= DRIFT_MIN_COUNT)
+    )
+    tot = counts.agg(
+        F.sum("c_a").cast("double").alias("n_a"),
+        F.sum("c_b").cast("double").alias("n_b"),
+    )
+    scored = counts.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.col("c_a").alias("count_a"),
+        F.col("c_b").alias("count_b"),
+        F.round(
+            F.log2(
+                ((F.col("c_a") + 1) / (F.col("n_a") + 1))
+                / ((F.col("c_b") + 1) / (F.col("n_b") + 1))
+            ),
+            6,
+        ).alias("drift"),
+    )
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(W.orderBy(F.desc(F.abs("drift")), F.asc("term")))
+    return scored.withColumn("rnk", rnk.cast("long")).filter(
+        F.col("rnk") <= DRIFT_TOP_N
+    )

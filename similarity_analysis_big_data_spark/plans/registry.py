@@ -122,6 +122,7 @@ PRIORITY: tuple[str, ...] = (
     "decimal_exact_totals",
     "skyline_price_size_parts",
     "user_longest_active_streak",
+    "vocab_drift_halves",
     # past the typical sample window — still ahead of the already-driver-
     # green bulk so they lead the next round's sample
     "q9_product_profit",
