@@ -123,6 +123,7 @@ PRIORITY: tuple[str, ...] = (
     "skyline_price_size_parts",
     "user_longest_active_streak",
     "vocab_drift_halves",
+    "part_name_trigram_pairs",
     # past the typical sample window — still ahead of the already-driver-
     # green bulk so they lead the next round's sample
     "q9_product_profit",
