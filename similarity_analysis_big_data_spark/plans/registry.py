@@ -124,6 +124,7 @@ PRIORITY: tuple[str, ...] = (
     "user_longest_active_streak",
     "vocab_drift_halves",
     "part_name_trigram_pairs",
+    "langid_confidence_margin",
     # past the typical sample window — still ahead of the already-driver-
     # green bulk so they lead the next round's sample
     "q9_product_profit",

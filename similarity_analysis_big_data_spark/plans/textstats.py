@@ -859,3 +859,45 @@ def vocab_richness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("c") == 1, 1.0).otherwise(0.0)) / F.count("*"), 6
         ).alias("hapax_frac"),
     )
+
+
+@register(
+    "langid_confidence_margin",
+    oracle=_SQL_TOKS
+    + "\n    , scored AS (\n        SELECT doc_id,\n"
+    + ",\n".join(
+        f"               {_marker_score_sql(m)} AS score_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    + "\n        FROM toks\n    )"
+    + """
+    SELECT doc_id,
+           round(lst[1], 6) AS top_score,
+           round(lst[1] - lst[2], 6) AS margin,
+           CAST(lst[1] - lst[2] < 0.01 AS BIGINT) AS abstain
+    FROM (SELECT doc_id,
+                 list_reverse(list_sort(["""
+    + ", ".join(f"score_{lang}" for lang in LANG_MARKERS)
+    + """])) AS lst
+          FROM scored)
+    """,
+    doc="[ext] classifier confidence margin: top language score minus the "
+    "runner-up (via a sorted score array — no quadratic pairwise "
+    "comparison), with an abstention flag when the margin is under 0.01 "
+    "— the uncertainty signal routing ambiguous documents to a heavier "
+    "model.",
+)
+def langid_confidence_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: scoring plus one array sort per row — a constant-width
+    (|langs|) in-row operation, no shuffle at all."""
+    scored = lang_id_scores(spark, sf_dir)
+    lst = F.reverse(
+        F.array_sort(F.array(*[F.col(f"score_{lang}") for lang in LANG_MARKERS]))
+    )
+    margin = lst[0] - lst[1]
+    return scored.select(
+        "doc_id",
+        F.round(lst[0], 6).alias("top_score"),
+        F.round(margin, 6).alias("margin"),
+        (margin < 0.01).cast("long").alias("abstain"),
+    )
