@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
+from ..operators.topk import global_top_n
 from ..sources.readers import load_table
 from .registry import register
 
@@ -263,8 +264,10 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: doc length rides THROUGH the explode (no corpus-sized join
     back); the per-(doc,term) relation is pre-filtered to query terms, so
     everything after the one corpus explode+agg is query-sized. df and the
-    (N, avgdl) scalars broadcast; final top-k is a WindowGroupLimit, not a
-    global sort."""
+    (N, avgdl) scalars broadcast; final top-k is TakeOrderedAndProject
+    (per-task heaps merged on the driver) with the rank window running on
+    the 10 surviving rows — the scored relation is match-sized (corpus-
+    scale for common query terms), so no unbounded global window."""
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
         "doc_id",
@@ -293,13 +296,7 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(term_score), 6).alias("score"))
     )
-    from pyspark.sql import Window as W
-
-    rnk = F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id")))
-    return (
-        scored.withColumn("rnk", rnk.cast("long"))
-        .filter(F.col("rnk") <= 10)
-    )
+    return global_top_n(scored, [F.desc("score"), F.asc("doc_id")], 10)
 
 
 # ---- collocations + BPE training step --------------------------------------
@@ -346,11 +343,12 @@ PMI_TOP_N = 50
 )
 def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: one corpus explode each for unigrams and bigrams, both
-    reduced to vocabulary-sized count relations by partial+final hash
-    aggs; everything downstream (the two unigram join-backs, the scalar
-    totals, the global top-N) runs on model-sized data. The unigram
-    relation BROADCASTs onto the bigram counts; the final top-N is a
-    single-partition window over an already-filtered vocab relation."""
+    reduced to count relations by partial+final hash aggs; the unigram
+    relation BROADCASTs onto the bigram counts. The bigram-count relation
+    is NOT model-sized at web scale (bigram vocabularies explode
+    quadratically), so the final top-N is TakeOrderedAndProject — per-task
+    50-row heaps, no single-partition sort of the scored relation — with
+    the rank window running on the 50 survivors only."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize(F.lower("text")).alias("tokens"))
     uni_counts = (
@@ -391,10 +389,7 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    from pyspark.sql import Window as W
-
-    rnk = F.row_number().over(W.orderBy(F.desc("pmi"), F.asc("pair")))
-    return scored.withColumn("rnk", rnk.cast("long")).filter(F.col("rnk") <= PMI_TOP_N)
+    return global_top_n(scored, [F.desc("pmi"), F.asc("pair")], PMI_TOP_N)
 
 
 BPE_TOP_N = 30
@@ -431,7 +426,10 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-keyed hash agg) BEFORE any character work — char pairs
     explode off |vocab| rows, not |corpus| tokens, so each extra BPE
     iteration is vocabulary-priced. Weighted pair counts are one more
-    hash agg; the top-N is a single-partition window on a tiny relation."""
+    hash agg; the top-N is TakeOrderedAndProject (per-task 30-row heaps),
+    with the rank window on the 30 survivors — the pair-count relation is
+    bounded (|charset|^2) but the same shape stays safe for multi-char
+    symbol alphabets where it is not."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(F.explode(tokenize(F.lower("text"))).alias("term"))
     wf = terms.groupBy("term").agg(F.count("*").alias("w"))
@@ -445,10 +443,7 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pc = pairs.groupBy("sym_pair").agg(F.sum("w").alias("pair_count"))
-    from pyspark.sql import Window as W
-
-    rnk = F.row_number().over(W.orderBy(F.desc("pair_count"), F.asc("sym_pair")))
-    return pc.withColumn("rnk", rnk.cast("long")).filter(F.col("rnk") <= BPE_TOP_N)
+    return global_top_n(pc, [F.desc("pair_count"), F.asc("sym_pair")], BPE_TOP_N)
 
 
 VOCAB_SIZE = 500
@@ -479,21 +474,17 @@ VOCAB_SIZE = 500
     "coverage statistic that decides whether a vocab ships.",
 )
 def vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: the vocabulary is a top-N over the vocab-sized count
-    relation (single-partition window on counts, NOT the corpus), then
-    BROADCASTs back onto the exploded corpus as a left join; the per-doc
-    agg is the only corpus-sized shuffle."""
+    """Scale: the vocabulary is TakeOrderedAndProject over the distinct-
+    term count relation — which is UNBOUNDED on web corpora (typos, URLs,
+    code), so a global rank window there would single-partition-funnel;
+    per-task 500-row heaps never do. The vocab then BROADCASTs back onto
+    the exploded corpus as a left join; the per-doc agg is the only
+    corpus-sized shuffle."""
     terms = _doc_terms(spark, sf_dir)
     counts = terms.groupBy("term").agg(F.count("*").alias("cf"))
-    from pyspark.sql import Window as W
-
-    vocab = (
-        counts.withColumn(
-            "rnk", F.row_number().over(W.orderBy(F.desc("cf"), F.asc("term")))
-        )
-        .filter(F.col("rnk") <= VOCAB_SIZE)
-        .select("term", F.lit(1).alias("in_vocab"))
-    )
+    vocab = global_top_n(
+        counts, [F.desc("cf"), F.asc("term")], VOCAB_SIZE, rank_name=None
+    ).select("term", F.lit(1).alias("in_vocab"))
     return (
         terms.join(F.broadcast(vocab), "term", "left")
         .groupBy("doc_id")
@@ -545,27 +536,23 @@ UNK_ID = -1
     "corpus into model input; order-preserving under distribution.",
 )
 def tokenize_corpus_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: the vocabulary (term -> id) is a top-N over the vocab-sized
-    count relation and BROADCASTs onto the position-exploded corpus; the
-    re-assembly groupBy shuffles (doc_id, pos, tid) triples once and
-    restores order with array_sort over (pos, tid) structs — no window,
-    no single-partition stage touches corpus-sized data (the vocab
-    ranking window runs on |vocab| rows)."""
+    """Scale: the vocabulary (term -> id) is TakeOrderedAndProject over
+    the distinct-term count relation (unbounded on web corpora — typos,
+    URLs, code — so per-task 500-row heaps, never a global rank window
+    over it), with ids assigned by a window over the 500 survivors; the
+    vocab BROADCASTs onto the position-exploded corpus; the re-assembly
+    groupBy shuffles (doc_id, pos, tid) triples once and restores order
+    with array_sort over (pos, tid) structs — no single-partition stage
+    touches corpus-sized data."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(
         "doc_id",
         F.posexplode(tokenize(F.lower("text"))).alias("pos", "term"),
     )
     counts = terms.groupBy("term").agg(F.count("*").alias("cf"))
-    from pyspark.sql import Window as W
-
-    vocab = (
-        counts.withColumn(
-            "rnk", F.row_number().over(W.orderBy(F.desc("cf"), F.asc("term")))
-        )
-        .filter(F.col("rnk") <= VOCAB_SIZE)
-        .select("term", (F.col("rnk") - 1).cast("long").alias("tid"))
-    )
+    vocab = global_top_n(
+        counts, [F.desc("cf"), F.asc("term")], VOCAB_SIZE, rank_name="rnk"
+    ).select("term", (F.col("rnk") - 1).alias("tid"))
     return (
         terms.join(F.broadcast(vocab), "term", "left")
         .select("doc_id", "pos", F.coalesce("tid", F.lit(UNK_ID)).alias("tid"))
@@ -789,10 +776,11 @@ DRIFT_TOP_N = 30
 )
 def vocab_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: the corpus collapses to per-term split counts in one agg
-    (the halves are a column, not two scans); totals and the ranking run
-    on the vocabulary-sized relation. Real version drift swaps the
-    doc_id%2 split for the two corpus snapshots' term counts — same
-    plan, two inputs."""
+    (the halves are a column, not two scans); totals broadcast back, and
+    the top-N is TakeOrderedAndProject over the (unbounded at web scale)
+    term relation, with the rank window on the survivors. Real version
+    drift swaps the doc_id%2 split for the two corpus snapshots' term
+    counts — same plan, two inputs."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(
         (F.col("doc_id") % 2).alias("half"),
@@ -822,9 +810,6 @@ def vocab_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("drift"),
     )
-    from pyspark.sql import Window as W
-
-    rnk = F.row_number().over(W.orderBy(F.desc(F.abs("drift")), F.asc("term")))
-    return scored.withColumn("rnk", rnk.cast("long")).filter(
-        F.col("rnk") <= DRIFT_TOP_N
+    return global_top_n(
+        scored, [F.desc(F.abs("drift")), F.asc("term")], DRIFT_TOP_N
     )

@@ -266,59 +266,120 @@ def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "within-source percent rank — removes per-source length bias before "
     "cross-source comparisons (the microarray-normalization classic, "
     "applied to corpus stats). Oracle states the rank lookup as a native "
-    "DuckDB ASOF JOIN; the engine uses the union+ordered-window "
-    "formulation (greatest global rank <= the doc's rank).",
+    "DuckDB ASOF JOIN; the engine recovers the greatest global rank <= "
+    "the doc's rank ARITHMETICALLY from exact dense global ids.",
 )
 def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: percent ranks are exact rational doubles ((rank-1)/(n-1) on
-    both engines, bit-identical), so the as-of lookup is exact. The
-    union+window runs a single global ordering here (documents-sized);
-    at 100 TB the global side collapses to B quantile boundaries
-    (approx_percentile) broadcast as a bucket table — the
-    stable_doc_reindex pattern — with identical join semantics."""
-    docs = load_table(spark, sf_dir, "documents")
-    w_src = W.partitionBy("source").orderBy("n_chars", "doc_id")
-    ranked = docs.select(
-        "doc_id",
+    """Scale: NO unpartitioned window anywhere. Exact per-source and
+    global row ranks come from the stable_doc_reindex pattern — B exact
+    length-percentile boundaries broadcast, per-(source,)bucket counts
+    cumulative-summed into offsets (a window over the |sources|*B count
+    relation, bounded by construction), then row_number windows
+    PARTITIONED by bucket. percent ranks are then the exact rational
+    doubles (rank-1)/(n-1), bit-identical to both engines' percent_rank.
+    The as-of lookup exploits that global ranks are exactly gid/(N-1):
+    the greatest gpr <= pr is floor(pr*(N-1)) up to double rounding, so a
+    3-candidate check using the SAME IEEE division DuckDB's ASOF compares
+    with recovers it exactly — the corpus-sized union+global-ordered
+    window becomes a distributed equi-join on the dense global id.
+    Equal-length runs share a bucket (bounded skew); property-tested
+    ≡ the straight window formulation in tests/test_plans.py."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    n_buckets = 32
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds_row = docs.agg(
+        F.expr(
+            f"percentile(n_chars, array({', '.join(str(q) for q in qs)}))"
+        ).alias("bs")
+    ).collect()[0]
+    bounds = sorted(set(float(b) for b in bounds_row["bs"]))
+    barr = F.array(*[F.lit(b) for b in bounds])
+    bkt = F.aggregate(
+        F.filter(barr, lambda b: b < F.col("n_chars")),
+        F.lit(0),
+        lambda acc, _: acc + 1,
+    )
+    d = docs.withColumn("bkt", bkt)
+
+    # offsets: exclusive cumsum of per-bucket counts; the count relations
+    # are <= |sources| * B rows, so their windows are bounded by design
+    gcnt = d.groupBy("bkt").agg(F.count("*").alias("n"))
+    w_goff = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    goff = gcnt.select(
+        "bkt",
+        F.coalesce(F.sum("n").over(w_goff), F.lit(0)).alias("goff"),
+        F.sum("n").over(W.orderBy(F.lit(1)).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )).alias("n_tot"),
+    )
+    scnt = d.groupBy("source", "bkt").agg(F.count("*").alias("n"))
+    w_soff = W.partitionBy("source").orderBy("bkt").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    w_stot = W.partitionBy("source").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    soff = scnt.select(
         "source",
-        "n_chars",
-        F.percent_rank().over(w_src).alias("pr"),
+        "bkt",
+        F.coalesce(F.sum("n").over(w_soff), F.lit(0)).alias("soff"),
+        F.sum("n").over(w_stot).alias("n_src"),
     )
-    w_glob = W.orderBy("n_chars", "doc_id")
-    glob = docs.select(
-        F.col("n_chars").alias("g_chars"),
-        F.percent_rank().over(w_glob).alias("gpr"),
+
+    w_gb = W.partitionBy("bkt").orderBy("n_chars", "doc_id")
+    w_sb = W.partitionBy("source", "bkt").orderBy("n_chars", "doc_id")
+    ranked = (
+        d.withColumn("r_gb", F.row_number().over(w_gb))
+        .withColumn("r_sb", F.row_number().over(w_sb))
+        .join(F.broadcast(goff), "bkt")
+        .join(F.broadcast(soff), ["source", "bkt"])
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.col("goff") + F.col("r_gb") - 1).alias("gid"),  # 0-based
+            "n_tot",
+            F.when(
+                F.col("n_src") > 1,
+                (F.col("soff") + F.col("r_sb") - 1).cast("double")
+                / (F.col("n_src") - 1).cast("double"),
+            ).otherwise(F.lit(0.0)).alias("pr"),
+        )
     )
-    # union+window as-of: at equal rank keys the global row sorts FIRST
-    # (flag 0 < 1), so a doc row picks up a global value whose gpr == pr
-    left = ranked.select(
-        F.col("pr").alias("k"),
-        F.lit(1).alias("flag"),
-        "doc_id",
-        "source",
-        "n_chars",
-        F.lit(None).cast("long").alias("g_chars"),
+
+    # greatest gid with double(gid)/double(N-1) <= pr: floor(pr*(N-1)) is
+    # within +-1 of the answer (rounded gid/(N-1) values stay strictly
+    # increasing for N << 2^52), so test the three candidates with the
+    # identical IEEE division the oracle's ASOF comparison performs
+    nm1 = (F.col("n_tot") - 1).cast("double")
+    c = F.floor(F.col("pr") * nm1).cast("long")
+
+    def _ok(g):
+        return (
+            (g >= 0)
+            & (g <= F.col("n_tot") - 1)
+            & (g.cast("double") / nm1 <= F.col("pr"))
+        )
+
+    gstar = F.when(F.col("n_tot") == 1, F.lit(0)).otherwise(
+        F.when(_ok(c + 1), c + 1).when(_ok(c), c).when(_ok(c - 1), c - 1)
+        .otherwise(F.lit(0))
     )
-    right = glob.select(
-        F.col("gpr").alias("k"),
-        F.lit(0).alias("flag"),
-        F.lit(None).cast("long").alias("doc_id"),
-        F.lit(None).cast("string").alias("source"),
-        F.lit(None).cast("long").alias("n_chars"),
-        "g_chars",
+    lookup = ranked.select(
+        F.col("gid").alias("g_gid"), F.col("n_chars").alias("g_chars")
     )
-    w_asof = W.orderBy("k", "flag", "g_chars").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    merged = left.unionByName(right).withColumn(
-        "norm_chars", F.last("g_chars", ignorenulls=True).over(w_asof)
-    )
-    return merged.filter(F.col("flag") == 1).select(
-        "doc_id",
-        "source",
-        F.col("n_chars").cast("long").alias("n_chars"),
-        F.round("k", 6).alias("pr"),
-        F.col("norm_chars").cast("long").alias("norm_chars"),
+    return (
+        ranked.withColumn("gstar", gstar)
+        .join(lookup, F.col("gstar") == F.col("g_gid"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.round("pr", 6).alias("pr"),
+            F.col("g_chars").cast("long").alias("norm_chars"),
+        )
     )
 
 
