@@ -48,25 +48,30 @@ def connected_components(
     downstream if needed (dedup_survivors does).
     """
     spark = pairs.sparkSession
+    # materialize the pair relation ONCE, and do it UNDER THE CALLER'S
+    # shuffle-partition setting: the upstream pipeline feeding the pairs
+    # (for dedup: corpus-sized LSH + exact-Jaccard verify) executes inside
+    # this eager checkpoint, so the reduced iteration setting must not be
+    # installed yet (ADVICE r3 — it was collapsing the flagship dedup
+    # path's parallelism, not just the label-sized loop)
+    pairs_mat = pairs.select(
+        F.col(id_l).alias("src"), F.col(id_r).alias("dst")
+    ).localCheckpoint(eager=True)
     conf_key = "spark.sql.shuffle.partitions"
     saved = spark.conf.get(conf_key)
     if iteration_shuffle_partitions is not None:
         spark.conf.set(conf_key, str(iteration_shuffle_partitions))
     try:
-        return _connected_components_loop(pairs, id_l, id_r, max_iterations)
+        return _connected_components_loop(pairs_mat, max_iterations)
     finally:
         spark.conf.set(conf_key, saved)
 
 
 def _connected_components_loop(
-    pairs: DataFrame, id_l: str, id_r: str, max_iterations: int
+    pairs_mat: DataFrame, max_iterations: int
 ) -> DataFrame:
-    # materialize the pair relation ONCE before the symmetric union — both
-    # union branches reference it, and without this the entire upstream
-    # chain (for dedup: LSH + exact-Jaccard verify) is computed twice
-    pairs_mat = pairs.select(
-        F.col(id_l).alias("src"), F.col(id_r).alias("dst")
-    ).localCheckpoint(eager=True)
+    # pairs_mat is already materialized as (src, dst) — both union branches
+    # reference it without recomputing the upstream chain
     edges = (
         pairs_mat.union(pairs_mat.select(F.col("dst"), F.col("src")))
         .distinct()

@@ -748,7 +748,7 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged AS (
             SELECT user_id, ts, event_id,
                    CASE WHEN prev_ts IS NULL
-                             OR date_diff('second', prev_ts, ts) > 1800
+                             OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                         THEN 1 ELSE 0 END AS is_start
             FROM ordered
         ),

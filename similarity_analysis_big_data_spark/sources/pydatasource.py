@@ -237,14 +237,27 @@ class JsonlDirWriter(DataSourceWriter):
     returns it in its commit message. Nothing becomes visible until the
     driver's ``commit()`` renames the temp files and writes the manifest —
     so a retried/zombie task's orphan file is simply never manifested.
-    This is the same two-phase rename-free protocol cloud-storage
-    committers use (manifest = the atomic pointer)."""
+    This mirrors the manifest-as-atomic-pointer idea of cloud-storage
+    committers, but unlike those it RELIES on driver and executors sharing
+    one local filesystem (``os.replace`` of a task-written temp path on
+    the driver): local mode / shared-NFS only. A cloud deployment would
+    write temp objects and commit by manifest without renames.
 
-    def __init__(self, options: dict, schema_str: str, field_names: list[str], overwrite: bool) -> None:
+    ``mode("overwrite")`` replaces the directory's committed contents
+    (old part files are deleted at commit). ``mode("append")`` writes
+    fresh uniquely-named part files and MERGES them into the existing
+    manifest — prior committed rows stay visible."""
+
+    def __init__(self, options: dict, schema_json: str, field_names: list[str], overwrite: bool) -> None:
         self.path = options["path"]
-        self.schema_str = schema_str
+        self.schema_json = schema_json
         self.field_names = field_names
         self.overwrite = overwrite
+        # batch id distinguishes this commit's part files from any prior
+        # append's (task files are temp-named; finals get the batch prefix)
+        import uuid
+
+        self.batch_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         import json
@@ -264,23 +277,68 @@ class JsonlDirWriter(DataSourceWriter):
         import json
         import os
 
+        manifest_path = os.path.join(self.path, _MANIFEST)
+        prior = None
+        if os.path.exists(manifest_path):
+            with open(manifest_path, encoding="utf-8") as fh:
+                prior = json.load(fh)
+
+        # validate BEFORE any rename so a rejected commit leaves no
+        # orphaned part files — only temp files, which we remove here
+        if (
+            not self.overwrite
+            and prior is not None
+            and prior["columns"] != self.field_names
+        ):
+            for msg in messages:
+                try:
+                    os.remove(msg.tmp_path)
+                except FileNotFoundError:
+                    pass
+            raise ValueError(
+                f"jsonl_dir append: column mismatch — committed "
+                f"{prior['columns']}, appending {self.field_names}"
+            )
+
         finals = []
         total = 0
         for i, msg in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = os.path.join(
+                self.path, f"part-{self.batch_id}-{i:05d}.jsonl"
+            )
             os.replace(msg.tmp_path, final)
             finals.append(os.path.basename(final))
             total += msg.rows
-        manifest = {
-            "schema": self.schema_str,
-            "files": finals,
-            "rows": total,
-            "columns": self.field_names,
-        }
-        tmp_manifest = os.path.join(self.path, _MANIFEST + ".tmp")
+
+        if self.overwrite:
+            # drop the previously committed files; the new manifest is the
+            # atomic switch, so delete AFTER it lands
+            old_files = list(prior["files"]) if prior else []
+            manifest = {
+                "schema_json": self.schema_json,
+                "files": finals,
+                "rows": total,
+                "columns": self.field_names,
+            }
+        else:
+            old_files = []
+            manifest = {
+                "schema_json": self.schema_json,
+                "files": (prior["files"] if prior else []) + finals,
+                "rows": (prior["rows"] if prior else 0) + total,
+                "columns": self.field_names,
+            }
+        tmp_manifest = manifest_path + ".tmp"
         with open(tmp_manifest, "w", encoding="utf-8") as fh:
             json.dump(manifest, fh)
-        os.replace(tmp_manifest, os.path.join(self.path, _MANIFEST))
+        os.replace(tmp_manifest, manifest_path)
+        for name in old_files:
+            if name in finals:  # paranoia: never delete a just-committed file
+                continue
+            try:
+                os.remove(os.path.join(self.path, name))
+            except FileNotFoundError:
+                pass
 
     def abort(self, messages) -> None:
         import os
@@ -326,20 +384,45 @@ class JsonlDirDataSource(DataSource):
     def name(cls) -> str:
         return "jsonl_dir"
 
-    def schema(self) -> str:
+    def schema(self):
         import json
         import os
 
+        from pyspark.sql.types import StructType
+
         with open(os.path.join(self.options["path"], _MANIFEST), encoding="utf-8") as fh:
-            return json.load(fh)["schema"]
+            manifest = json.load(fh)
+        # schema.json() round-trips ANY type (nested structs/maps/arrays);
+        # the previous simpleString munging corrupted non-flat schemas
+        return StructType.fromJson(json.loads(manifest["schema_json"]))
 
     def reader(self, schema) -> JsonlDirReader:
         return JsonlDirReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> JsonlDirWriter:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        # the JSONL value encoding covers atomics and arrays/maps OF
+        # atomics; struct-typed fields would hit json.dumps as Row objects
+        # task-side — reject them here with a clear contract error
+        for f in schema.fields:
+            t = f.dataType
+            inner = (
+                t.elementType if isinstance(t, ArrayType)
+                else t.valueType if isinstance(t, MapType)
+                else t
+            )
+            if isinstance(t, StructType) or isinstance(
+                inner, (StructType, ArrayType, MapType)
+            ):
+                raise ValueError(
+                    f"jsonl_dir: unsupported field type for {f.name!r}: "
+                    f"{t.simpleString()} (atomics and arrays/maps of "
+                    "atomics only)"
+                )
         return JsonlDirWriter(
             self.options,
-            schema.simpleString()[7:-1].replace(":", " "),  # struct<a:t,b:u> -> a t,b u
+            schema.json(),
             [f.name for f in schema.fields],
             overwrite,
         )

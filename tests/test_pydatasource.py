@@ -130,3 +130,94 @@ def test_jsonl_dir_writer_commit_protocol(spark, tmp_path):
     got = {(r["id"], r["digest"], r["score"]) for r in back.collect()}
     want = {(r["id"], r["digest"], r["score"]) for r in df.collect()}
     assert got == want
+
+
+def test_jsonl_dir_append_then_overwrite_modes(spark, tmp_path):
+    """ADVICE r3 (medium): append must MERGE into the existing manifest
+    (unique part names, prior rows stay visible); overwrite must replace
+    committed contents and delete the superseded part files."""
+    import json
+    import os
+
+    from similarity_analysis_big_data_spark.sources.pydatasource import (
+        register_jsonl_dir,
+    )
+
+    register_jsonl_dir(spark)
+    path = str(tmp_path / "sink2")
+    base = spark.range(0, 50).select(F.col("id"), F.lit("a").alias("tag"))
+    delta = spark.range(50, 80).select(F.col("id"), F.lit("b").alias("tag"))
+
+    base.repartition(3).write.format("jsonl_dir").option("path", path).mode(
+        "append"
+    ).save()
+    delta.repartition(2).write.format("jsonl_dir").option("path", path).mode(
+        "append"
+    ).save()
+
+    manifest = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert manifest["rows"] == 80 and len(manifest["files"]) == 5
+    assert len(set(manifest["files"])) == 5  # no part-name collisions
+    back = spark.read.format("jsonl_dir").option("path", path).load()
+    assert back.count() == 80
+    assert back.filter(F.col("tag") == "a").count() == 50
+
+    # append with different columns is rejected, manifest untouched
+    bad = spark.range(3).select(F.col("id"), F.lit(1).alias("other"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="column mismatch"):
+        bad.write.format("jsonl_dir").option("path", path).mode("append").save()
+    assert json.load(open(os.path.join(path, "_MANIFEST.json")))["rows"] == 80
+
+    # overwrite replaces contents and removes superseded part files
+    fresh = spark.range(1000, 1010).select(F.col("id"), F.lit("c").alias("tag"))
+    fresh.repartition(2).write.format("jsonl_dir").option("path", path).mode(
+        "overwrite"
+    ).save()
+    manifest2 = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert manifest2["rows"] == 10 and len(manifest2["files"]) == 2
+    on_disk = {f for f in os.listdir(path) if f.endswith(".jsonl")}
+    assert on_disk == set(manifest2["files"])  # old parts actually deleted
+    back2 = spark.read.format("jsonl_dir").option("path", path).load()
+    assert {r["tag"] for r in back2.collect()} == {"c"}
+    assert back2.count() == 10
+
+
+def test_jsonl_dir_rejects_struct_fields(spark, tmp_path):
+    """Non-flat schemas (struct fields) are rejected at writer
+    construction with a clear contract error instead of corrupting the
+    manifest (ADVICE r3: simpleString munging broke nested colons)."""
+    import pytest as _pytest
+
+    from similarity_analysis_big_data_spark.sources.pydatasource import (
+        register_jsonl_dir,
+    )
+
+    register_jsonl_dir(spark)
+    nested = spark.range(3).select(
+        F.col("id"), F.struct(F.col("id").alias("c")).alias("b")
+    )
+    with _pytest.raises(Exception, match="unsupported field type"):
+        nested.write.format("jsonl_dir").option(
+            "path", str(tmp_path / "nested")
+        ).mode("append").save()
+
+
+def test_jsonl_dir_array_column_roundtrip(spark, tmp_path):
+    """Arrays of atomics survive the JSONL round-trip under the
+    schema.json() manifest (the old DDL munging couldn't express them)."""
+    from similarity_analysis_big_data_spark.sources.pydatasource import (
+        register_jsonl_dir,
+    )
+
+    register_jsonl_dir(spark)
+    path = str(tmp_path / "arr")
+    df = spark.range(5).select(
+        F.col("id"), F.array(F.col("id"), F.col("id") * 2).alias("xs")
+    )
+    df.write.format("jsonl_dir").option("path", path).mode("append").save()
+    back = spark.read.format("jsonl_dir").option("path", path).load()
+    assert back.schema["xs"].dataType.simpleString() == "array<bigint>"
+    got = {(r["id"], tuple(r["xs"])) for r in back.collect()}
+    assert got == {(i, (i, 2 * i)) for i in range(5)}
