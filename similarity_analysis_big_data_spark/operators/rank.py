@@ -1,0 +1,113 @@
+"""Exact distributed ranking — row_number/ntile without a global window.
+
+``row_number() OVER (ORDER BY k)`` (no PARTITION BY) funnels the whole
+relation through one partition. The exact distributed equivalent used
+across the repo (stable_doc_reindex, quantile normalize, gini, RFM):
+
+1. B exact percentile boundaries of the order key — one aggregate,
+   broadcast as an array literal;
+2. bucket id per row = #boundaries strictly below the key — a map-only
+   JVM-side column, monotone in the key, so bucket order IS key order
+   and equal keys share a bucket;
+3. per-bucket counts -> exclusive cumulative offsets — windows over the
+   ``|partitions| * B``-row count relation, bounded by construction;
+4. ``row_number`` windows PARTITIONED by bucket, plus the broadcast
+   offset -> the exact global rank.
+
+Equal-key runs share a bucket (bounded skew: a single massively-repeated
+key value degrades one bucket, the documented trade for determinism —
+approx boundaries would balance better but are sample-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def percentile_bounds(df: DataFrame, key: str, n_buckets: int) -> list[float]:
+    """Exact percentile boundaries of ``key`` (deterministic, unlike
+    repartitionByRange's sampled boundaries). One aggregate + a
+    B-value collect."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.agg(
+        F.expr(
+            f"percentile(cast({key} as double), "
+            f"array({', '.join(str(q) for q in qs)}))"
+        ).alias("bs")
+    ).collect()[0]
+    return sorted(set(float(b) for b in row["bs"]))
+
+
+def bucket_of(key: str, bounds: list[float]) -> Column:
+    """#bounds strictly below the key — broadcast-literal fold, map-only."""
+    arr = F.array(*[F.lit(b) for b in bounds])
+    return F.aggregate(
+        F.filter(arr, lambda b: b < F.col(key)),
+        F.lit(0),
+        lambda acc, _: acc + 1,
+    )
+
+
+def bucketed_row_number(
+    df: DataFrame,
+    key: str,
+    tiebreaks: list[str],
+    rank_name: str = "rnk",
+    n_name: str | None = None,
+    partition_cols: tuple[str, ...] = (),
+    n_buckets: int = 32,
+    bounds: list[float] | None = None,
+) -> DataFrame:
+    """Adds ``rank_name`` = the exact 1-based row_number under
+    ``ORDER BY key, *tiebreaks`` within each ``partition_cols`` group
+    (global when empty), and optionally ``n_name`` = the group's total
+    row count — no unpartitioned window ever touches ``df``-sized data.
+
+    ``key`` must be numeric and ascending; rank a descending numeric key
+    by negating it into a helper column. ``(key, *tiebreaks)`` must be a
+    total order within each group for a deterministic result.
+    """
+    if bounds is None:
+        bounds = percentile_bounds(df, key, n_buckets)
+    d = df.withColumn("_bkt", bucket_of(key, bounds))
+
+    pcols = list(partition_cols)
+    cnt = d.groupBy(*pcols, "_bkt").agg(F.count("*").alias("_n"))
+    w_off = W.partitionBy(*pcols).orderBy("_bkt").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    w_tot = W.partitionBy(*pcols).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    off = cnt.select(
+        *pcols,
+        "_bkt",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_n").over(w_tot).alias("_tot"),
+    )
+    w_rn = W.partitionBy(*pcols, "_bkt").orderBy(key, *tiebreaks)
+    out = (
+        d.withColumn("_rb", F.row_number().over(w_rn))
+        .join(F.broadcast(off), [*pcols, "_bkt"])
+        .withColumn(rank_name, F.col("_off") + F.col("_rb"))
+    )
+    if n_name is not None:
+        out = out.withColumn(n_name, F.col("_tot"))
+    return out.drop("_bkt", "_rb", "_off", "_tot")
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """The SQL-standard NTILE(k) bucket from an exact 1-based rank and the
+    partition row count: the first ``n % k`` buckets get ``n div k + 1``
+    rows, the rest ``n div k`` — identical in Spark and DuckDB, restated
+    arithmetically so no global window is needed."""
+    q = F.floor(n / k)
+    r = n - q * k
+    size1 = q + 1
+    in_big = rank <= size1 * r
+    # ceil(a/b) for positive ints = floor((a-1)/b) + 1; greatest() guards
+    # the (unreachable when q=0) small-bucket branch against div-by-zero
+    big = F.floor((rank - 1) / size1) + 1
+    small = r + F.floor((rank - size1 * r - 1) / F.greatest(q, F.lit(1))) + 1
+    return F.when(in_big, big).otherwise(small).cast("long")

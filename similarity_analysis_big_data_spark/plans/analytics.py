@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..operators.rank import bucketed_row_number, ntile_from_rank
+from ..operators.topk import global_top_n
 from ..sources.readers import load_table
 from .registry import register
 
@@ -367,35 +369,35 @@ RFM_REF_DATE = "1998-12-01"
 )
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: orders reduce to customer grain in one hash agg; the three
-    global ntile windows run on the customer-sized relation. Global
-    ntile is the one single-partition stage — at 100 TB the same scores
-    come from approx-quantile bucket boundaries broadcast back (the
-    stable_doc_reindex pattern); stated here, exact windows kept because
-    scores must be exact for the oracle."""
+    EXACT ntile scores come from distributed bucketed_row_number ranks
+    (percentile-bucket offsets, windows partitioned by bucket) plus the
+    arithmetic NTILE restatement — no global window touches the
+    customer-sized relation (graduated from the three global ntile
+    windows per the r3 verdict; descending axes rank the negated key).
+    Property-tested ≡ the window ntile in tests/test_plans.py."""
     orders = load_table(spark, sf_dir, "orders")
     ref = F.lit(RFM_REF_DATE).cast("date")
     rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.datediff(ref, F.max("o_orderdate").cast("date")).alias("recency_days"),
         F.count("*").alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    ).withColumn("neg_freq", -F.col("frequency")).withColumn(
+        "neg_mon", -F.col("monetary")
     )
-    return rfm.select(
+    ranked = bucketed_row_number(
+        rfm, "recency_days", ["custkey"], rank_name="r_rnk", n_name="n_cust"
+    )
+    ranked = bucketed_row_number(ranked, "neg_freq", ["custkey"], rank_name="f_rnk")
+    ranked = bucketed_row_number(ranked, "neg_mon", ["custkey"], rank_name="m_rnk")
+    n = F.col("n_cust")
+    return ranked.select(
         "custkey",
         F.col("recency_days").cast("long").alias("recency_days"),
         "frequency",
         "monetary",
-        F.ntile(RFM_BUCKETS)
-        .over(W.orderBy("recency_days", "custkey"))
-        .cast("long")
-        .alias("r_score"),
-        F.ntile(RFM_BUCKETS)
-        .over(W.orderBy(F.desc("frequency"), "custkey"))
-        .cast("long")
-        .alias("f_score"),
-        F.ntile(RFM_BUCKETS)
-        .over(W.orderBy(F.desc("monetary"), "custkey"))
-        .cast("long")
-        .alias("m_score"),
+        ntile_from_rank(F.col("r_rnk"), n, RFM_BUCKETS).alias("r_score"),
+        ntile_from_rank(F.col("f_rnk"), n, RFM_BUCKETS).alias("f_score"),
+        ntile_from_rank(F.col("m_rnk"), n, RFM_BUCKETS).alias("m_score"),
     )
 
 
@@ -432,8 +434,9 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes items_per_order-choose-2 pairs (a small constant for
     retail baskets) — work is linear in orders. The pair-count agg is
     the only catalog-keyed shuffle; giant baskets (the skew case) get
-    capped or salted upstream. Top-N is a single-partition window on the
-    already-aggregated pair relation."""
+    capped or salted upstream. Top-N is TakeOrderedAndProject over the
+    aggregated pair relation (catalog-pair sized, unbounded — per-task
+    heaps, no single-partition window), ranks on the N survivors."""
     li = load_table(spark, sf_dir, "lineitem")
     order_parts = li.select("l_orderkey", "l_partkey").distinct()
     a = order_parts.select("l_orderkey", F.col("l_partkey").alias("part_l"))
@@ -444,11 +447,8 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_l", "part_r")
         .agg(F.count("*").alias("support"))
     )
-    rnk = F.row_number().over(
-        W.orderBy(F.desc("support"), F.asc("part_l"), F.asc("part_r"))
-    )
-    return pairs.withColumn("rnk", rnk.cast("long")).filter(
-        F.col("rnk") <= BASKET_TOP_N
+    return global_top_n(
+        pairs, [F.desc("support"), F.asc("part_l"), F.asc("part_r")], BASKET_TOP_N
     )
 
 

@@ -539,20 +539,27 @@ def tokenize_corpus_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: the vocabulary (term -> id) is TakeOrderedAndProject over
     the distinct-term count relation (unbounded on web corpora — typos,
     URLs, code — so per-task 500-row heaps, never a global rank window
-    over it), with ids assigned by a window over the 500 survivors; the
-    vocab BROADCASTs onto the position-exploded corpus; the re-assembly
-    groupBy shuffles (doc_id, pos, tid) triples once and restores order
-    with array_sort over (pos, tid) structs — no single-partition stage
-    touches corpus-sized data."""
+    over it). The <=VOCAB_SIZE survivors are a MODEL ARTIFACT, bounded
+    by construction, so ids are assigned driver-side (same precedent as
+    the PQ codebooks and stopword lists) and the vocab re-enters the
+    plan as a broadcast literal relation — zero single-partition stages
+    anywhere, window or otherwise. The vocab BROADCASTs onto the
+    position-exploded corpus; the re-assembly groupBy shuffles
+    (doc_id, pos, tid) triples once and restores order with array_sort
+    over (pos, tid) structs."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(
         "doc_id",
         F.posexplode(tokenize(F.lower("text"))).alias("pos", "term"),
     )
     counts = terms.groupBy("term").agg(F.count("*").alias("cf"))
-    vocab = global_top_n(
-        counts, [F.desc("cf"), F.asc("term")], VOCAB_SIZE, rank_name="rnk"
-    ).select("term", (F.col("rnk") - 1).alias("tid"))
+    top = global_top_n(
+        counts, [F.desc("cf"), F.asc("term")], VOCAB_SIZE, rank_name=None
+    ).collect()  # <= VOCAB_SIZE rows: the trained vocabulary
+    top.sort(key=lambda r: (-r["cf"], r["term"]))
+    vocab = spark.createDataFrame(
+        [(r["term"], i) for i, r in enumerate(top)], "term string, tid long"
+    )
     return (
         terms.join(F.broadcast(vocab), "term", "left")
         .select("doc_id", "pos", F.coalesce("tid", F.lit(UNK_ID)).alias("tid"))

@@ -52,112 +52,124 @@ def register(
 
 
 # Names surfaced FIRST in query_map()/oracle_sql_map(). The round driver
-# samples a subset of the registry per round; leading with the flagship,
-# the queries fixed since their last sampled round, and the families a
-# correctness row has never covered maximizes the information per sample.
-# (Pure presentation order — every query is in the map either way.)
+# samples a subset of the registry per round; round-4 ordering leads with
+# the queries whose PLANS changed this round (the global-window fixes and
+# bucketed graduations need fresh driver rows), then every query that has
+# never had a driver CORRECTNESS row across r1-r3 (verdict gap 1) — keep
+# rotating next round until the registry is exhausted. (Pure presentation
+# order — every query is in the map either way.)
 PRIORITY: tuple[str, ...] = (
     "title_best_abstract",
-    "asof_join_purchase_click",
-    "asof_join_cogroup",
-    "window_running_user_spend",
-    "window_lag_delta",
-    "json_props_stats",
-    "hourly_event_rollup",
-    "string_function_battery",
-    "doc_tfidf_normalized",
-    "title_retrieval_accuracy",
-    "salted_heavy_hitter_terms",
-    "variant_props_profile",
-    "window_range_7day_spend",
-    "window_value_functions",
-    "supplier_part_list",
-    # round-3 families — one representative of each inside the driver's
-    # ~50-query sample window; remaining members follow after slot 50
-    "q2_min_cost_supplier",
-    "q4_late_order_priority",
-    "q17_small_quantity_revenue",
-    "q21_blocking_suppliers",
-    "mixture_temperature_resample",
-    "scd2_user_state_history",
-    "doc_containment_pairs",
-    "stable_doc_reindex",
-    "incremental_dedup_delta",
-    "recursive_cte_trade_reachability",
-    "ann_pq_adc_topk",
-    "ann_ivfpq_topk",
-    "array_function_battery",
-    "regexp_function_battery",
-    "null_safe_join_segments",
+    "bm25_top_docs",
     "token_pmi_collocations",
     "bpe_merge_pairs",
-    "quality_logreg_gate",
-    "knn_graph_edges",
-    "mutual_knn_pairs",
-    "datetime_function_battery",
-    "math_function_battery",
-    "triangle_count_trade",
-    "merge_upsert_customer_state",
     "vocab_oov_rates",
     "tokenize_corpus_to_ids",
-    "markov_event_transitions",
-    "rfm_customer_segments",
-    "snapshot_diff_orders",
-    "try_function_battery",
-    "dedup_paragraphs_reassemble",
-    "ann_matryoshka_recall_at_k",
-    "ann_rerank_two_stage",
-    "aggregate_function_battery",
-    "point_in_time_state_join",
-    "copurchase_part_pairs",
-    "trade_clustering_coefficients",
-    "session_concurrency_sweep",
-    "doc_top_keywords",
-    "weighted_median_price",
-    "vocab_richness_by_source",
-    "ann_ivf_ndcg_at_k",
-    "customer_spend_gini",
-    "minhash_estimate_accuracy",
-    "cold_start_part_recommendations",
-    "decimal_exact_totals",
-    "skyline_price_size_parts",
-    "user_longest_active_streak",
     "vocab_drift_halves",
+    "quantile_normalize_doclen",
+    "customer_spend_gini",
+    "rfm_customer_segments",
+    "skyline_price_size_parts",
+    "session_concurrency_sweep",
+    "copurchase_part_pairs",
+    "near_dup_survivors",
+    "doclen_decile_profile",
+    "window_running_distinct_types",
+    "association_rules_parts",
+    "daily_revenue_deseasonalized",
+    "conversion_latency_percentiles",
+    "cold_start_part_recommendations",
+    "user_longest_active_streak",
+    "ann_pq_recall_at_k",
+    "ann_pq_trained_recall_at_k",
+    "label_centroid_cohesion",
+    "ann_ivf_ndcg_at_k",
+    "cosine_histogram_sampled",
+    "embedding_dim_variance",
+    "embedding_covariance_cells",
+    "pca_project_embeddings",
+    "explode_variants_battery",
+    "union_by_name_evolution",
+    "hll_sketch_merge_users",
+    "hourly_series_interpolated",
+    "referential_integrity_audit",
+    "decimal_exact_totals",
+    "minhash_estimate_accuracy",
     "part_name_trigram_pairs",
+    "trade_clustering_coefficients",
+    "boolean_and_retrieval",
+    "phrase_search_positions",
+    "lang_distinctive_terms",
+    "sql_surface_revenue",
+    "setop_except_all",
+    "setop_intersect_all",
+    "pivot_status_by_priority",
+    "unpivot_lineitem_measures",
+    "corr_stats_by_returnflag",
+    "ntile_customer_quartiles",
+    "sliding_window_event_counts",
+    "hourly_rollup_gapfilled",
+    "window_percent_rank",
+    "latest_event_per_user",
+    "docs_above_p95_length",
+    "null_semantics_audit",
+    "disjunctive_filter_revenue",
+    "interval_join_click_purchase",
+    "profile_orders_columns",
+    "dq_violations_lineitem",
+    "q6_forecast_revenue",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q10_returned_item_revenue",
+    "q13_customer_order_distribution",
+    "q22_dormant_rich_customers",
+    "train_val_test_split",
+    "stratified_sample_by_lang",
+    "weighted_reservoir_sample",
+    "doc_term_frequency",
+    "doc_frequency_by_term",
+    "category_similarity_matrix",
+    "category_matrix_pivot",
+    "mismatch_samples",
+    "doc_top_keywords",
+    "robust_stats_by_source",
+    "mad_outlier_docs",
+    "regr_price_vs_qty",
+    "char_entropy_scores",
+    "weighted_median_price",
+    "abtest_conversion_zstat",
+    "brand_type_independence",
+    "user_event_burstiness",
+    "subq_scalar_above_avg",
+    "subq_correlated_small_qty",
+    "subq_exists_returned",
+    "subq_not_exists_unreturned_parts",
+    "subq_in_big_spenders",
+    "subq_not_in_quiet_suppliers",
+    "lateral_top2_lineitems",
+    "lang_id_scores",
+    "text_quality_scores",
+    "token_count_stats",
+    "sessionization_gap",
+    "doc_length_histogram",
+    "training_corpus_filtered",
+    "zscore_doclen_by_lang",
+    "top_trigrams_per_lang",
+    "gopher_repetition_metrics",
+    "langid_confusion_matrix",
+    "user_event_chisq_anomaly",
+    "readability_scores",
+    "vocab_richness_by_source",
     "langid_confidence_margin",
-    # past the typical sample window — still ahead of the already-driver-
-    # green bulk so they lead the next round's sample
     "q9_product_profit",
     "q11_important_parts",
     "q12_late_lines_by_status",
     "q15_top_revenue_supplier",
     "q16_supplier_variety",
     "q20_dominant_part_suppliers",
-    "embedding_dim_variance",
-    "embedding_covariance_cells",
-    "ann_pq_recall_at_k",
-    "ann_pq_trained_recall_at_k",
-    "window_running_distinct_types",
-    "explode_variants_battery",
-    "union_by_name_evolution",
-    "hll_sketch_merge_users",
-    "hourly_series_interpolated",
-    "label_centroid_cohesion",
-    "quantile_normalize_doclen",
-    "boolean_and_retrieval",
-    "phrase_search_positions",
-    "langid_confusion_matrix",
-    "user_event_chisq_anomaly",
-    "association_rules_parts",
-    "daily_revenue_deseasonalized",
-    "readability_scores",
-    "referential_integrity_audit",
-    "abtest_conversion_zstat",
-    "conversion_latency_percentiles",
-    "brand_type_independence",
-    "user_event_burstiness",
-    "cosine_histogram_sampled",
-    "lang_distinctive_terms",
+    "geometric_mean_by_type",
 )
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.timeutil import epoch_micros, micros_between
+from ..operators.rank import bucket_of, percentile_bounds
 from ..sources.readers import load_table
 from .registry import register
 
@@ -2185,30 +2186,43 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def skyline_price_size_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: the classic skyline needs no all-pairs in 2-D — sort by one
-    dimension and carry the running max of the other. Single global sort
-    here (parts-catalog sized); at larger scale the standard trick is
-    grid-partitioned local skylines + a skyline-of-skylines merge."""
+    dimension and carry the running max of the other. The carry is now
+    SEGMENTED (graduated from the single global sort per the r3 verdict):
+    price-percentile buckets give each row a grid cell; bucket order is
+    strictly price order (equal cents always share a bucket), so
+    best-lower = max(within-bucket running max over strictly-lower cents,
+    exclusive running max of per-bucket maxima — a window over the <=B-row
+    bucket-max relation, broadcast back). This is the grid-partitioned
+    local-skyline + carry merge, exact by construction."""
     part = load_table(spark, sf_dir, "part")
     pts = part.select(
         "p_partkey",
         F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
         F.col("p_size").cast("long").alias("size"),
     )
-    w_lower = (
-        W.orderBy("cents").rangeBetween(W.unboundedPreceding, -1)
+    bounds = percentile_bounds(pts, "cents", 32)
+    pts = pts.withColumn("bkt", bucket_of("cents", bounds))
+    bmax = pts.groupBy("bkt").agg(F.max("size").alias("bm"))
+    w_carry = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    carry = bmax.select("bkt", F.max("bm").over(w_carry).alias("carry_max"))
+    w_lower = W.partitionBy("bkt").orderBy("cents").rangeBetween(
+        W.unboundedPreceding, -1
     )
     w_same = W.partitionBy("cents")
-    ctx = pts.select(
+    ctx = pts.join(F.broadcast(carry), "bkt").select(
         "p_partkey",
         "cents",
         "size",
-        F.max("size").over(w_lower).alias("best_lower"),
+        F.greatest(
+            F.coalesce(F.max("size").over(w_lower), F.lit(-1)),
+            F.coalesce("carry_max", F.lit(-1)),
+        ).alias("best_lower"),
         F.max("size").over(w_same).alias("best_same"),
     )
     return (
         ctx.filter(
             (F.col("size") == F.col("best_same"))
-            & (F.col("size") > F.coalesce("best_lower", F.lit(-1)))
+            & (F.col("size") > F.col("best_lower"))
         )
         .select(
             "p_partkey",

@@ -593,9 +593,20 @@ _GLOBAL_TOPN_FIXED = [
     "token_pmi_collocations",
     "bpe_merge_pairs",
     "vocab_oov_rates",
-    "tokenize_corpus_to_ids",
     "vocab_drift_halves",
+    "copurchase_part_pairs",
 ]
+
+
+def test_tokenize_corpus_plan_has_no_window_at_all(spark, sf_oracle):
+    """The headline encode query: the vocab is a driver-materialized
+    model artifact (TakeOrderedAndProject + bounded collect), so the
+    returned plan must contain NO window of any kind and join the vocab
+    back by broadcast."""
+    df = QUERIES["tokenize_corpus_to_ids"].fn(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 @pytest.mark.parametrize("name", _GLOBAL_TOPN_FIXED)
@@ -683,3 +694,59 @@ def test_quantile_normalize_bucketed_equals_window_form(spark, sf_oracle):
     actual = QUERIES["quantile_normalize_doclen"].fn(spark, sf_oracle)
     sym = actual.exceptAll(expected).count() + expected.exceptAll(actual).count()
     assert sym == 0
+
+
+def test_rfm_arithmetic_ntile_equals_window_ntile(spark, sf_oracle):
+    """Property: the distributed rank + arithmetic NTILE restatement
+    produces exactly the three global-window ntile scores."""
+    from pyspark.sql import Window as W
+
+    from similarity_analysis_big_data_spark.plans.analytics import (
+        RFM_BUCKETS, RFM_REF_DATE,
+    )
+    from similarity_analysis_big_data_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_oracle, "orders")
+    ref = F.lit(RFM_REF_DATE).cast("date")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(ref, F.max("o_orderdate").cast("date")).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    expected = rfm.select(
+        "custkey",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+        F.ntile(RFM_BUCKETS).over(W.orderBy("recency_days", "custkey"))
+        .cast("long").alias("r_score"),
+        F.ntile(RFM_BUCKETS).over(W.orderBy(F.desc("frequency"), "custkey"))
+        .cast("long").alias("f_score"),
+        F.ntile(RFM_BUCKETS).over(W.orderBy(F.desc("monetary"), "custkey"))
+        .cast("long").alias("m_score"),
+    )
+    actual = QUERIES["rfm_customer_segments"].fn(spark, sf_oracle)
+    assert actual.exceptAll(expected).count() == 0
+    assert expected.exceptAll(actual).count() == 0
+
+
+def test_gini_and_rfm_and_skyline_have_no_unpartitioned_corpus_window(
+    spark, sf_oracle
+):
+    """r3 verdict item 2: the graduated queries keep every window over
+    relation-sized data partitioned (bucket/day keys); the only
+    unpartitioned windows run on the bounded count/bucket-max/day-total
+    relations whose row count is <= |groups| * B by construction."""
+    for name in (
+        "customer_spend_gini",
+        "rfm_customer_segments",
+        "skyline_price_size_parts",
+        "session_concurrency_sweep",
+    ):
+        df = QUERIES[name].fn(spark, sf_oracle)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            s = line.strip()
+            if "windowspecdefinition" not in s or "row_number" not in s:
+                continue
+            assert "bkt#" in s or "_bkt#" in s, f"{name}: {s[:160]}"
