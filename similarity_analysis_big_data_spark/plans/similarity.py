@@ -218,7 +218,11 @@ def title_best_abstract(
         _doc_terms(spark, sf_dir).withColumnRenamed("doc_id", "abstract_id"),
         ["abstract_id"],
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    df_ = doc_frequency(abstract_tf)
+    # DF is vocabulary-sized and feeds three consumers (the auto probe's
+    # count, the abstract weighting, the title weighting) — persisting it
+    # makes the probe's materialization pay for the weighting joins
+    # instead of being thrown away
+    df_ = doc_frequency(abstract_tf).persist(StorageLevel.MEMORY_AND_DISK)
     abstract_vec = l2_normalize(
         tfidf(abstract_tf, df_, n_docs, ["abstract_id"]), ["abstract_id"]
     )
@@ -242,7 +246,9 @@ def title_best_abstract(
 
     if strategy == "dense":
         top = dense_best_match(title_vec, abstract_vec, "title_id", "abstract_id")
-        top = all_titles.join(top, "title_id", "left").select(
+        # dense mode's precondition (n_titles * vocab <= broadcast cells)
+        # bounds the match relation, so the null-fill join broadcasts
+        top = all_titles.join(F.broadcast(top), "title_id", "left").select(
             "title_id",
             F.col("abstract_id"),
             F.coalesce(F.col("cosine"), F.lit(0.0)).alias("cosine"),
