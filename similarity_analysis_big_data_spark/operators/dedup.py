@@ -122,17 +122,34 @@ def jaccard_pairs(
     sets = shingles.select(F.col(id_col), F.col(shingle_col)).distinct()
     sizes = sets.groupBy(id_col).agg(F.count("*").alias("set_size"))
 
-    lhs = sets.withColumnRenamed(id_col, "id_l")
-    rhs = sets.withColumnRenamed(id_col, "id_r")
-    inter = (
-        lhs.join(rhs, shingle_col)
-        .filter(F.col("id_l") < F.col("id_r"))
-        .groupBy("id_l", "id_r")
-        .agg(F.count("*").alias("n_common"))
-        .filter(F.col("n_common") >= min_intersection)
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_l", "id_r"], "left_semi")
+        # CANDIDATE-DRIVEN intersection: fan each candidate pair out by the
+        # left doc's shingles, close on (id_r, shingle). Cost is
+        # sum(|set_l|) over candidate pairs — bounded by the LSH output —
+        # NOT sum(df^2) over shingles, which is the quadratic blowup LSH
+        # exists to avoid (the previous formulation aggregated ALL
+        # shingle-sharing pairs and only then semi-joined the candidates;
+        # property-tested ≡ below).
+        lhs = sets.select(F.col(id_col).alias("id_l"), shingle_col)
+        rhs = sets.select(F.col(id_col).alias("id_r"), shingle_col)
+        inter = (
+            candidates.select("id_l", "id_r")
+            .join(lhs, "id_l")
+            .join(rhs, [shingle_col, "id_r"])
+            .groupBy("id_l", "id_r")
+            .agg(F.count("*").alias("n_common"))
+            .filter(F.col("n_common") >= min_intersection)
+        )
+    else:
+        lhs = sets.withColumnRenamed(id_col, "id_l")
+        rhs = sets.withColumnRenamed(id_col, "id_r")
+        inter = (
+            lhs.join(rhs, shingle_col)
+            .filter(F.col("id_l") < F.col("id_r"))
+            .groupBy("id_l", "id_r")
+            .agg(F.count("*").alias("n_common"))
+            .filter(F.col("n_common") >= min_intersection)
+        )
     sz_l = sizes.select(F.col(id_col).alias("id_l"), F.col("set_size").alias("size_l"))
     sz_r = sizes.select(F.col(id_col).alias("id_r"), F.col("set_size").alias("size_r"))
     return (

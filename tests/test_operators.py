@@ -467,3 +467,29 @@ def test_hll_sketch_estimates_and_merge(spark):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_jaccard_candidate_driven_equals_postfilter(docs):
+    """The candidate-driven verify (fan candidates out by shingles) must
+    return exactly the pairs/values of the naive form filtered to the
+    candidate set — LSH-then-verify correctness at the operator level."""
+    shingles = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize(F.lower("text")))).alias("shingle"),
+    )
+    spark = docs.sparkSession
+    cands = spark.createDataFrame(
+        [(1, 3), (4, 5), (1, 2), (2, 4)], "id_l long, id_r long"
+    )
+    driven = {
+        (r["id_l"], r["id_r"]): r["jaccard"]
+        for r in jaccard_pairs(shingles, "doc_id", candidates=cands).collect()
+    }
+    full = {
+        (r["id_l"], r["id_r"]): r["jaccard"]
+        for r in jaccard_pairs(shingles, "doc_id").collect()
+    }
+    expected = {
+        k: v for k, v in full.items() if k in {(1, 3), (4, 5), (1, 2), (2, 4)}
+    }
+    assert driven == pytest.approx(expected)
