@@ -111,3 +111,50 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     big = F.floor((rank - 1) / size1) + 1
     small = r + F.floor((rank - size1 * r - 1) / F.greatest(q, F.lit(1))) + 1
     return F.when(in_big, big).otherwise(small).cast("long")
+
+
+def bucketed_running_sum(
+    df: DataFrame,
+    key: str,
+    tiebreaks: list[str],
+    value: str,
+    sum_name: str = "running_sum",
+    partition_cols: tuple[str, ...] = (),
+    n_buckets: int = 32,
+    bounds: list[float] | None = None,
+) -> DataFrame:
+    """Adds ``sum_name`` = the running sum of ``value`` under
+    ``ORDER BY key, *tiebreaks`` within each ``partition_cols`` group
+    (global when empty) — the cumulative-total twin of
+    ``bucketed_row_number``: per-bucket value sums cumulative-summed into
+    offsets (windows over the bounded count relation), within-bucket
+    running sums partitioned by bucket. Use an exact-sum type (decimal /
+    integer) for ``value`` when cross-run bit-equality matters: bucket
+    subtotals aggregate in partition order, which for floats can differ
+    from a sequential scan in the last ulp.
+    """
+    if bounds is None:
+        bounds = percentile_bounds(df, key, n_buckets)
+    d = df.withColumn("_bkt", bucket_of(key, bounds))
+
+    pcols = list(partition_cols)
+    bsum = d.groupBy(*pcols, "_bkt").agg(F.sum(value).alias("_bs"))
+    w_off = W.partitionBy(*pcols).orderBy("_bkt").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    off = bsum.select(
+        *pcols,
+        "_bkt",
+        F.coalesce(F.sum("_bs").over(w_off), F.lit(0)).alias("_voff"),
+    )
+    w_run = (
+        W.partitionBy(*pcols, "_bkt")
+        .orderBy(key, *tiebreaks)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        d.withColumn("_rs", F.sum(value).over(w_run))
+        .join(F.broadcast(off), [*pcols, "_bkt"])
+        .withColumn(sum_name, F.col("_voff") + F.col("_rs"))
+        .drop("_bkt", "_rs", "_voff")
+    )

@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..operators.rank import bucketed_row_number, ntile_from_rank
+from ..operators.rank import (
+    bucketed_row_number,
+    bucketed_running_sum,
+    ntile_from_rank,
+)
 from ..operators.topk import global_top_n
 from ..sources.readers import load_table
 from .registry import register
@@ -788,4 +792,183 @@ def user_longest_active_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("min_by(streak_start, island)"), "yyyy-MM-dd"
         ).alias("any_streak_start"),
         F.count("*").alias("n_streaks"),
+    )
+
+
+SESSION_GAP_US = 1800 * 1_000_000
+
+
+@register(
+    "session_path_trigrams",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN prev_ts IS NULL
+                             OR epoch_us(ts) - epoch_us(prev_ts)
+                                > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS is_start
+            FROM ordered
+        ),
+        sessioned AS (
+            SELECT user_id, ts, event_id, event_type,
+                   sum(is_start) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS sess_no
+            FROM flagged
+        ),
+        seqs AS (
+            SELECT user_id, sess_no,
+                   list(event_type ORDER BY ts, event_id) AS types
+            FROM sessioned GROUP BY 1, 2
+        ),
+        tris AS (
+            SELECT user_id, sess_no,
+                   unnest(list_transform(range(1, len(types) - 1),
+                          i -> types[i] || '>' || types[i + 1] || '>'
+                               || types[i + 2])) AS path
+            FROM seqs WHERE len(types) >= 3
+        )
+        SELECT path,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT user_id || ':' || CAST(sess_no AS VARCHAR))
+                    AS BIGINT) AS n_sessions
+        FROM tris GROUP BY path
+    """,
+    doc="[ext] sequential path mining: every consecutive event-type "
+    "triple inside a 30-minute-gap session, with occurrence and session "
+    "counts — the 'common user journeys' statistic product analytics "
+    "builds navigation reports from (order-preserving under "
+    "distribution).",
+)
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: sessionization is the one corpus-sized shuffle (user_id);
+    the per-session type sequence is rebuilt order-exactly with
+    array_sort over (ts, event_id, type) structs — no window touches the
+    grouped rows — and trigram extraction is in-row array math. The
+    output relation is bounded by |event_type|^3, so the final agg is a
+    tiny hash agg. Session length bounds the collect_list row (the skew
+    guard is the same per-user cap used by the curation pipeline)."""
+    from ..functions.timeutil import micros_between
+
+    ev = load_table(spark, sf_dir, "events")
+    w_u = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts").over(w_u).isNull()
+            | (micros_between(F.lag("ts").over(w_u), F.col("ts")) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    seqs = (
+        flagged.withColumn("sess_no", F.sum("is_start").over(w_u))
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ).alias("types")
+        )
+    )
+    tris = seqs.filter(F.size("types") >= 3).select(
+        "user_id",
+        "sess_no",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(types)-2), "
+                "i -> concat_ws('>', types[i-1], types[i], types[i+1]))"
+            )
+        ).alias("path"),
+    )
+    return tris.groupBy("path").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct(
+            F.concat_ws(":", F.col("user_id"), F.col("sess_no"))
+        ).alias("n_sessions"),
+    )
+
+
+ABC_A_SHARE = 0.80
+ABC_B_SHARE = 0.95
+
+
+@register(
+    "abc_revenue_classification",
+    oracle=f"""
+        WITH rev AS (
+            SELECT l_partkey,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                       AS units
+            FROM lineitem GROUP BY 1
+        ),
+        ordered AS (
+            SELECT l_partkey, units,
+                   sum(units) OVER (ORDER BY units DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_units,
+                   sum(units) OVER () AS tot
+            FROM rev
+        )
+        SELECT l_partkey,
+               round(units / 10000.0, 4) AS revenue,
+               round(CAST(cum_units AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                   AS cum_share,
+               CASE WHEN CAST(cum_units AS DOUBLE) / CAST(tot AS DOUBLE)
+                         <= {ABC_A_SHARE} THEN 'A'
+                    WHEN CAST(cum_units AS DOUBLE) / CAST(tot AS DOUBLE)
+                         <= {ABC_B_SHARE} THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ordered
+    """,
+    doc=f"[ext] ABC / Pareto contribution analysis: parts ranked by "
+    f"revenue, classified A (first {ABC_A_SHARE:.0%} of cumulative "
+    f"revenue), B (to {ABC_B_SHARE:.0%}), C (tail) — the inventory-"
+    "prioritization classic, driven by an exact DISTRIBUTED running "
+    "total (bucketed_running_sum: per-bucket subtotal offsets broadcast, "
+    "running-sum windows partitioned by bucket — no global window over "
+    "the catalog). Money is summed as exact integer 10^-4-dollar units "
+    "(the cents trick) so ranks, cumulative totals and shares are "
+    "bit-identical across engines.",
+)
+def abc_revenue_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: revenue is one part-keyed hash agg over exact integer
+    units; the running total comes from bucketed_running_sum on the
+    negated-units order key (descending rank = ascending negation) with
+    a part-key tiebreak — every catalog-touching window is bucket-
+    partitioned; the scalar total is one more aggregate broadcast back.
+    Integer arithmetic makes bucket subtotals + within-bucket sums
+    exactly equal to a sequential scan, addition order be damned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    units_expr = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(units_expr).alias("units"))
+        .withColumn("neg_units", -F.col("units"))
+    )
+    cum = bucketed_running_sum(
+        rev, "neg_units", ["l_partkey"], "units", sum_name="cum_units"
+    )
+    tot = rev.agg(F.sum("units").alias("tot"))
+    share = F.col("cum_units").cast("double") / F.col("tot").cast("double")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            F.round(F.col("units") / 10000.0, 4).alias("revenue"),
+            F.round(share, 6).alias("cum_share"),
+            F.when(share <= ABC_A_SHARE, "A")
+            .when(share <= ABC_B_SHARE, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
     )

@@ -744,3 +744,83 @@ def part_name_trigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= TRIGRAM_COS_MIN)
         .select("id_l", "id_r", F.round(cos, 6).alias("trigram_cosine"))
     )
+
+
+@register(
+    "entity_name_clusters",
+    oracle=f"""
+        WITH RECURSIVE grams AS (
+            SELECT p_partkey, substr(p_name, 1, 1) AS blk,
+                   unnest(list_transform(range(1, len(p_name) - 1),
+                                         i -> substr(p_name, i, 3))) AS g
+            FROM part WHERE len(p_name) >= 3
+        ),
+        profiles AS (
+            SELECT p_partkey, blk, g, CAST(count(*) AS DOUBLE) AS c
+            FROM grams GROUP BY 1, 2, 3
+        ),
+        norms AS (
+            SELECT p_partkey, sqrt(sum(c * c)) AS nrm
+            FROM profiles GROUP BY 1
+        ),
+        dots AS (
+            SELECT a.p_partkey AS id_l, b.p_partkey AS id_r,
+                   sum(a.c * b.c) AS dot
+            FROM profiles a
+            JOIN profiles b ON a.blk = b.blk AND a.g = b.g
+                           AND a.p_partkey < b.p_partkey
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT d.id_l, d.id_r
+            FROM dots d
+            JOIN norms nl ON nl.p_partkey = d.id_l
+            JOIN norms nr ON nr.p_partkey = d.id_r
+            WHERE d.dot / (nl.nrm * nr.nrm) >= {TRIGRAM_COS_MIN}
+        ),
+        edges AS (
+            SELECT id_l AS a, id_r AS b FROM pairs
+            UNION SELECT id_r, id_l FROM pairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (
+            SELECT a AS id, least(a, min(b)) AS entity_id FROM reach GROUP BY a
+        )
+        SELECT comp.id AS p_partkey, comp.entity_id,
+               CAST(cs.n AS BIGINT) AS cluster_size
+        FROM comp
+        JOIN (SELECT entity_id, count(*) AS n FROM comp GROUP BY 1) cs
+          USING (entity_id)
+    """,
+    doc="[ext] entity resolution end to end: trigram-cosine name matching "
+    f"(>= {TRIGRAM_COS_MIN}, first-letter blocking) -> connected "
+    "components -> stable entity ids (min member key) with cluster "
+    "sizes — the record-linkage pipeline that collapses name variants "
+    "into one entity. Oracle states the transitive closure as a "
+    "recursive CTE; the engine runs distributed min-label propagation "
+    "with pointer jumping.",
+)
+def entity_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the pair stage is the blocked sparse trigram join (pairs
+    sharing no (block, trigram) never materialize); components iterate
+    label-sized joins in O(log diameter) rounds (pointer jumping); sizes
+    are one |entities|-keyed agg joined back broadcast. Second consumer
+    of operators/components.py after near-dup dedup — same operator,
+    different edge relation."""
+    from ..operators.components import connected_components
+
+    pairs = part_name_trigram_pairs(spark, sf_dir).select("id_l", "id_r")
+    comp = connected_components(pairs, "id_l", "id_r")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(F.broadcast(sizes), "component")
+        .select(
+            F.col("id").alias("p_partkey"),
+            F.col("component").alias("entity_id"),
+            "cluster_size",
+        )
+    )

@@ -74,6 +74,9 @@ PRIORITY: tuple[str, ...] = (
     "copurchase_part_pairs",
     "near_dup_survivors",
     "doclen_decile_profile",
+    "session_path_trigrams",
+    "entity_name_clusters",
+    "abc_revenue_classification",
     "window_running_distinct_types",
     "association_rules_parts",
     "daily_revenue_deseasonalized",

@@ -750,3 +750,18 @@ def test_gini_and_rfm_and_skyline_have_no_unpartitioned_corpus_window(
             if "windowspecdefinition" not in s or "row_number" not in s:
                 continue
             assert "bkt#" in s or "_bkt#" in s, f"{name}: {s[:160]}"
+
+
+def test_abc_running_sum_windows_are_bucket_partitioned(spark, sf_oracle):
+    """bucketed_running_sum: every sum window over the catalog-sized
+    relation must carry the bucket key; only the <=B-row subtotal cumsum
+    runs unpartitioned."""
+    df = QUERIES["abc_revenue_classification"].fn(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        s = line.strip()
+        if "windowspecdefinition" not in s:
+            continue
+        # the only permissible non-bucket window is the offset cumsum over
+        # the per-bucket subtotal relation (its frame sums _bs)
+        assert "_bkt#" in s or "_bs#" in s, f"unbucketed window: {s[:160]}"
