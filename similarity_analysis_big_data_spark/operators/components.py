@@ -77,10 +77,12 @@ def _connected_components_loop(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # initialize at min(self, neighbors) — the first propagation round
+    # costs nothing extra here (the node set needs this aggregate anyway),
+    # so the loop starts one round ahead
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.least(F.first("src"), F.min("dst")).alias("component"))
         .localCheckpoint(eager=True)
     )
     prev_sum = _label_sum(labels)
