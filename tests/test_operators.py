@@ -493,3 +493,98 @@ def test_jaccard_candidate_driven_equals_postfilter(docs):
         k: v for k, v in full.items() if k in {(1, 3), (4, 5), (1, 2), (2, 4)}
     }
     assert driven == pytest.approx(expected)
+
+
+# ---- operators/rank.py: direct equivalence properties -----------------------
+
+
+def _rank_fixture(spark, seed=7):
+    import random
+
+    rnd = random.Random(seed)
+    rows = [
+        (i, rnd.choice("abc"), rnd.randint(0, 40), rnd.randint(1, 9))
+        for i in range(500)
+    ]
+    # heavy tie block: one value repeated across many rows (bucket-skew case)
+    rows += [(1000 + i, "a", 17, 2) for i in range(60)]
+    return spark.createDataFrame(rows, "id long, grp string, k long, v long")
+
+
+def test_bucketed_row_number_equals_window_row_number(spark):
+    from pyspark.sql import Window as W
+
+    from similarity_analysis_big_data_spark.operators.rank import (
+        bucketed_row_number,
+    )
+
+    cols = ["id", "grp", "k", "v", "r", "n"]
+    df = _rank_fixture(spark)
+    got = bucketed_row_number(df, "k", ["id"], rank_name="r", n_name="n").select(cols)
+    exp = df.withColumn("r", F.row_number().over(W.orderBy("k", "id"))).withColumn(
+        "n", F.count("*").over(W.partitionBy())
+    ).select(cols)
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+    got_g = bucketed_row_number(
+        df, "k", ["id"], rank_name="r", n_name="n", partition_cols=("grp",)
+    ).select(cols)
+    w = W.partitionBy("grp")
+    exp_g = df.withColumn(
+        "r", F.row_number().over(w.orderBy("k", "id"))
+    ).withColumn("n", F.count("*").over(w)).select(cols)
+    assert got_g.exceptAll(exp_g).count() == 0
+    assert exp_g.exceptAll(got_g).count() == 0
+
+
+@pytest.mark.parametrize("k", [1, 2, 4, 7, 100, 560])
+def test_ntile_from_rank_equals_window_ntile(spark, k):
+    from pyspark.sql import Window as W
+
+    from similarity_analysis_big_data_spark.operators.rank import (
+        bucketed_row_number,
+        ntile_from_rank,
+    )
+
+    df = _rank_fixture(spark)
+    ranked = bucketed_row_number(df, "k", ["id"], rank_name="r", n_name="n")
+    got = ranked.select(
+        "id", ntile_from_rank(F.col("r"), F.col("n"), k).alias("t")
+    )
+    exp = df.select(
+        "id", F.ntile(k).over(W.orderBy("k", "id")).cast("long").alias("t")
+    )
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_bucketed_running_sum_equals_window_running_sum(spark):
+    from pyspark.sql import Window as W
+
+    from similarity_analysis_big_data_spark.operators.rank import (
+        bucketed_running_sum,
+    )
+
+    cols = ["id", "grp", "k", "v", "rs"]
+    df = _rank_fixture(spark)
+    got = bucketed_running_sum(df, "k", ["id"], "v", sum_name="rs").select(cols)
+    exp = df.withColumn(
+        "rs",
+        F.sum("v").over(
+            W.orderBy("k", "id").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    ).select(cols)
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+    got_g = bucketed_running_sum(
+        df, "k", ["id"], "v", sum_name="rs", partition_cols=("grp",)
+    ).select(cols)
+    exp_g = df.withColumn(
+        "rs",
+        F.sum("v").over(
+            W.partitionBy("grp")
+            .orderBy("k", "id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    ).select(cols)
+    assert got_g.exceptAll(exp_g).count() == 0
+    assert exp_g.exceptAll(got_g).count() == 0
