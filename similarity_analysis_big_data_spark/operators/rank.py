@@ -9,10 +9,15 @@ across the repo (stable_doc_reindex, quantile normalize, gini, RFM):
 2. bucket id per row = #boundaries strictly below the key — a map-only
    JVM-side column, monotone in the key, so bucket order IS key order
    and equal keys share a bucket;
-3. per-bucket counts -> exclusive cumulative offsets — windows over the
-   ``|partitions| * B``-row count relation, bounded by construction;
+3. per-bucket counts -> exclusive cumulative offsets, computed on the
+   DRIVER from the collected ``|partitions| * B``-row count relation
+   (bounded by construction — same posture as operators/reindex.py; the
+   machinery is only ever needed when partition_cols are few or absent,
+   since high-cardinality partitions already parallelize a plain
+   partitioned window) and broadcast back;
 4. ``row_number`` windows PARTITIONED by bucket, plus the broadcast
-   offset -> the exact global rank.
+   offset -> the exact global rank. No unpartitioned window exists at
+   any size.
 
 Equal-key runs share a bucket (bounded skew: a single massively-repeated
 key value degrades one bucket, the documented trade for determinism —
@@ -74,18 +79,7 @@ def bucketed_row_number(
 
     pcols = list(partition_cols)
     cnt = d.groupBy(*pcols, "_bkt").agg(F.count("*").alias("_n"))
-    w_off = W.partitionBy(*pcols).orderBy("_bkt").rowsBetween(
-        W.unboundedPreceding, -1
-    )
-    w_tot = W.partitionBy(*pcols).rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
-    )
-    off = cnt.select(
-        *pcols,
-        "_bkt",
-        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
-        F.sum("_n").over(w_tot).alias("_tot"),
-    )
+    off = _exclusive_offsets(cnt, pcols, "_n", "_off", "_tot")
     w_rn = W.partitionBy(*pcols, "_bkt").orderBy(key, *tiebreaks)
     out = (
         d.withColumn("_rb", F.row_number().over(w_rn))
@@ -95,6 +89,37 @@ def bucketed_row_number(
     if n_name is not None:
         out = out.withColumn(n_name, F.col("_tot"))
     return out.drop("_bkt", "_rb", "_off", "_tot")
+
+
+def _exclusive_offsets(cnt, pcols, val: str, off_name: str, tot_name: str):
+    """Collect the bounded per-(group, bucket) subtotal relation and
+    rebuild it with exclusive-cumulative offsets and group totals —
+    driver-side arithmetic over <= |groups| * B rows, re-entering the
+    plan as a broadcast literal relation (zero window nodes)."""
+    rows = cnt.collect()
+    rows.sort(key=lambda r: (tuple(str(r[c]) for c in pcols), r["_bkt"]))
+    acc: dict = {}
+    totals: dict = {}
+    out_rows = []
+    for r in rows:
+        g = tuple(r[c] for c in pcols)
+        out_rows.append((*g, r["_bkt"], acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + r[val]
+        totals[g] = acc[g]
+    out_rows = [
+        (*row[:-1], row[-1], totals[row[: len(pcols)]]) for row in out_rows
+    ]
+    schema = cnt.select(*pcols, "_bkt").schema
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+    )
+    val_type = dict(
+        (f.name, f.dataType.simpleString()) for f in cnt.schema.fields
+    )[val]
+    spark = cnt.sparkSession
+    return spark.createDataFrame(
+        out_rows, f"{fields}, {off_name} {val_type}, {tot_name} {val_type}"
+    )
 
 
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
@@ -139,14 +164,7 @@ def bucketed_running_sum(
 
     pcols = list(partition_cols)
     bsum = d.groupBy(*pcols, "_bkt").agg(F.sum(value).alias("_bs"))
-    w_off = W.partitionBy(*pcols).orderBy("_bkt").rowsBetween(
-        W.unboundedPreceding, -1
-    )
-    off = bsum.select(
-        *pcols,
-        "_bkt",
-        F.coalesce(F.sum("_bs").over(w_off), F.lit(0)).alias("_voff"),
-    )
+    off = _exclusive_offsets(bsum, pcols, "_bs", "_voff", "_vtot").drop("_vtot")
     w_run = (
         W.partitionBy(*pcols, "_bkt")
         .orderBy(key, *tiebreaks)

@@ -824,3 +824,114 @@ def entity_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+@register(
+    "near_dup_cluster_stats",
+    oracle=(_SQL_SAMPLE_SHINGLES
+    + _SQL_MH
+    + _SQL_BANDS
+    + """
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+        FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS n_common
+        FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dup_pairs AS (
+        SELECT i.id_l, i.id_r,
+               CAST(i.n_common AS DOUBLE)
+                   / (sl.set_size + sr.set_size - i.n_common) AS jaccard
+        FROM inter i
+        JOIN cand c ON c.id_l = i.id_l AND c.id_r = i.id_r
+        JOIN sizes sl ON sl.doc_id = i.id_l
+        JOIN sizes sr ON sr.doc_id = i.id_r
+        WHERE CAST(i.n_common AS DOUBLE) / (sl.set_size + sr.set_size - i.n_common) >= 0.5
+    ),
+    edges AS (
+        SELECT id_l AS a, id_r AS b FROM dup_pairs
+        UNION SELECT id_r, id_l FROM dup_pairs
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+    ),
+    mc AS (
+        SELECT component, CAST(count(DISTINCT id) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY 1
+    ),
+    ps AS (
+        SELECT c.component,
+               CAST(count(DISTINCT p.id_l || ':' || p.id_r) AS BIGINT)
+                   AS n_verified_pairs,
+               round(avg(p.jaccard), 6) AS avg_jaccard,
+               round(min(p.jaccard), 6) AS min_jaccard
+        FROM dup_pairs p
+        JOIN comp c ON c.id = p.id_l  -- id_l's component == pair's cluster
+        GROUP BY 1
+    )
+    SELECT mc.component AS cluster_id, mc.cluster_size,
+           ps.n_verified_pairs, ps.avg_jaccard, ps.min_jaccard
+    FROM mc JOIN ps USING (component)
+    """).replace("WITH toks", "WITH RECURSIVE toks", 1),
+    doc="[ext] dedup observability: per near-dup cluster — member count, "
+    "verified-pair count, mean and minimum intra-cluster Jaccard — the "
+    "diagnostics a curation team reads before trusting a dedup run "
+    "(a low min_jaccard flags chain-merged clusters whose ends are not "
+    "actually similar; transitive closure via recursive CTE in the "
+    "oracle, pointer-jumped label propagation in the engine).",
+)
+def near_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same stage postures as near_dup_survivors (LSH-bounded
+    candidates, candidate-driven verify, O(log diameter) components);
+    the stats are one pair-relation aggregate keyed by the left
+    endpoint's cluster label (every verified pair is intra-cluster by
+    construction, so id_l's label IS the pair's cluster)."""
+    from ..operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SAMPLE_MOD == 0
+    )
+    toksets = docs.select(
+        "doc_id", F.array_distinct(tokenize(F.lower("text"))).alias("toks")
+    )
+    shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
+    cand = lsh_candidate_pairs(minhash_signatures(shingles, "doc_id"), "doc_id")
+    dup = jaccard_verify_candidates(toksets, "doc_id", "toks", cand).filter(
+        F.col("jaccard") >= 0.5
+    )
+    comp = connected_components(dup.select("id_l", "id_r"), "id_l", "id_r")
+    labels = comp.select(F.col("id").alias("id_l"), F.col("component"))
+    member_counts = comp.groupBy("component").agg(
+        F.countDistinct("id").alias("cluster_size")
+    )
+    pair_stats = (
+        dup.join(labels, "id_l")
+        .groupBy("component")
+        .agg(
+            F.countDistinct(
+                F.concat_ws(":", F.col("id_l"), F.col("id_r"))
+            ).alias("n_verified_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+            F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+        )
+    )
+    return (
+        member_counts.join(pair_stats, "component")
+        .select(
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            "n_verified_pairs",
+            "avg_jaccard",
+            "min_jaccard",
+        )
+    )

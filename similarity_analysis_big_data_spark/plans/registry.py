@@ -77,6 +77,7 @@ PRIORITY: tuple[str, ...] = (
     "session_path_trigrams",
     "entity_name_clusters",
     "abc_revenue_classification",
+    "near_dup_cluster_stats",
     "window_running_distinct_types",
     "association_rules_parts",
     "daily_revenue_deseasonalized",

@@ -2202,9 +2202,17 @@ def skyline_price_size_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bounds = percentile_bounds(pts, "cents", 32)
     pts = pts.withColumn("bkt", bucket_of("cents", bounds))
-    bmax = pts.groupBy("bkt").agg(F.max("size").alias("bm"))
-    w_carry = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
-    carry = bmax.select("bkt", F.max("bm").over(w_carry).alias("carry_max"))
+    # exclusive running max over the <=B bucket maxima: driver arithmetic
+    # on a collected bounded relation, broadcast back (zero window nodes)
+    bm_rows = sorted(
+        (r["bkt"], r["bm"])
+        for r in pts.groupBy("bkt").agg(F.max("size").alias("bm")).collect()
+    )
+    carry_rows, best = [], None
+    for bkt, bm in bm_rows:
+        carry_rows.append((bkt, best))
+        best = bm if best is None else max(best, bm)
+    carry = spark.createDataFrame(carry_rows, "bkt int, carry_max long")
     w_lower = W.partitionBy("bkt").orderBy("cents").rangeBetween(
         W.unboundedPreceding, -1
     )

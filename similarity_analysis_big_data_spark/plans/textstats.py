@@ -813,11 +813,17 @@ def session_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         sessions.select(F.col("s_end").alias("ts"), F.lit(-1).alias("delta"), "user_id")
     ).withColumn("day", F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd"))
-    day_tot = sweep.groupBy("day").agg(F.sum("delta").alias("day_delta"))
-    w_carry = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
-    carry = day_tot.select(
-        "day", F.coalesce(F.sum("day_delta").over(w_carry), F.lit(0)).alias("carry_in")
+    # exclusive cumsum of per-day delta totals: driver arithmetic over the
+    # collected days-sized relation, broadcast back (zero window nodes)
+    day_rows = sorted(
+        (r["day"], r["d"])
+        for r in sweep.groupBy("day").agg(F.sum("delta").alias("d")).collect()
     )
+    carry_rows, acc = [], 0
+    for day, d in day_rows:
+        carry_rows.append((day, acc))
+        acc += d
+    carry = spark.createDataFrame(carry_rows, "day string, carry_in long")
     w_day = W.partitionBy("day").orderBy("ts", "delta", "user_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
