@@ -132,8 +132,13 @@ def jaccard_pairs(
         # property-tested ≡ below).
         lhs = sets.select(F.col(id_col).alias("id_l"), shingle_col)
         rhs = sets.select(F.col(id_col).alias("id_r"), shingle_col)
+        # .distinct() guards against duplicate candidate rows, which would
+        # multiply n_common (jaccard > 1). lsh_candidate_pairs already ends
+        # in .distinct(), so for that caller this folds into the existing
+        # agg; for arbitrary callers it is the correctness precondition.
         inter = (
             candidates.select("id_l", "id_r")
+            .distinct()
             .join(lhs, "id_l")
             .join(rhs, [shingle_col, "id_r"])
             .groupBy("id_l", "id_r")

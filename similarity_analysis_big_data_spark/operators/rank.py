@@ -4,8 +4,9 @@
 relation through one partition. The exact distributed equivalent used
 across the repo (stable_doc_reindex, quantile normalize, gini, RFM):
 
-1. B exact percentile boundaries of the order key — one aggregate,
-   broadcast as an array literal;
+1. B approximate percentile boundaries of the order key (GK sketch —
+   mergeable, cardinality-bounded state) — one aggregate, broadcast as
+   an array literal;
 2. bucket id per row = #boundaries strictly below the key — a map-only
    JVM-side column, monotone in the key, so bucket order IS key order
    and equal keys share a bucket;
@@ -20,8 +21,8 @@ across the repo (stable_doc_reindex, quantile normalize, gini, RFM):
    any size.
 
 Equal-key runs share a bucket (bounded skew: a single massively-repeated
-key value degrades one bucket, the documented trade for determinism —
-approx boundaries would balance better but are sample-dependent).
+key value degrades one bucket — the documented trade for exactness of
+the RANKS, which never depend on where the boundaries land).
 """
 
 from __future__ import annotations
@@ -30,22 +31,39 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def percentile_bounds(df: DataFrame, key: str, n_buckets: int) -> list[float]:
-    """Exact percentile boundaries of ``key`` (deterministic, unlike
-    repartitionByRange's sampled boundaries). One aggregate + a
-    B-value collect."""
+def percentile_bounds(
+    df: DataFrame, key: str, n_buckets: int, accuracy: int = 10_000
+) -> list[float]:
+    """Approximate percentile boundaries of ``key`` via the mergeable
+    Greenwald-Khanna sketch (``approx_percentile``). Boundaries set only
+    the bucket LOAD BALANCE — rank/running-sum values come from the
+    per-bucket windows plus exact per-bucket offsets — so approximation
+    can never change an output value (property-tested:
+    tests/test_operators.py asserts rank equality between exact- and
+    approx-boundary runs). Unlike exact ``percentile``, whose final
+    buffer is a per-distinct-value counts map merged on one reducer
+    (O(|distinct|) driver-adjacent state on a high-cardinality double
+    key), the GK sketch is bounded by ``accuracy`` regardless of
+    cardinality. Returns [] on an empty input — callers degrade to a
+    single bucket."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    if not qs:
+        return []
     row = df.agg(
         F.expr(
-            f"percentile(cast({key} as double), "
-            f"array({', '.join(str(q) for q in qs)}))"
+            f"approx_percentile(cast({key} as double), "
+            f"array({', '.join(str(q) for q in qs)}), {accuracy})"
         ).alias("bs")
     ).collect()[0]
+    if row["bs"] is None:
+        return []
     return sorted(set(float(b) for b in row["bs"]))
 
 
 def bucket_of(key: str, bounds: list[float]) -> Column:
     """#bounds strictly below the key — broadcast-literal fold, map-only."""
+    if not bounds:  # empty input / n_buckets=1 → single bucket
+        return F.lit(0)
     arr = F.array(*[F.lit(b) for b in bounds])
     return F.aggregate(
         F.filter(arr, lambda b: b < F.col(key)),
@@ -98,13 +116,26 @@ def _exclusive_offsets(cnt, pcols, val: str, off_name: str, tot_name: str):
     plan as a broadcast literal relation (zero window nodes)."""
     rows = cnt.collect()
     rows.sort(key=lambda r: (tuple(str(r[c]) for c in pcols), r["_bkt"]))
+    # Seed the accumulator with a zero of the VALUE column's Python type:
+    # createDataFrame rejects int 0 for a DoubleType/DecimalType offset
+    # column (running sums over float/decimal values).
+    val_dt = dict((f.name, f.dataType) for f in cnt.schema.fields)[val]
+    kind = val_dt.simpleString()
+    if kind in ("double", "float"):
+        zero: object = 0.0
+    elif kind.startswith("decimal"):
+        from decimal import Decimal
+
+        zero = Decimal(0)
+    else:
+        zero = 0
     acc: dict = {}
     totals: dict = {}
     out_rows = []
     for r in rows:
         g = tuple(r[c] for c in pcols)
-        out_rows.append((*g, r["_bkt"], acc.get(g, 0)))
-        acc[g] = acc.get(g, 0) + r[val]
+        out_rows.append((*g, r["_bkt"], acc.get(g, zero)))
+        acc[g] = acc.get(g, zero) + r[val]
         totals[g] = acc[g]
     out_rows = [
         (*row[:-1], row[-1], totals[row[: len(pcols)]]) for row in out_rows

@@ -224,6 +224,86 @@ def register_synthetic_events(spark) -> None:
 _MANIFEST = "_MANIFEST.json"
 
 
+def _parse_flat_ddl(ddl: str):
+    """Session-free parser for the legacy manifest's flat DDL schema
+    ("id bigint, name string, tags array<string>"). Splits on top-level
+    commas only (angle-bracket depth aware) so array/map element types
+    survive; nested structs were never legal in legacy manifests (the
+    writer rejected them)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        BooleanType,
+        DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        MapType,
+        ShortType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    atomic = {
+        "string": StringType(),
+        "bigint": LongType(),
+        "long": LongType(),
+        "int": IntegerType(),
+        "integer": IntegerType(),
+        "smallint": ShortType(),
+        "short": ShortType(),
+        "double": DoubleType(),
+        "float": FloatType(),
+        "boolean": BooleanType(),
+        "binary": BinaryType(),
+        "date": DateType(),
+        "timestamp": TimestampType(),
+    }
+
+    def parse_type(t: str):
+        t = t.strip().lower()
+        if t in atomic:
+            return atomic[t]
+        if t.startswith("decimal(") and t.endswith(")"):
+            p, s = t[len("decimal(") : -1].split(",")
+            return DecimalType(int(p), int(s))
+        if t.startswith("array<") and t.endswith(">"):
+            return ArrayType(parse_type(t[len("array<") : -1]))
+        if t.startswith("map<") and t.endswith(">"):
+            inner = t[len("map<") : -1]
+            depth = 0
+            for i, ch in enumerate(inner):
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    return MapType(parse_type(inner[:i]), parse_type(inner[i + 1 :]))
+        raise ValueError(f"legacy jsonl_dir manifest: unsupported DDL type {t!r}")
+
+    fields = []
+    depth = 0
+    start = 0
+    parts = []
+    for i, ch in enumerate(ddl):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(ddl[start:i])
+            start = i + 1
+    parts.append(ddl[start:])
+    for part in parts:
+        name, _, typ = part.strip().partition(" ")
+        fields.append(StructField(name.strip(), parse_type(typ)))
+    return StructType(fields)
+
+
 @dataclass
 class _FileCommit(WriterCommitMessage):
     """WriterCommitMessage payload: one temp file written by one task."""
@@ -274,6 +354,12 @@ class JsonlDirWriter(DataSourceWriter):
         return _FileCommit(tmp_path=tmp, rows=n)
 
     def commit(self, messages) -> None:
+        # SINGLE-WRITER-PER-PATH contract (like the local-FS caveat in the
+        # class docstring): append does a read-modify-write of the
+        # manifest with no lock, so two concurrent append jobs on the same
+        # path can interleave and one batch's files drop from the manifest
+        # (orphaned but invisible — the reader is manifest-driven, so no
+        # wrong rows, just lost writes). Serialize appends externally.
         import json
         import os
 
@@ -393,8 +479,21 @@ class JsonlDirDataSource(DataSource):
         with open(os.path.join(self.options["path"], _MANIFEST), encoding="utf-8") as fh:
             manifest = json.load(fh)
         # schema.json() round-trips ANY type (nested structs/maps/arrays);
-        # the previous simpleString munging corrupted non-flat schemas
-        return StructType.fromJson(json.loads(manifest["schema_json"]))
+        # the previous simpleString munging corrupted non-flat schemas.
+        # Directories written before the schema_json migration carry a DDL
+        # string under the legacy 'schema' key — honor both.
+        if "schema_json" in manifest:
+            return StructType.fromJson(json.loads(manifest["schema_json"]))
+        if "schema" in manifest:
+            # legacy manifests hold a FLAT DDL string (the old writer's
+            # simpleString output). StructType.fromDDL needs a live
+            # SparkSession, which this hook may not have (it can run in a
+            # sessionless Python worker) — parse the flat form directly.
+            return _parse_flat_ddl(manifest["schema"])
+        raise ValueError(
+            f"jsonl_dir manifest at {self.options['path']!r} has neither "
+            "'schema_json' nor legacy 'schema' — not a jsonl_dir directory?"
+        )
 
     def reader(self, schema) -> JsonlDirReader:
         return JsonlDirReader(self.options)

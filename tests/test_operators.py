@@ -588,3 +588,73 @@ def test_bucketed_running_sum_equals_window_running_sum(spark):
     ).select(cols)
     assert got_g.exceptAll(exp_g).count() == 0
     assert exp_g.exceptAll(got_g).count() == 0
+
+def test_bucketed_running_sum_double_values(spark):
+    """ADVICE r4: double-typed value column — the offset seed must be a
+    float zero or createDataFrame rejects it for DoubleType."""
+    from pyspark.sql import Window as W
+
+    from similarity_analysis_big_data_spark.operators.rank import (
+        bucketed_running_sum,
+    )
+
+    df = _rank_fixture(spark).withColumn("v", (F.col("v") + F.lit(0.25)).cast("double"))
+    cols = ["id", "grp", "k", "v", "rs"]
+    got = bucketed_running_sum(df, "k", ["id"], "v", sum_name="rs").select(cols)
+    exp = df.withColumn(
+        "rs",
+        F.sum("v").over(
+            W.orderBy("k", "id").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    ).select(cols)
+    # float running sums: compare rounded (bucket subtotal order vs scan
+    # order can differ in the last ulp — documented in the docstring)
+    g = got.withColumn("rs", F.round("rs", 6))
+    e = exp.withColumn("rs", F.round("rs", 6))
+    assert g.exceptAll(e).count() == 0 and e.exceptAll(g).count() == 0
+
+
+def test_bucketed_rank_invariant_to_boundary_choice(spark):
+    """Boundaries only load-balance: ranks under exact-percentile bounds,
+    approx bounds (default), and a deliberately awful single boundary all
+    agree row-for-row."""
+    from similarity_analysis_big_data_spark.operators.rank import (
+        bucketed_row_number,
+        percentile_bounds,
+    )
+
+    df = _rank_fixture(spark)
+    exact = [
+        float(b)
+        for b in df.agg(
+            F.expr(
+                "percentile(cast(k as double), array("
+                + ", ".join(str(i / 32) for i in range(1, 32))
+                + "))"
+            ).alias("bs")
+        ).collect()[0]["bs"]
+    ]
+    approx = percentile_bounds(df, "k", 32)
+    runs = [
+        bucketed_row_number(df, "k", ["id"], rank_name="r", bounds=b)
+        .select("id", "r")
+        for b in (sorted(set(exact)), approx, [17.0], [])
+    ]
+    base = runs[0]
+    for other in runs[1:]:
+        assert base.exceptAll(other).count() == 0
+        assert other.exceptAll(base).count() == 0
+
+
+def test_percentile_bounds_empty_input(spark):
+    """ADVICE r4: empty relation → [] (single-bucket degenerate), and the
+    bucketed operators still run on zero rows."""
+    from similarity_analysis_big_data_spark.operators.rank import (
+        bucketed_row_number,
+        percentile_bounds,
+    )
+
+    empty = spark.createDataFrame([], "id long, grp string, k long, v long")
+    assert percentile_bounds(empty, "k", 32) == []
+    out = bucketed_row_number(empty, "k", ["id"], rank_name="r", n_name="n")
+    assert out.count() == 0

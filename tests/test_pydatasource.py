@@ -221,3 +221,32 @@ def test_jsonl_dir_array_column_roundtrip(spark, tmp_path):
     assert back.schema["xs"].dataType.simpleString() == "array<bigint>"
     got = {(r["id"], tuple(r["xs"])) for r in back.collect()}
     assert got == {(i, (i, 2 * i)) for i in range(5)}
+
+def test_jsonl_dir_legacy_schema_manifest(spark, tmp_path):
+    """ADVICE r4: manifests written before the schema_json migration carry
+    a DDL string under 'schema' — the reader must still open them."""
+    import json
+    import os
+
+    from similarity_analysis_big_data_spark.sources.pydatasource import (
+        register_jsonl_dir,
+    )
+
+    register_jsonl_dir(spark)
+    path = str(tmp_path / "legacy")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-legacy-00000.jsonl"), "w") as fh:
+        fh.write(json.dumps({"id": 1, "name": "a"}) + "\n")
+        fh.write(json.dumps({"id": 2, "name": "b"}) + "\n")
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        json.dump(
+            {
+                "schema": "id bigint, name string",  # legacy DDL key
+                "files": ["part-legacy-00000.jsonl"],
+                "rows": 2,
+                "columns": ["id", "name"],
+            },
+            fh,
+        )
+    back = spark.read.format("jsonl_dir").option("path", path).load()
+    assert {(r["id"], r["name"]) for r in back.collect()} == {(1, "a"), (2, "b")}
