@@ -37,6 +37,11 @@ def main() -> None:
     for name, fn in sorted(headliners.items()):
         best = float("inf")
         for _ in range(runs):
+            # drop any DataFrames persisted by the previous run: repeat
+            # runs must pay their own cache build (honest timing), and
+            # re-persisting an identical plan is what produced the
+            # CacheManager "already cached" warnings in the r4 tail
+            spark.catalog.clearCache()
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             # force full materialization without collecting to the driver

@@ -123,6 +123,10 @@ PRIORITY: tuple[str, ...] = (
     "q16_supplier_variety",
     "q20_dominant_part_suppliers",
     "geometric_mean_by_type",
+    # new/plan-changed this round — sampled after the never-sampled tail:
+    "pca_fixed_basis_projection",
+    "approx_distinct_parts",
+    "hll_sketch_merge_users",
 )
 
 
