@@ -1,12 +1,15 @@
 """Connected components over candidate pairs + dedup survivor selection
 (SURVEY §7 step 6: "LSH self-join + connected components + anti-join").
 
-Large-Star/Small-Star-style label propagation, simplified to alternating
-min-label joins: each node adopts the minimum label in its neighborhood
-until fixpoint. Every iteration is a distributed join+agg (the driver only
-orchestrates the loop and checks convergence — no data moves through it);
-iterations are bounded by the component diameter, which for near-dup
-clusters is tiny (dups of one source link to each other).
+Two-tier min-label connected components: a one-shot hook contraction
+first (every node adopts min(self, neighbors); edges rewritten through
+those labels give the exact quotient graph) — for near-dup graphs the
+dense clusters collapse there, the quotient fits on the driver, and a
+union-find plus one broadcast compose finishes in O(1) jobs. Quotients
+too big for that fall through to min-label propagation with pointer
+jumping over the full edge set (O(log diameter) rounds, each one
+distributed join+agg; the driver only orchestrates and checks the
+label-sum fixpoint — no data moves through it).
 
 Reference parity note: the reference has no dedup at all — this implements
 the north-star extension; the algorithm follows the well-known
@@ -21,10 +24,34 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Once the contracted supernode graph fits under this many edges, finish
+# with a driver-side union-find instead of burning ~0.5 s of fixed job
+# latency per distributed round on a relation of a few hundred rows
+# (measured sf0.1: rounds past the first contraction chased a 272→10→2→1
+# edge tail for ~1.5 s). Bounded driver state by construction — the same
+# posture as operators/rank.py's offset relation.
+_DRIVER_FINISH_MAX_EDGES = 10_000
 
-def _label_sum(labels: DataFrame):
-    # decimal(38,0) sum: overflow-safe fixpoint witness at any graph size
-    return labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
+
+def _driver_union_find(rows) -> dict:
+    """Min-root union-find over collected (a, b) supernode edges; returns
+    only the non-identity mappings {supernode: component_min}."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        ra, rb = find(row["a"]), find(row["b"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent) if find(x) != x}
 
 
 def connected_components(
@@ -37,14 +64,14 @@ def connected_components(
     """(id_l, id_r) undirected edges -> (id, component) with component =
     min node id reachable.
 
-    Each iteration: label(v) <- min(label(v), min over neighbors of
-    label(n)). Converges in O(diameter) rounds; each round is one
-    shuffle-join plus one aggregate. ``localCheckpoint(eager=True)``
-    truncates the lineage every round — without it the logical plan doubles
-    per iteration and planning itself OOMs. Convergence is detected by the
-    label sum: labels only ever decrease, so the sum is strictly decreasing
-    until fixpoint — one cheap aggregate per round instead of a self-join
-    diff. Isolated nodes never appear in pairs — union the full node set
+    Fast path: one hook round (label = min(self, neighbors)) plus the
+    exact quotient graph under those labels; a driver union-find finishes
+    quotients up to _DRIVER_FINISH_MAX_EDGES in one broadcast compose.
+    Slow path (big quotients): label(v) <- min(label(v), neighbor labels)
+    with pointer jumping, label-sum fixpoint, O(log diameter) rounds.
+    ``localCheckpoint(eager=True)`` truncates the lineage every round —
+    without it the logical plan doubles per iteration and planning itself
+    OOMs. Isolated nodes never appear in pairs — union the full node set
     downstream if needed (dedup_survivors does).
     """
     spark = pairs.sparkSession
@@ -67,11 +94,26 @@ def connected_components(
         spark.conf.set(conf_key, saved)
 
 
+def _label_sum(labels: DataFrame):
+    # decimal(38,0)-compatible sum: overflow-safe fixpoint witness at any
+    # graph size (falls back to a plain sum for non-numeric ids, where the
+    # hash of the sorted label multiset would be needed — numeric ids are
+    # the only callers today)
+    col = F.col("component")
+    dtype = dict(
+        (f.name, f.dataType.simpleString()) for f in labels.schema.fields
+    )["component"]
+    if dtype in ("bigint", "int", "smallint", "tinyint", "long", "integer"):
+        col = col.cast("decimal(38,0)")
+        return labels.agg(F.sum(col)).first()[0]
+    # non-numeric labels: sum-of-hashes change witness (collision odds
+    # negligible at 2^-64 per round)
+    return labels.agg(F.sum(F.xxhash64("component"))).first()[0]
+
+
 def _connected_components_loop(
     pairs_mat: DataFrame, max_iterations: int
 ) -> DataFrame:
-    # pairs_mat is already materialized as (src, dst) — both union branches
-    # reference it without recomputing the upstream chain
     edges = (
         pairs_mat.union(pairs_mat.select(F.col("dst"), F.col("src")))
         .distinct()
@@ -85,6 +127,53 @@ def _connected_components_loop(
         .agg(F.least(F.first("src"), F.min("dst")).alias("component"))
         .localCheckpoint(eager=True)
     )
+    # ONE-SHOT QUOTIENT SHORTCUT (r5): contract the edges through the
+    # initial labels. The initial label map is coherent by construction
+    # (labels_0(a) = a for every a in its image: a = min(a, nbrs) implies
+    # a has no smaller neighbor), so the contracted relation is exactly
+    # the quotient graph of the original, its components are the original
+    # components, and its per-component min supernode IS the component's
+    # min node id. When that quotient fits on the driver (near-dup
+    # graphs: dense clusters collapse to almost nothing — measured sf0.1:
+    # 556k edges -> 272 quotient edges), a union-find + one broadcast
+    # compose replaces the whole iteration (which was paying ~0.5 s of
+    # fixed per-round job latency on label-sized data). Otherwise fall
+    # through to the proven propagation loop below on the full edge set.
+    lmap_src = labels.select(F.col("id").alias("src"), F.col("component").alias("_ca"))
+    lmap_dst = labels.select(F.col("id").alias("dst"), F.col("component").alias("_cb"))
+    quotient = (
+        edges.join(lmap_src, "src")
+        .join(lmap_dst, "dst")
+        .filter(F.col("_ca") != F.col("_cb"))
+        .select(
+            F.least("_ca", "_cb").alias("a"), F.greatest("_ca", "_cb").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_quotient = quotient.count()
+    if n_quotient == 0:
+        return labels.select("id", "component")
+    if n_quotient <= _DRIVER_FINISH_MAX_EDGES:
+        remap = _driver_union_find(quotient.collect())
+        if remap:
+            spark = quotient.sparkSession
+            id_type = dict(
+                (f.name, f.dataType.simpleString()) for f in quotient.schema.fields
+            )["a"]
+            map_df = spark.createDataFrame(
+                list(remap.items()), f"sid {id_type}, newc {id_type}"
+            )
+            labels = labels.join(
+                F.broadcast(map_df), labels.component == map_df.sid, "left"
+            ).select(
+                "id", F.coalesce("newc", F.col("component")).alias("component")
+            )
+        return labels.select("id", "component")
+
+    # big quotient: min-label propagation with pointer jumping over the
+    # original edge set, label-sum fixpoint (labels strictly decrease
+    # until convergence) — O(log diameter) rounds
     prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iterations):
@@ -103,10 +192,9 @@ def _connected_components_loop(
         )
         # pointer jumping (path doubling): also adopt the label OF the
         # current label — component ids are node ids, so label(label(v))
-        # exists. Min-neighbor alone needs distance-to-min rounds (a
-        # 6-round chain on the sf0.1 fixture); with shortcutting the
-        # round count drops to O(log diameter). The extra join is
-        # label-sized — negligible next to the edge join.
+        # exists. Min-neighbor alone needs distance-to-min rounds; with
+        # shortcutting the round count drops to O(log diameter). The
+        # extra join is label-sized — negligible next to the edge join.
         lbl2 = stepped.select(
             F.col("id").alias("pid"), F.col("component").alias("pcomp")
         )

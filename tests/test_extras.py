@@ -116,6 +116,29 @@ def test_connected_components_and_survivors(spark):
     assert kept == [1, 5, 7, 8]  # component minima + isolated docs
 
 
+def test_connected_components_distributed_path_matches_driver_finish(spark, monkeypatch):
+    """Both CC finishes — the distributed contraction rounds and the
+    small-remainder driver union-find — must produce identical labels.
+    A long chain (worst case for contraction depth) plus a clique, run
+    with the driver finish disabled (threshold 0) and enabled."""
+    import similarity_analysis_big_data_spark.operators.components as C
+
+    chain = [(i, i + 1) for i in range(40)]  # 0-1-2-...-40
+    clique = [(100 + i, 100 + j) for i in range(6) for j in range(i + 1, 6)]
+    pairs = spark.createDataFrame(chain + clique, ["id_l", "id_r"])
+
+    with_finish = {
+        r["id"]: r["component"] for r in C.connected_components(pairs).collect()
+    }
+    monkeypatch.setattr(C, "_DRIVER_FINISH_MAX_EDGES", 0)
+    distributed = {
+        r["id"]: r["component"] for r in C.connected_components(pairs).collect()
+    }
+    expected = {i: 0 for i in range(41)} | {100 + i: 100 for i in range(6)}
+    assert with_finish == expected
+    assert distributed == expected
+
+
 def test_streaming_dedup_drops_duplicates(spark, sf_smoke):
     from similarity_analysis_big_data_spark.streaming.dedup import dedup_event_stream
 
