@@ -935,3 +935,113 @@ def near_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_jaccard",
         )
     )
+
+
+@register(
+    "near_dup_best_quality_survivors",
+    oracle=(_SQL_SAMPLE_SHINGLES
+    + _SQL_MH
+    + _SQL_BANDS
+    + """
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+        FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS n_common
+        FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dup_pairs AS (
+        SELECT i.id_l, i.id_r
+        FROM inter i
+        JOIN cand c ON c.id_l = i.id_l AND c.id_r = i.id_r
+        JOIN sizes sl ON sl.doc_id = i.id_l
+        JOIN sizes sr ON sr.doc_id = i.id_r
+        WHERE CAST(i.n_common AS DOUBLE) / (sl.set_size + sr.set_size - i.n_common) >= 0.5
+    ),
+    edges AS (
+        SELECT id_l AS a, id_r AS b FROM dup_pairs
+        UNION SELECT id_r, id_l FROM dup_pairs
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+    ),
+    best AS (
+        SELECT c.component,
+               arg_max(c.id, d.n_chars * 1000000000 - c.id) AS keep_id
+        FROM comp c JOIN documents d ON d.doc_id = c.id
+        GROUP BY c.component
+    ),
+    losers AS (
+        SELECT id FROM comp WHERE id NOT IN (SELECT keep_id FROM best)
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % {mod} = 0
+      AND d.doc_id NOT IN (SELECT id FROM losers)
+    """.replace("{mod}", str(SAMPLE_MOD))).replace("WITH toks", "WITH RECURSIVE toks", 1),
+    doc="[ext] dedup survivor POLICY: per near-dup cluster keep the "
+    "highest-quality member (longest doc; ties to the smaller id via a "
+    "collision-free n_chars*1e9 - doc_id ordering key) instead of the "
+    "min id — the curation-grade choice when duplicates differ in "
+    "truncation or boilerplate; same LSH -> verify -> components "
+    "machinery as near_dup_survivors.",
+)
+def near_dup_best_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: identical pipeline to near_dup_survivors plus one
+    component-keyed max_by aggregate (component relation is cluster-
+    sized, far below corpus-sized) and the same single anti-join over the
+    corpus."""
+    from ..operators.components import connected_components
+    from ..operators.dedup import (
+        jaccard_verify_candidates,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SAMPLE_MOD == 0
+    )
+    toksets = docs.select(
+        "doc_id", F.array_distinct(tokenize(F.lower("text"))).alias("toks")
+    )
+    shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
+    sigs = minhash_signatures(shingles, "doc_id")
+    cand = lsh_candidate_pairs(sigs, "doc_id")
+    dup_pairs = jaccard_verify_candidates(toksets, "doc_id", "toks", cand).filter(
+        F.col("jaccard") >= 0.5
+    )
+    comp = connected_components(
+        dup_pairs, "id_l", "id_r", iteration_shuffle_partitions=8
+    )
+    quality = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("n_chars").cast("long") * 1_000_000_000 - F.col("doc_id")).alias("q"),
+    )
+    best = (
+        comp.join(quality, "id")
+        .groupBy("component")
+        .agg(F.max_by("id", "q").alias("keep_id"))
+    )
+    losers = (
+        comp.join(
+            best.select(F.col("keep_id").alias("id")).withColumn(
+                "_keep", F.lit(1)
+            ),
+            "id",
+            "left",
+        )
+        .filter(F.col("_keep").isNull())
+        .select(F.col("id").alias("doc_id"))
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -820,3 +820,149 @@ def vocab_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_top_n(
         scored, [F.desc(F.abs("drift")), F.asc("term")], DRIFT_TOP_N
     )
+
+
+@register(
+    "trigram_backoff_scores",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^\w]+'), x -> x <> '') AS tokens
+            FROM documents
+        ),
+        tri AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(3, len(tokens) + 1),
+                          i -> tokens[i - 2] || ' ' || tokens[i - 1] || ' ' || tokens[i])) AS tg
+            FROM toks
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(2, len(tokens) + 1),
+                          i -> tokens[i - 1] || ' ' || tokens[i])) AS bg
+            FROM toks
+        ),
+        uni AS (
+            SELECT doc_id, unnest(tokens) AS w FROM toks
+        ),
+        c3 AS (SELECT tg, count(*) AS c FROM tri WHERE doc_id % 2 = 0 GROUP BY tg),
+        c2 AS (SELECT bg, count(*) AS c FROM bg WHERE doc_id % 2 = 0 GROUP BY bg),
+        c1 AS (SELECT w, count(*) AS c FROM uni WHERE doc_id % 2 = 0 GROUP BY w),
+        n_tot AS (SELECT count(*) AS n FROM uni WHERE doc_id % 2 = 0),
+        held AS (
+            SELECT doc_id, tg,
+                   split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS bg12,
+                   split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3) AS bg23,
+                   split_part(tg, ' ', 2) AS w2,
+                   split_part(tg, ' ', 3) AS w3
+            FROM tri WHERE doc_id % 2 = 1
+        ),
+        scored AS (
+            SELECT h.doc_id,
+                   CASE WHEN t3.c IS NOT NULL THEN 0 ELSE 1 END AS backed_off,
+                   CASE
+                       WHEN t3.c IS NOT NULL
+                           THEN CAST(t3.c AS DOUBLE) / b12.c
+                       WHEN b23.c IS NOT NULL
+                           THEN 0.4 * CAST(b23.c AS DOUBLE) / u2.c
+                       WHEN u3.c IS NOT NULL
+                           THEN 0.16 * CAST(u3.c AS DOUBLE) / n_tot.n
+                       ELSE 0.16 / (n_tot.n + 1)
+                   END AS p
+            FROM held h
+            LEFT JOIN c3 t3 ON t3.tg = h.tg
+            LEFT JOIN c2 b12 ON b12.bg = h.bg12
+            LEFT JOIN c2 b23 ON b23.bg = h.bg23
+            LEFT JOIN c1 u2 ON u2.w = h.w2
+            LEFT JOIN c1 u3 ON u3.w = h.w3
+            CROSS JOIN n_tot
+        )
+        SELECT doc_id,
+               count(*) AS n_trigrams,
+               round(avg(-log2(p)), 6) AS mean_neglog2,
+               round(avg(CAST(backed_off AS DOUBLE)), 6) AS backoff_rate
+        FROM scored
+        GROUP BY doc_id
+    """,
+    doc="[ext] trigram stupid-backoff LM scoring (Brants et al. 2007): "
+    "even-doc_id half trains the count tables, odd-doc_id half is scored "
+    "p(w3|w1 w2) with 0.4-factor backoff through bigram/unigram/OOV "
+    "floors — the cheap held-out perplexity proxy used to quality-gate "
+    "pretraining corpora; mean -log2 p and the backoff rate per doc.",
+)
+def trigram_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: all three count relations are vocabulary-scaled, built by
+    partial+final hash aggs over the train half (one tokenize pass). The
+    scored half joins them by n-gram key — model relations broadcast when
+    they fit, else the joins hash-partition on the n-gram key; no window,
+    no self-join. A trigram seen in train implies its prefix bigram and
+    its w2 unigram are in train, so the cascade never divides by null."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokenize(F.lower("text")).alias("tokens")
+    )
+
+    def ngrams(n: int, alias: str):
+        return F.when(
+            F.size("tokens") >= n,
+            F.expr(
+                f"transform(sequence({n}, size(tokens)), "
+                f"i -> concat_ws(' ', slice(tokens, i - {n - 1}, {n})))"
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias(alias)
+
+    tri = toks.select("doc_id", F.explode(ngrams(3, "tgs")).alias("tg"))
+    big = toks.select("doc_id", F.explode(ngrams(2, "bgs")).alias("bg"))
+    uni = toks.select("doc_id", F.explode("tokens").alias("w"))
+    train = F.col("doc_id") % 2 == 0
+    c3 = tri.filter(train).groupBy("tg").agg(F.count("*").alias("c3"))
+    c2 = big.filter(train).groupBy("bg").agg(F.count("*").alias("c2"))
+    c1 = uni.filter(train).groupBy("w").agg(F.count("*").alias("c1"))
+    n_tot = uni.filter(train).count()  # scalar: one pre-aggregated long
+
+    held = tri.filter(~train).select(
+        "doc_id",
+        "tg",
+        F.concat_ws(
+            " ", F.split_part(F.col("tg"), F.lit(" "), F.lit(1)),
+            F.split_part(F.col("tg"), F.lit(" "), F.lit(2)),
+        ).alias("bg12"),
+        F.concat_ws(
+            " ", F.split_part(F.col("tg"), F.lit(" "), F.lit(2)),
+            F.split_part(F.col("tg"), F.lit(" "), F.lit(3)),
+        ).alias("bg23"),
+        F.split_part(F.col("tg"), F.lit(" "), F.lit(2)).alias("w2"),
+        F.split_part(F.col("tg"), F.lit(" "), F.lit(3)).alias("w3"),
+    )
+    p = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("c2_12"),
+        )
+        .when(
+            F.col("c2_23").isNotNull(),
+            0.4 * F.col("c2_23").cast("double") / F.col("c1_2"),
+        )
+        .when(
+            F.col("c1_3").isNotNull(),
+            0.16 * F.col("c1_3").cast("double") / F.lit(n_tot),
+        )
+        .otherwise(F.lit(0.16) / F.lit(n_tot + 1))
+    )
+    scored = (
+        held.join(c3, "tg", "left")
+        .join(c2.select(F.col("bg").alias("bg12"), F.col("c2").alias("c2_12")), "bg12", "left")
+        .join(c2.select(F.col("bg").alias("bg23"), F.col("c2").alias("c2_23")), "bg23", "left")
+        .join(c1.select(F.col("w").alias("w2"), F.col("c1").alias("c1_2")), "w2", "left")
+        .join(c1.select(F.col("w").alias("w3"), F.col("c1").alias("c1_3")), "w3", "left")
+        .select(
+            "doc_id",
+            F.col("c3").isNull().cast("double").alias("backed_off"),
+            p.alias("p"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
+        F.round(F.avg(-F.log2("p")), 6).alias("mean_neglog2"),
+        F.round(F.avg("backed_off"), 6).alias("backoff_rate"),
+    )

@@ -127,6 +127,9 @@ PRIORITY: tuple[str, ...] = (
     "pca_fixed_basis_projection",
     "approx_distinct_parts",
     "hll_sketch_merge_users",
+    "trigram_backoff_scores",
+    "near_dup_best_quality_survivors",
+    "q19_disjunctive_join_revenue",
 )
 
 

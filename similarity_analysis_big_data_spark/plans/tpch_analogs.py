@@ -633,3 +633,59 @@ def null_safe_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
         )
     )
+
+
+@register(
+    "q19_disjunctive_join_revenue",
+    oracle="""
+        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="[ext] TPC-H Q19 analog (the fixture's part table has no "
+    "container/shipmode columns, so brand+size+quantity stand in for the "
+    "brand+container+quantity disjuncts): revenue under an OR whose "
+    "branches SPAN the join — the pattern that blocks naive filter "
+    "pushdown because no single conjunct applies to either side alone.",
+)
+def q19_disjunctive_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: Catalyst extracts the per-side implications of the DNF
+    (p_brand IN (...) AND p_size <= 40 onto the part scan; l_quantity
+    BETWEEN 1 AND 30 onto lineitem) so both scans still prune before the
+    join; part broadcasts; the residual OR evaluates post-join inside
+    whole-stage codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 40)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
