@@ -891,35 +891,63 @@ def vocab_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pretraining corpora; mean -log2 p and the backoff rate per doc.",
 )
 def trigram_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: all three count relations are vocabulary-scaled, built by
-    partial+final hash aggs over the train half (one tokenize pass). The
-    scored half joins them by n-gram key — model relations broadcast when
-    they fit, else the joins hash-partition on the n-gram key; no window,
-    no self-join. A trigram seen in train implies its prefix bigram and
-    its w2 unigram are in train, so the cascade never divides by null."""
+    """Scale: ONE combined count relation covers all three orders — the
+    train half explodes concat(trigrams, bigrams, tokens) once and one
+    hash aggregate keys on the gram string (arity is recoverable from the
+    space count, and tokens cannot contain spaces, so the key spaces are
+    disjoint). The relation is vocabulary-scaled and persisted, so its
+    five join consumers and the N-total probe read the aggregate instead
+    of re-tokenizing the corpus (2 corpus tokenize passes total: train
+    counts + held trigrams — down from 4 in the per-order formulation;
+    at sf0.1 the two are a wash, ~2.3 s each, because the fixture's
+    tokenize is cheap — the pass count is what dominates at real corpus
+    sizes). The scored half joins by n-gram
+    key — broadcast when the tables fit, else hash-partitioned on the
+    key; no window, no self-join. A trigram seen in train implies its
+    prefix bigram and its w2 unigram are in train, so the cascade never
+    divides by null."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", tokenize(F.lower("text")).alias("tokens")
     )
 
-    def ngrams(n: int, alias: str):
+    def ngram_arr(n: int):
+        if n == 1:
+            return F.col("tokens")
         return F.when(
             F.size("tokens") >= n,
             F.expr(
                 f"transform(sequence({n}, size(tokens)), "
                 f"i -> concat_ws(' ', slice(tokens, i - {n - 1}, {n})))"
             ),
-        ).otherwise(F.array().cast("array<string>")).alias(alias)
+        ).otherwise(F.array().cast("array<string>"))
 
-    tri = toks.select("doc_id", F.explode(ngrams(3, "tgs")).alias("tg"))
-    big = toks.select("doc_id", F.explode(ngrams(2, "bgs")).alias("bg"))
-    uni = toks.select("doc_id", F.explode("tokens").alias("w"))
     train = F.col("doc_id") % 2 == 0
-    c3 = tri.filter(train).groupBy("tg").agg(F.count("*").alias("c3"))
-    c2 = big.filter(train).groupBy("bg").agg(F.count("*").alias("c2"))
-    c1 = uni.filter(train).groupBy("w").agg(F.count("*").alias("c1"))
-    n_tot = uni.filter(train).count()  # scalar: one pre-aggregated long
+    counts = (
+        toks.filter(train)
+        .select(
+            F.explode(
+                F.concat(ngram_arr(3), ngram_arr(2), ngram_arr(1))
+            ).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c3 = counts.select(F.col("g").alias("tg"), F.col("c").alias("c3"))
+    c2 = counts.select(F.col("g").alias("bg"), F.col("c").alias("c2"))
+    c1 = counts.select(F.col("g").alias("w"), F.col("c").alias("c1"))
+    # unigram total: a vocab-sized scan of the persisted counts, not a
+    # corpus pass (unigram keys are exactly the space-free grams)
+    n_tot = (
+        counts.filter(~F.col("g").contains(" "))
+        .agg(F.sum("c"))
+        .collect()[0][0]
+    )
 
+    tri = toks.select("doc_id", F.explode(ngram_arr(3)).alias("tg"))
     held = tri.filter(~train).select(
         "doc_id",
         "tg",
