@@ -530,3 +530,30 @@ class JsonlDirDataSource(DataSource):
 def register_jsonl_dir(spark) -> None:
     """Idempotent registration of the ``jsonl_dir`` batch write+read source."""
     spark.dataSource.register(JsonlDirDataSource)
+
+
+def vacuum_jsonl_dir(path: str) -> list[str]:
+    """Delete files a ``jsonl_dir`` directory holds but its manifest does
+    not reference: leftover ``_tmp-*`` task files from crashed/zombie
+    writers and part files orphaned by an interleaved concurrent append
+    (see the single-writer contract on ``JsonlDirWriter.commit``). The
+    manifest-driven reader never sees these, so vacuuming only reclaims
+    space — it cannot change query results. Returns the removed names.
+
+    Run only while no write is in flight (an in-flight writer's temp
+    files look like orphans)."""
+    import json
+    import os
+
+    with open(os.path.join(path, _MANIFEST), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    keep = set(manifest["files"]) | {_MANIFEST}
+    removed = []
+    for name in sorted(os.listdir(path)):
+        if name in keep or not (
+            name.startswith("_tmp-") or name.startswith("part-")
+        ):
+            continue
+        os.remove(os.path.join(path, name))
+        removed.append(name)
+    return removed

@@ -250,3 +250,35 @@ def test_jsonl_dir_legacy_schema_manifest(spark, tmp_path):
         )
     back = spark.read.format("jsonl_dir").option("path", path).load()
     assert {(r["id"], r["name"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+def test_jsonl_dir_vacuum_removes_orphans_only(spark, tmp_path):
+    """vacuum_jsonl_dir deletes zombie temp files and orphaned parts but
+    never manifested data; the relation reads identically afterward."""
+    import json
+    import os
+
+    from similarity_analysis_big_data_spark.sources.pydatasource import (
+        register_jsonl_dir,
+        vacuum_jsonl_dir,
+    )
+
+    register_jsonl_dir(spark)
+    path = str(tmp_path / "vac")
+    df = spark.range(20).selectExpr("id", "id * 2 as dbl")
+    df.repartition(2).write.format("jsonl_dir").option("path", path).mode(
+        "append"
+    ).save()
+    # orphan part (as if a concurrent append lost the manifest race) and a
+    # zombie temp file; plus an unrelated file that must be left alone
+    for name in ("part-deadbeef-00000.jsonl", "_tmp-zombie.jsonl"):
+        with open(os.path.join(path, name), "w") as fh:
+            fh.write(json.dumps({"id": -1, "dbl": -2}) + "\n")
+    with open(os.path.join(path, "README.txt"), "w") as fh:
+        fh.write("not ours\n")
+
+    before = {tuple(r) for r in spark.read.format("jsonl_dir").option("path", path).load().collect()}
+    removed = vacuum_jsonl_dir(path)
+    assert sorted(removed) == ["_tmp-zombie.jsonl", "part-deadbeef-00000.jsonl"]
+    after = {tuple(r) for r in spark.read.format("jsonl_dir").option("path", path).load().collect()}
+    assert before == after and len(after) == 20
+    assert os.path.exists(os.path.join(path, "README.txt"))
