@@ -78,6 +78,23 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def lsh_band_entries(signatures: DataFrame, id_col: str) -> DataFrame:
+    """(id, mh0..mhK-1) -> long-format (id, band, key) bucket entries.
+
+    The probe-able LSH index relation: production materializes this
+    bucketed by (band, key) so incremental batches probe it with a
+    co-located join (see plans/dedup.incremental_near_dup_delta)."""
+    band_entries = []
+    for b in range(LSH_BANDS):
+        key = F.concat_ws(
+            ":", *[F.col(f"mh{b * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)]
+        )
+        band_entries.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_entries)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
     """Band the signatures and self-join per band: (id_l, id_r) candidates.
 
@@ -86,15 +103,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
     (band, key) instead of LSH_BANDS separate joins; distinct() collapses
     pairs that collide in several bands.
     """
-    band_entries = []
-    for b in range(LSH_BANDS):
-        key = F.concat_ws(
-            ":", *[F.col(f"mh{b * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)]
-        )
-        band_entries.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
-    banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_entries)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = lsh_band_entries(signatures, id_col)
 
     lhs = banded.withColumnRenamed(id_col, "id_l")
     rhs = banded.withColumnRenamed(id_col, "id_r")

@@ -1045,3 +1045,83 @@ def near_dup_best_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFra
     return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@register(
+    "incremental_near_dup_delta",
+    oracle=(_SQL_SAMPLE_SHINGLES
+    + _SQL_MH
+    + _SQL_BANDS
+    + """
+    , cand AS (
+        SELECT DISTINCT b.doc_id AS id_l, d.doc_id AS id_r
+        FROM banded b JOIN banded d ON b.band = d.band AND b.key = d.key
+        WHERE b.doc_id % 10 = 0 AND d.doc_id % 10 = 5
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_l, c.id_r, count(*) AS n_common
+        FROM cand c
+        JOIN shingles a ON a.doc_id = c.id_l
+        JOIN shingles b ON b.doc_id = c.id_r AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    dup_delta AS (
+        SELECT DISTINCT i.id_r AS doc_id
+        FROM inter i
+        JOIN sizes sl ON sl.doc_id = i.id_l
+        JOIN sizes sr ON sr.doc_id = i.id_r
+        WHERE CAST(i.n_common AS DOUBLE)
+              / (sl.set_size + sr.set_size - i.n_common) >= 0.5
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % 10 = 5
+      AND d.doc_id NOT IN (SELECT doc_id FROM dup_delta)
+    """),
+    doc="[ext] incremental NEAR-dup ingest: the new batch (doc_id%10=5) "
+    "probes the existing corpus' LSH band index (doc_id%10=0) — base x "
+    "delta candidates only, never delta x delta or base x base — then "
+    "exact-Jaccard verifies and rejects colliding newcomers. The "
+    "near-duplicate twin of incremental_dedup_delta's digest anti-join: "
+    "the daily-crawl path where yesterday's signatures are a stored "
+    "artifact and today's batch is the only new work.",
+)
+def incremental_near_dup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the base band-entry relation is the INDEX (production
+    materializes it bucketed by (band, key), so the probe join is
+    co-located and the base corpus is never re-tokenized); all per-round
+    work — signatures, probe, verify — is delta-sized plus the bounded
+    collision fan-in. Derived in-query here so the oracle is
+    self-contained."""
+    from ..operators.dedup import (
+        jaccard_pairs,
+        lsh_band_entries,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = docs.filter(F.col("doc_id") % SAMPLE_MOD == 0)
+    shingles = sampled.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize(F.lower("text")))).alias("shingle"),
+    )
+    banded = lsh_band_entries(minhash_signatures(shingles, "doc_id"), "doc_id")
+    base = banded.filter(F.col("doc_id") % 10 == 0).withColumnRenamed(
+        "doc_id", "id_l"
+    )
+    delta = banded.filter(F.col("doc_id") % 10 == 5).withColumnRenamed(
+        "doc_id", "id_r"
+    )
+    cand = base.join(delta, ["band", "key"]).select("id_l", "id_r").distinct()
+    dup_delta = (
+        jaccard_pairs(shingles, "doc_id", candidates=cand)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("id_r").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") % 10 == 5)
+        .join(dup_delta, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )

@@ -130,6 +130,7 @@ PRIORITY: tuple[str, ...] = (
     "trigram_backoff_scores",
     "near_dup_best_quality_survivors",
     "q19_disjunctive_join_revenue",
+    "incremental_near_dup_delta",
 )
 
 

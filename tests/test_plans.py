@@ -798,3 +798,13 @@ def test_hourly_interpolation_window_reads_spine_not_events(spark, sf_oracle):
     assert not any("Exchange hashpartitioning" in l for l in between), (
         "corpus-sized shuffle feeds the interpolation window directly"
     )
+
+
+def test_trigram_backoff_count_joins_broadcast(spark, sf_oracle):
+    """trigram_backoff_scores: all five count-table joins must broadcast
+    the vocabulary-scaled build side — the held trigram stream shuffles
+    exactly once, for the final per-doc aggregate."""
+    df = QUERIES["trigram_backoff_scores"].fn(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
