@@ -1484,3 +1484,69 @@ def cosine_histogram_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         F.floor(F.col("cos") * 10).cast("long").alias("bucket")
     ).agg(F.count("*").alias("n_pairs"))
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS query_vec, label
+            FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round({cosine_sql('q.query_vec', 'e.embedding')}, 6) AS cosine
+            FROM q JOIN embeddings e
+              ON e.label = q.label AND e.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """,
+    doc="[ext] FILTERED vector search (the vector-DB 'WHERE label = ? "
+    "ORDER BY cosine LIMIT k' pattern): candidates come from a label "
+    "equi-join (PRE-filter), never from post-filtering a global top-k — "
+    "post-filtering under-fills k whenever the metadata predicate is "
+    "selective, the classic filtered-ANN recall bug.",
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the corpus never moves — the query set broadcasts while it
+    fits (hash join on label + id-inequality residual); past the
+    broadcast bound, drop the hint and the label equi-key co-partitions
+    both sides so each stratum scores locally. A hot label concentrates
+    its stratum's pairs on one reducer; at real scale route hot labels
+    through the salted-join path (operators/skew.py) or sub-bucket them
+    with an IVF cell id appended to the join key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        "label",
+    )
+    queries = queries.withColumn("q_norm", l2_norm("query_vec"))
+    corpus = emb.withColumn("n_norm", l2_norm("embedding"))
+    cosine = F.when(
+        (F.col("q_norm") > 0) & (F.col("n_norm") > 0),
+        dot("query_vec", "embedding") / (F.col("q_norm") * F.col("n_norm")),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (corpus.label == queries.label)
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine, 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )

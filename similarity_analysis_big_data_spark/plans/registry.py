@@ -131,6 +131,7 @@ PRIORITY: tuple[str, ...] = (
     "near_dup_best_quality_survivors",
     "q19_disjunctive_join_revenue",
     "incremental_near_dup_delta",
+    "ann_filtered_topk",
 )
 
 
