@@ -95,15 +95,35 @@ def lsh_band_entries(signatures: DataFrame, id_col: str) -> DataFrame:
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, max_bucket_size: int | None = None
+) -> DataFrame:
     """Band the signatures and self-join per band: (id_l, id_r) candidates.
 
     A pair collides if ALL rows of some band match (classic banding).
     Unpivot to (id, band, key) first so the join is a single equi-join on
     (band, key) instead of LSH_BANDS separate joins; distinct() collapses
     pairs that collide in several bands.
-    """
+
+    ``max_bucket_size`` is the hot-bucket skew lever: a bucket of b docs
+    emits b·(b-1)/2 candidate pairs, so one boilerplate bucket of 10⁵
+    members is 5·10⁹ pairs on a single reducer. Capping drops the
+    OVERSIZED buckets entirely (one count aggregate over the band
+    relation — never the pair fan-out). The documented recall trade: a
+    pair whose every colliding band is oversized is missed; near-dups of
+    genuinely distinct content collide in some non-boilerplate band and
+    survive. None (the default) keeps exact banding semantics — the
+    oracle-checked queries use None; the cap is the 100 TB deployment
+    knob."""
     banded = lsh_band_entries(signatures, id_col)
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "key").agg(F.count("*").alias("_bsz"))
+        banded = (
+            banded.join(
+                sizes.filter(F.col("_bsz") <= max_bucket_size), ["band", "key"]
+            )
+            .drop("_bsz")
+        )
 
     lhs = banded.withColumnRenamed(id_col, "id_l")
     rhs = banded.withColumnRenamed(id_col, "id_r")
