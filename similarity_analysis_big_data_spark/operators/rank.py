@@ -207,3 +207,59 @@ def bucketed_running_sum(
         .withColumn(sum_name, F.col("_voff") + F.col("_rs"))
         .drop("_bkt", "_rs", "_voff")
     )
+
+
+def bucketed_running_max(
+    df: DataFrame,
+    key: str,
+    tiebreaks: list[str],
+    value: str,
+    max_name: str = "running_max",
+    partition_cols: tuple[str, ...] = (),
+    n_buckets: int = 32,
+    bounds: list[float] | None = None,
+) -> DataFrame:
+    """Adds ``max_name`` = the running maximum of ``value`` under
+    ``ORDER BY key, *tiebreaks`` within each ``partition_cols`` group
+    (global when empty) — the max twin of ``bucketed_running_sum``:
+    per-bucket maxima become exclusive PREFIX maxima on the driver
+    (bounded relation), broadcast back, and greatest()-merged with the
+    within-bucket running max. Exact for any orderable value type; max
+    is order-insensitive so there is no float-ulp caveat here.
+    """
+    if bounds is None:
+        bounds = percentile_bounds(df, key, n_buckets)
+    d = df.withColumn("_bkt", bucket_of(key, bounds))
+
+    pcols = list(partition_cols)
+    bmax = d.groupBy(*pcols, "_bkt").agg(F.max(value).alias("_bm"))
+    rows = bmax.collect()
+    rows.sort(key=lambda r: (tuple(str(r[c]) for c in pcols), r["_bkt"]))
+    acc: dict = {}
+    out_rows = []
+    for r in rows:
+        g = tuple(r[c] for c in pcols)
+        out_rows.append((*g, r["_bkt"], acc.get(g)))  # None = no prior bucket
+        prev = acc.get(g)
+        acc[g] = r["_bm"] if prev is None or r["_bm"] > prev else prev
+    schema = bmax.select(*pcols, "_bkt").schema
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+    )
+    val_type = dict(
+        (f.name, f.dataType.simpleString()) for f in bmax.schema.fields
+    )["_bm"]
+    spark = bmax.sparkSession
+    off = spark.createDataFrame(out_rows, f"{fields}, _pmax {val_type}")
+
+    w_run = (
+        W.partitionBy(*pcols, "_bkt")
+        .orderBy(key, *tiebreaks)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        d.withColumn("_rm", F.max(value).over(w_run))
+        .join(F.broadcast(off), [*pcols, "_bkt"])
+        .withColumn(max_name, F.greatest(F.col("_rm"), F.col("_pmax")))
+        .drop("_bkt", "_rm", "_pmax")
+    )

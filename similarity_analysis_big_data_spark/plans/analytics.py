@@ -972,3 +972,60 @@ def abc_revenue_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abc_class"),
         )
     )
+
+
+@register(
+    "event_lateness_watermark_profile",
+    oracle="""
+        WITH seen AS (
+            SELECT event_type,
+                   epoch_us(ts) AS tsu,
+                   max(epoch_us(ts)) OVER (
+                       ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS run_max
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(quantile_cont(run_max - tsu, 0.50) / 1e6, 4) AS p50_sec,
+               round(quantile_cont(run_max - tsu, 0.95) / 1e6, 4) AS p95_sec,
+               round(max(run_max - tsu) / 1e6, 4) AS max_sec,
+               round(avg(CASE WHEN run_max - tsu > 60000000
+                              THEN 1.0 ELSE 0.0 END), 6) AS frac_over_60s
+        FROM seen GROUP BY event_type
+    """,
+    doc="[ext] watermark-tuning profile: per event-type lateness of each "
+    "event behind the maximum event time already seen in ARRIVAL order "
+    "(event_id) — p50/p95/max and the fraction later than 60 s. This is "
+    "the batch analysis that justifies a streaming `withWatermark` "
+    "horizon: the p95 here IS the state-retention bound that loses <5% "
+    "of late data.",
+)
+def event_lateness_watermark_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the arrival-order running max uses bucketed_running_max —
+    per-bucket maxima prefix-merged on the driver (bounded relation,
+    broadcast back), every window PARTITIONED by bucket; the oracle's
+    unpartitioned `max() OVER (ORDER BY event_id)` would funnel the
+    stream through one task. Lateness aggregation is one event_type agg
+    with exact interpolated percentiles (swap approx_percentile at
+    corpus scale)."""
+    from ..functions.timeutil import epoch_micros
+    from ..operators.rank import bucketed_running_max
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", epoch_micros("ts").alias("tsu")
+    )
+    seen = bucketed_running_max(ev, "event_id", [], "tsu", max_name="run_max")
+    late = seen.select(
+        "event_type", (F.col("run_max") - F.col("tsu")).alias("late_us")
+    )
+    return late.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.expr("percentile(late_us, 0.50)") / 1e6, 4).alias("p50_sec"),
+        F.round(F.expr("percentile(late_us, 0.95)") / 1e6, 4).alias("p95_sec"),
+        F.round(F.max("late_us") / 1e6, 4).alias("max_sec"),
+        F.round(
+            F.avg(F.when(F.col("late_us") > 60_000_000, 1.0).otherwise(0.0)), 6
+        ).alias("frac_over_60s"),
+    )

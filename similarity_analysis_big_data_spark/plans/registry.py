@@ -132,6 +132,7 @@ PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_join_revenue",
     "incremental_near_dup_delta",
     "ann_filtered_topk",
+    "event_lateness_watermark_profile",
 )
 
 

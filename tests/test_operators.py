@@ -706,3 +706,36 @@ def test_lsh_bucket_cap_drops_only_oversized_buckets(docs):
             for b in members[i + 1 :]:
                 expected.add((min(a, b), max(a, b)))
     assert capped == expected
+
+
+def test_bucketed_running_max_equals_window_running_max(spark):
+    from pyspark.sql import Window as W
+
+    from similarity_analysis_big_data_spark.operators.rank import (
+        bucketed_running_max,
+    )
+
+    cols = ["id", "grp", "k", "v", "rm"]
+    df = _rank_fixture(spark)
+    got = bucketed_running_max(df, "k", ["id"], "v", max_name="rm").select(cols)
+    exp = df.withColumn(
+        "rm",
+        F.max("v").over(
+            W.orderBy("k", "id").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    ).select(cols)
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+    got_g = bucketed_running_max(
+        df, "k", ["id"], "v", max_name="rm", partition_cols=("grp",)
+    ).select(cols)
+    exp_g = df.withColumn(
+        "rm",
+        F.max("v").over(
+            W.partitionBy("grp")
+            .orderBy("k", "id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    ).select(cols)
+    assert got_g.exceptAll(exp_g).count() == 0
+    assert exp_g.exceptAll(got_g).count() == 0
