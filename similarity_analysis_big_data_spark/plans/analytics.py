@@ -1029,3 +1029,46 @@ def event_lateness_watermark_profile(spark: SparkSession, sf_dir: str) -> DataFr
             F.avg(F.when(F.col("late_us") > 60_000_000, 1.0).otherwise(0.0)), 6
         ).alias("frac_over_60s"),
     )
+
+
+@register(
+    "target_encode_priority_loo",
+    oracle="""
+        WITH g AS (
+            SELECT o_orderpriority,
+                   sum(o_totalprice) AS s,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o.o_orderkey,
+               o.o_orderpriority,
+               round((g.s - o.o_totalprice) / (g.n - 1), 4) AS prio_target_enc
+        FROM orders o JOIN g USING (o_orderpriority)
+        WHERE g.n > 1
+    """,
+    doc="[ext] leave-one-out target encoding: each order's categorical "
+    "priority becomes the mean total price of ALL OTHER orders sharing "
+    "it — (group_sum - own) / (group_n - 1) — the leakage-safe form of "
+    "mean encoding for training-feature pipelines (plain group means "
+    "leak each row's own target into its feature).",
+)
+def target_encode_priority_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one group-sized aggregate (|priorities| rows) broadcast back
+    onto the fact stream — the fact table never shuffles; the LOO
+    arithmetic is map-side column math. Singleton groups are excluded on
+    both engines (undefined encoding)."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("s"), F.count("*").alias("n")
+    )
+    return (
+        o.join(F.broadcast(g), "o_orderpriority")
+        .filter(F.col("n") > 1)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(
+                (F.col("s") - F.col("o_totalprice")) / (F.col("n") - 1), 4
+            ).alias("prio_target_enc"),
+        )
+    )

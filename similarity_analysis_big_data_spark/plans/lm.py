@@ -994,3 +994,40 @@ def trigram_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(-F.log2("p")), 6).alias("mean_neglog2"),
         F.round(F.avg("backed_off"), 6).alias("backoff_rate"),
     )
+
+
+FEATURE_HASH_DIM = 32
+
+
+@register(
+    "feature_hashed_tf",
+    oracle=_SQL_TERMS
+    + f"""
+    SELECT doc_id,
+           CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % {FEATURE_HASH_DIM}
+               AS bucket,
+           CAST(count(*) AS BIGINT) AS weight
+    FROM terms
+    GROUP BY 1, 2
+    """,
+    doc=f"[ext] the hashing trick (Weinberger et al. 2009): term counts "
+    f"folded into a fixed {FEATURE_HASH_DIM}-dim space by a portable md5 "
+    "bucket — the vocabulary-free featurizer whose output width is "
+    "constant no matter how many distinct terms 100 TB of text contains; "
+    "long-format (doc_id, bucket, weight) sparse vectors.",
+)
+def feature_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one partial+final hash agg on (doc_id, bucket) — no
+    vocabulary relation AT ALL, which is the whole point: no vocab
+    build, no broadcast, no OOV, stable feature ids across corpus
+    versions. Collisions are the documented trade (d=32 here; real
+    deployments use 2^18+)."""
+    from ..functions.hashing import md5_long
+
+    terms = _doc_terms(spark, sf_dir)
+    return (
+        terms.groupBy(
+            "doc_id", (md5_long("term") % FEATURE_HASH_DIM).alias("bucket")
+        )
+        .agg(F.count("*").alias("weight"))
+    )

@@ -133,6 +133,8 @@ PRIORITY: tuple[str, ...] = (
     "incremental_near_dup_delta",
     "ann_filtered_topk",
     "event_lateness_watermark_profile",
+    "feature_hashed_tf",
+    "target_encode_priority_loo",
 )
 
 
