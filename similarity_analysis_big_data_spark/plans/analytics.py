@@ -1072,3 +1072,73 @@ def target_encode_priority_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prio_target_enc"),
         )
     )
+
+
+@register(
+    "attribution_decay_revenue",
+    oracle="""
+        WITH pairs AS (
+            SELECT c.event_id AS click_id,
+                   p.value AS revenue,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS lat_us
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        ),
+        w AS (
+            SELECT click_id, revenue,
+                   exp(-(lat_us / 1e6) / 900.0) AS wt
+            FROM pairs
+        ),
+        tot AS (
+            SELECT click_id AS t_click, sum(wt) AS wsum FROM w GROUP BY 1
+        )
+        SELECT w.click_id,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               round(sum(w.revenue * w.wt / t.wsum), 4) AS attributed_revenue
+        FROM w JOIN tot t ON t.t_click = w.click_id
+        GROUP BY w.click_id
+    """,
+    doc="[ext] time-decay attribution: every purchase within 30 minutes "
+    "of a click contributes revenue weighted by exp(-latency/15min), and "
+    "the weights are normalized within each click's purchase set — the "
+    "decayed expected-revenue feature per click event (the multi-touch "
+    "attribution kernel, restated click-side).",
+)
+def attribution_decay_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the user-keyed interval join bounds pairs (never a cross
+    product); the weight normalization is one pair-sized aggregate joined
+    back on click_id — pair-scaled, not event-scaled."""
+    from ..functions.timeutil import micros_between
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("revenue"),
+    )
+    pairs = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+    ).select(
+        "click_id",
+        "revenue",
+        F.exp(-(micros_between("c_ts", "p_ts") / 1e6) / 900.0).alias("wt"),
+    )
+    tot = pairs.groupBy("click_id").agg(F.sum("wt").alias("wsum"))
+    return (
+        pairs.join(tot, "click_id")
+        .groupBy("click_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(
+                F.sum(F.col("revenue") * F.col("wt") / F.col("wsum")), 4
+            ).alias("attributed_revenue"),
+        )
+    )

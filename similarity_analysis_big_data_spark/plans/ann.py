@@ -1550,3 +1550,142 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+@register(
+    "ann_binary_sign_recall_at_k",
+    oracle=f"""
+        WITH flat AS (
+            SELECT vec_id, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ),
+        sig AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN v > 0 AND i <= 32
+                                 THEN 2.0 ^ (i - 1) ELSE 0 END) AS BIGINT) AS lo,
+                   CAST(sum(CASE WHEN v > 0 AND i > 32
+                                 THEN 2.0 ^ (i - 33) ELSE 0 END) AS BIGINT) AS hi
+            FROM flat GROUP BY vec_id
+        ),
+        q AS (SELECT vec_id AS query_id, lo, hi FROM sig
+              WHERE vec_id % {QUERY_MOD} = 0),
+        hamk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, s.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY bit_count(xor(q.lo, s.lo))
+                                    + bit_count(xor(q.hi, s.hi)), s.vec_id
+                       ) AS rnk
+                FROM q JOIN sig s ON s.vec_id <> q.query_id
+            ) WHERE rnk <= {TOP_K}
+        ),
+        qe AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id % {QUERY_MOD} = 0),
+        exactk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT qe.query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY qe.query_id
+                           ORDER BY round({cosine_sql('qe.qv', 'e.embedding')}, 6)
+                                    DESC, e.vec_id
+                       ) AS rnk
+                FROM qe CROSS JOIN embeddings e WHERE e.vec_id <> qe.query_id
+            ) WHERE rnk <= {TOP_K}
+        )
+        SELECT e.query_id,
+               CAST(count(h.neighbor_id) AS BIGINT) AS n_hit,
+               round(CAST(count(h.neighbor_id) AS DOUBLE) / {TOP_K}, 4)
+                   AS recall_at_k
+        FROM exactk e LEFT JOIN hamk h USING (query_id, neighbor_id)
+        GROUP BY e.query_id
+    """,
+    doc=f"[ext] BINARY embedding search: 1-bit sign quantization packs 64 "
+    "floats into two 32-bit words (256 bytes -> 8 — the most aggressive "
+    "compression tier, below int8 and PQ), hamming-distance top-"
+    f"{TOP_K} via bit_count(xor), recall measured per query against the "
+    "exact-cosine ground truth. Deterministic ties (distance, id) on "
+    "both engines.",
+)
+def ann_binary_sign_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: signatures are one narrow aggregate (8 bytes/vector state);
+    the hamming scan is two XOR+popcount ops per pair — register math,
+    whole-stage codegen'd, no floats — which is why binary signatures are
+    the web-scale first-pass filter; queries broadcast, corpus never
+    shuffles, per-query windows partition on query_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select("vec_id", F.posexplode("embedding").alias("i", "v"))
+    sig = flat.groupBy("vec_id").agg(
+        F.sum(
+            F.when((F.col("v") > 0) & (F.col("i") < 32), F.pow(2.0, F.col("i")))
+            .otherwise(0.0)
+        )
+        .cast("long")
+        .alias("lo"),
+        F.sum(
+            F.when(
+                (F.col("v") > 0) & (F.col("i") >= 32),
+                F.pow(2.0, F.col("i") - 32),
+            ).otherwise(0.0)
+        )
+        .cast("long")
+        .alias("hi"),
+    )
+    q = sig.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("q_lo"),
+        F.col("hi").alias("q_hi"),
+    )
+    ham = (
+        sig.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("q_lo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("q_hi")))
+            ).alias("hamming"),
+        )
+    )
+    w_h = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    hamk = (
+        ham.withColumn("rnk", F.row_number().over(w_h))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    queries = queries.withColumn("q_norm", l2_norm("qv"))
+    corpus = emb.withColumn("n_norm", l2_norm("embedding"))
+    cosine = F.when(
+        (F.col("q_norm") > 0) & (F.col("n_norm") > 0),
+        dot("qv", "embedding") / (F.col("q_norm") * F.col("n_norm")),
+    )
+    w_e = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    exactk = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine, 6).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w_e))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    hit = hamk.withColumn("_hit", F.lit(1))
+    return (
+        exactk.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("n_hit"),
+            F.round(F.count("_hit").cast("double") / TOP_K, 4).alias(
+                "recall_at_k"
+            ),
+        )
+    )

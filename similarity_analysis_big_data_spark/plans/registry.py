@@ -135,6 +135,8 @@ PRIORITY: tuple[str, ...] = (
     "event_lateness_watermark_profile",
     "feature_hashed_tf",
     "target_encode_priority_loo",
+    "attribution_decay_revenue",
+    "ann_binary_sign_recall_at_k",
 )
 
 
