@@ -995,6 +995,7 @@ def abc_revenue_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
                               THEN 1.0 ELSE 0.0 END), 6) AS frac_over_60s
         FROM seen GROUP BY event_type
     """,
+    headline=True,
     doc="[ext] watermark-tuning profile: per event-type lateness of each "
     "event behind the maximum event time already seen in ARRIVAL order "
     "(event_id) — p50/p95/max and the fraction later than 60 s. This is "

@@ -300,6 +300,12 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", tokenize(F.lower("text")).alias("tokens"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Materialize the cache BEFORE the three branches consume it: inside a
+    # single action Spark schedules the branch stages concurrently, and
+    # each races to compute the same uncached partitions (benign
+    # "Block already exists" churn, duplicated tokenize work). One count
+    # fills the cache serially; the branches then read computed blocks.
+    toks.count()
 
     keep_w = W.partitionBy(F.md5(F.array_join("tokens", " ")))
     n = F.size("tokens")

@@ -700,9 +700,9 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(value), 4) AS total_value
         FROM events GROUP BY 1, 2
     """,
-    headline=True,
     doc="[ext] §2.8/§2.5: tumbling time-bucket aggregation (batch twin of the "
-    "streaming windowed agg in streaming/events.py).",
+    "streaming windowed agg in streaming/events.py). Rotated out of the "
+    "headline set r5 (displaced by event_lateness_watermark_profile).",
 )
 def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
