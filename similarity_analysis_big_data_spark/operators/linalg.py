@@ -47,6 +47,8 @@ def embedding_sufficient_stats(df: DataFrame, vec_col: str, d: int):
         .mapInPandas(partials, schema="n long, s array<double>, S array<double>")
         .collect()
     )
+    if not rows:  # empty relation: typed zero stats, not a 0-d np scalar
+        return 0, np.zeros(d), np.zeros((d, d))
     n = sum(r["n"] for r in rows)
     s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
     S = np.sum([np.asarray(r["S"]).reshape(d, d) for r in rows], axis=0)

@@ -5,9 +5,11 @@ partition — the classic scale-killer. The RDD escape hatch
 (``zipWithIndex``) is imperative and caches. This is the DataFrame-native
 plan, fully deterministic with no persisted state:
 
-1. boundaries: exact percentiles of the (coarse) order key — one
-   aggregate, deterministic (unlike repartitionByRange, whose sampled
-   boundaries can differ between the jobs that would need to agree);
+1. boundaries: approx percentiles of the (coarse) order key (GK sketch,
+   cardinality-bounded state) — one aggregate; boundaries only affect
+   load balance, never the assigned ids (unlike repartitionByRange,
+   whose sampled boundaries change the DATA each partition holds AND can
+   differ between the jobs that would need to agree);
 2. pid: per row, count boundaries strictly below the key — a broadcast
    array literal folded JVM-side, so the assignment is a map-only column;
 3. offsets: per-pid row counts (tiny aggregate), cumulative-summed on the
@@ -21,7 +23,7 @@ identically, so no job-to-job agreement problem exists.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -40,25 +42,17 @@ def stable_dense_ids(
     """
     import pandas as pd
 
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    # exact percentiles: deterministic boundaries (approx would balance
-    # better at extreme skew but is sample-dependent)
-    bounds_row = df.agg(
-        F.expr(
-            f"percentile({coarse_key}, array({', '.join(str(q) for q in qs)}))"
-        ).alias("bs")
-    ).collect()[0]
-    bounds = sorted(set(float(b) for b in bounds_row["bs"]))
+    from .rank import bucket_of, percentile_bounds
 
-    def pid_expr() -> Column:
-        arr = F.array(*[F.lit(b) for b in bounds])
-        return F.aggregate(
-            F.filter(arr, lambda b: b < F.col(coarse_key)),
-            F.lit(0),
-            lambda acc, _: acc + 1,
-        )
+    # approx-percentile boundaries (GK sketch — r5, same rationale as
+    # operators/rank.py): boundaries only set partition LOAD BALANCE; the
+    # ids come from per-bucket sorts plus exact per-bucket count offsets,
+    # so they are exact and deterministic for any boundary choice.
+    # Returns [] on empty input — everything lands in bucket 0 and the
+    # assignment degrades to a zero-row pass.
+    bounds = percentile_bounds(df, coarse_key, n_buckets)
 
-    with_pid = df.withColumn("_pid", pid_expr())
+    with_pid = df.withColumn("_pid", bucket_of(coarse_key, bounds))
     counts = {
         r["_pid"]: r["n"]
         for r in with_pid.groupBy("_pid").agg(F.count("*").alias("n")).collect()

@@ -99,8 +99,10 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_view").alias("n_view"),
         F.count("t_click").alias("n_click_after_view"),
         F.count("t_purchase").alias("n_purchase_after_click"),
+        # try_divide: an empty stream (n_view = 0) yields a NULL rate
+        # instead of an ANSI division error; non-empty behavior identical
         _r(
-            F.count("t_purchase").cast("double") / F.count("t_view"), 6
+            F.try_divide(F.count("t_purchase").cast("double"), F.count("t_view")), 6
         ).alias("view_to_purchase_rate"),
     )
 

@@ -941,6 +941,9 @@ def _train_pq_codebooks(emb: DataFrame):
     rows = (
         emb.orderBy("vec_id").limit(PQ_TRAIN_CAP).collect()
     )
+    if not rows:  # empty corpus: zero codebooks (downstream output is
+        # empty anyway — every per-vector relation has no rows)
+        return [np.zeros((PQ_KS, PQ_SUB)) for _ in range(PQ_M)]
     X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
     books = []
     for s in range(PQ_M):

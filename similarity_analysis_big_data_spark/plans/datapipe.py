@@ -305,6 +305,8 @@ def embedding_covariance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     size the collected state is n_partitions rows, never data-sized."""
     emb = load_table(spark, sf_dir, "embeddings")
     n, s, S = embedding_sufficient_stats(emb, "embedding", EMB_DIM)
+    if n < 2:  # sample covariance undefined below 2 rows
+        return spark.createDataFrame([], "i int, j int, cov double")
     cov, _mu = covariance_from_stats(n, s, S)
     rows = [
         (i, j, round(float(cov[i, j]), 6))
@@ -341,6 +343,8 @@ def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     array form)."""
     emb = load_table(spark, sf_dir, "embeddings")
     n, s, S = embedding_sufficient_stats(emb, "embedding", EMB_DIM)
+    if n < 2:  # covariance (hence axes) undefined below 2 rows
+        return spark.createDataFrame([], "vec_id long, pc long, value double")
     cov, mu = covariance_from_stats(n, s, S)
     _vals, comp = pca_components(cov, PCA_K)
     proj = project_embeddings(emb, "vec_id", "embedding", mu, comp)

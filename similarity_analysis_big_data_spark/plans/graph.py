@@ -60,6 +60,8 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int, damping: float) -> 
     """Fixed-iteration PageRank: ``nodes`` has one ``node`` column, ``edges``
     has (src, dst, w) with out-normalized w. Returns (node, rank)."""
     n = nodes.count()  # |V| — node table is an aggregate, counting it is cheap
+    if n == 0:  # empty graph: no nodes, no ranks (guards the 1/n seed)
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
         contribs = (

@@ -940,12 +940,13 @@ def trigram_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = counts.select(F.col("g").alias("bg"), F.col("c").alias("c2"))
     c1 = counts.select(F.col("g").alias("w"), F.col("c").alias("c1"))
     # unigram total: a vocab-sized scan of the persisted counts, not a
-    # corpus pass (unigram keys are exactly the space-free grams)
+    # corpus pass (unigram keys are exactly the space-free grams);
+    # `or 0` guards the empty-corpus case (sum over zero rows is NULL)
     n_tot = (
         counts.filter(~F.col("g").contains(" "))
         .agg(F.sum("c"))
         .collect()[0][0]
-    )
+    ) or 0
 
     tri = toks.select("doc_id", F.explode(ngram_arr(3)).alias("tg"))
     held = tri.filter(~train).select(

@@ -1698,7 +1698,9 @@ def dq_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.select(
             F.lit(name).alias("rule"),
             F.col(name).alias("n_bad"),
-            F.round(F.col(name) * 100.0 / F.col("__n"), 4).alias("pct_bad"),
+            # try_divide: zero-row input yields NULL pct (ANSI division
+            # would throw); non-empty behavior identical
+            F.round(F.try_divide(F.col(name) * 100.0, F.col("__n")), 4).alias("pct_bad"),
         )
         for name in rules
     ]

@@ -42,3 +42,33 @@ def test_no_query_compiles_to_cartesian_product(spark, sf_smoke):
                 if "CartesianProduct" in line
             ]
     assert not offenders, f"cartesian joins crept in: {offenders}"
+
+
+def test_every_query_survives_empty_tables(spark, tmp_path_factory):
+    """Robustness sweep: every registered query must execute (not
+    necessarily return rows) against schema-identical EMPTY tables — the
+    first-day-of-ingest / filtered-to-nothing production edge. r5 fixed
+    7 crashers (ANSI zero divisions, None-typed empty aggregates,
+    0-d numpy stats, 1/|V| seeds); this pins all of them."""
+    import glob
+    import os
+
+    import duckdb
+
+    empty_dir = str(tmp_path_factory.mktemp("sf_empty"))
+    con = duckdb.connect()
+    for p in glob.glob("/root/testdata/sf0.001/*.parquet"):
+        name = os.path.basename(p)
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{p}') LIMIT 0) "
+            f"TO '{empty_dir}/{name}' (FORMAT PARQUET)"
+        )
+    con.close()
+
+    failures = {}
+    for name, spec in registry.QUERIES.items():
+        try:
+            spec.fn(spark, empty_dir).collect()
+        except Exception as e:  # noqa: BLE001 - we want the full inventory
+            failures[name] = f"{type(e).__name__}: {e}"[:160]
+    assert not failures, f"queries crashing on empty input: {failures}"
