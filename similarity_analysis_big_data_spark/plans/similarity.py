@@ -212,7 +212,14 @@ def title_best_abstract(
       tiebreak contract, so the result — and the oracle — is the same.
     """
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # ONE scan serves both driver scalars (corpus size for the IDF
+    # formula, title count for the auto-strategy probe) instead of two
+    # separate count() jobs
+    _sizes = docs.agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("doc_id") % TITLE_SAMPLE_MOD == 0).alias("nt"),
+    ).collect()[0]
+    n_docs, n_titles = _sizes["n"], _sizes["nt"]
 
     abstract_tf = term_frequency(
         _doc_terms(spark, sf_dir).withColumnRenamed("doc_id", "abstract_id"),
@@ -237,7 +244,6 @@ def title_best_abstract(
 
     if strategy == "auto":
         vocab = df_.count()  # vocabulary-sized agg over the persisted TF
-        n_titles = all_titles.count()
         dense_ok = (
             vocab <= DENSE_MAX_VOCAB
             and n_titles * vocab <= DENSE_MAX_BROADCAST_CELLS
