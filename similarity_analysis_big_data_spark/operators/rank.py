@@ -241,7 +241,10 @@ def bucketed_running_max(
         g = tuple(r[c] for c in pcols)
         out_rows.append((*g, r["_bkt"], acc.get(g)))  # None = no prior bucket
         prev = acc.get(g)
-        acc[g] = r["_bm"] if prev is None or r["_bm"] > prev else prev
+        # a bucket whose values are all NULL aggregates to a NULL max —
+        # it must not clobber (or crash against) the carried prefix
+        if r["_bm"] is not None and (prev is None or r["_bm"] > prev):
+            acc[g] = r["_bm"]
     schema = bmax.select(*pcols, "_bkt").schema
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in schema.fields

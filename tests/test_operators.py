@@ -739,3 +739,26 @@ def test_bucketed_running_max_equals_window_running_max(spark):
     ).select(cols)
     assert got_g.exceptAll(exp_g).count() == 0
     assert exp_g.exceptAll(got_g).count() == 0
+
+
+def test_bucketed_running_max_with_null_values(spark):
+    """All-NULL buckets must not clobber or crash the carried prefix max
+    (max aggregates NULL for them); matches the window form row-for-row."""
+    from pyspark.sql import Window as W
+
+    from similarity_analysis_big_data_spark.operators.rank import (
+        bucketed_running_max,
+    )
+
+    df = _rank_fixture(spark).withColumn(
+        "v", F.when(F.col("k") % 3 == 0, F.col("v")).otherwise(F.lit(None))
+    )
+    cols = ["id", "grp", "k", "v", "rm"]
+    got = bucketed_running_max(df, "k", ["id"], "v", max_name="rm").select(cols)
+    exp = df.withColumn(
+        "rm",
+        F.max("v").over(
+            W.orderBy("k", "id").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    ).select(cols)
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
