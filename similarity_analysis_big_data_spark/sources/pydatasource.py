@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -498,7 +499,8 @@ class JsonlDirDataSource(DataSource):
     def reader(self, schema) -> JsonlDirReader:
         return JsonlDirReader(self.options)
 
-    def writer(self, schema, overwrite: bool) -> JsonlDirWriter:
+    @staticmethod
+    def _validate_schema(schema) -> None:
         from pyspark.sql.types import ArrayType, MapType, StructType
 
         # the JSONL value encoding covers atomics and arrays/maps OF
@@ -519,12 +521,102 @@ class JsonlDirDataSource(DataSource):
                     f"{t.simpleString()} (atomics and arrays/maps of "
                     "atomics only)"
                 )
+
+    def writer(self, schema, overwrite: bool) -> JsonlDirWriter:
+        self._validate_schema(schema)
         return JsonlDirWriter(
             self.options,
             schema.json(),
             [f.name for f in schema.fields],
             overwrite,
         )
+
+    def streamWriter(self, schema, overwrite: bool) -> "JsonlDirStreamWriter":
+        self._validate_schema(schema)
+        return JsonlDirStreamWriter(
+            self.options, schema.json(), [f.name for f in schema.fields]
+        )
+
+
+class JsonlDirStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the ``jsonl_dir`` sink: one manifest-committed
+    batch of part files per epoch, EXACTLY-ONCE under replay.
+
+    Tasks write temp files and return commit messages (same shape as the
+    batch writer); the driver-side ``commit(messages, batchId)`` renames
+    them to epoch-prefixed part names and merges the manifest — unless
+    the manifest already records ``batchId``, in which case the epoch is
+    a post-failure REPLAY and its files are discarded instead of
+    double-appended (generation is deterministic upstream, so the
+    already-committed rows are the same rows). Same single-writer-per-
+    path and local-FS contracts as the batch writer."""
+
+    def __init__(self, options: dict, schema_json: str, field_names: list[str]) -> None:
+        self.path = options["path"]
+        self.schema_json = schema_json
+        self.field_names = field_names
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(self.field_names, row))) + "\n")
+                n += 1
+        return _FileCommit(tmp_path=tmp, rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        manifest_path = os.path.join(self.path, _MANIFEST)
+        prior = None
+        if os.path.exists(manifest_path):
+            with open(manifest_path, encoding="utf-8") as fh:
+                prior = json.load(fh)
+        committed_epochs = list(prior.get("epochs", [])) if prior else []
+        if batchId in committed_epochs:
+            # replayed epoch: drop the duplicate temp files, keep manifest
+            for msg in messages:
+                try:
+                    os.remove(msg.tmp_path)
+                except FileNotFoundError:
+                    pass
+            return
+        finals = []
+        total = 0
+        for i, msg in enumerate(messages):
+            final = os.path.join(
+                self.path, f"part-e{batchId:08d}-{i:05d}.jsonl"
+            )
+            os.replace(msg.tmp_path, final)
+            finals.append(os.path.basename(final))
+            total += msg.rows
+        manifest = {
+            "schema_json": self.schema_json,
+            "files": (prior["files"] if prior else []) + finals,
+            "rows": (prior["rows"] if prior else 0) + total,
+            "columns": self.field_names,
+            "epochs": committed_epochs + [batchId],
+        }
+        tmp_manifest = manifest_path + ".tmp"
+        with open(tmp_manifest, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp_manifest, manifest_path)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for msg in messages:
+            try:
+                os.remove(msg.tmp_path)
+            except FileNotFoundError:
+                pass
 
 
 def register_jsonl_dir(spark) -> None:

@@ -282,3 +282,73 @@ def test_jsonl_dir_vacuum_removes_orphans_only(spark, tmp_path):
     after = {tuple(r) for r in spark.read.format("jsonl_dir").option("path", path).load().collect()}
     assert before == after and len(after) == 20
     assert os.path.exists(os.path.join(path, "README.txt"))
+
+def test_jsonl_dir_stream_writer_exactly_once(spark, tmp_path):
+    """Python DataSource STREAM WRITER: micro-batches land as
+    epoch-manifested part files; a replayed epoch (same batchId) is
+    discarded instead of double-appended — exactly-once by manifest."""
+    import json
+    import os
+
+    from similarity_analysis_big_data_spark.sources.pydatasource import (
+        JsonlDirStreamWriter,
+        register_jsonl_dir,
+        register_synthetic_events,
+    )
+
+    register_jsonl_dir(spark)
+    register_synthetic_events(spark)
+    path = str(tmp_path / "stream_sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows_per_batch", "50")
+        .option("partitions", "2")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("jsonl_dir")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        # wait for at least 2 committed epochs
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if os.path.exists(os.path.join(path, "_MANIFEST.json")):
+                m = json.load(open(os.path.join(path, "_MANIFEST.json")))
+                if len(m.get("epochs", [])) >= 2:
+                    break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    manifest = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert len(manifest["epochs"]) >= 2
+    assert manifest["rows"] == 50 * len(manifest["epochs"])
+    # the batch reader sees exactly the manifested rows
+    back = spark.read.format("jsonl_dir").option("path", path).load()
+    assert back.count() == manifest["rows"]
+    assert back.select("event_id").distinct().count() == manifest["rows"]
+
+    # simulate a replayed epoch: re-commit batchId=0 with a fresh temp file
+    w = JsonlDirStreamWriter(
+        {"path": path}, manifest["schema_json"], manifest["columns"]
+    )
+    tmp = os.path.join(path, "_tmp-replay.jsonl")
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps(dict(zip(manifest["columns"], [999_999, 1, "view", 1.0]))) + "\n")
+
+    class _Msg:
+        tmp_path = tmp
+        rows = 1
+
+    w.commit([_Msg()], batchId=manifest["epochs"][0])
+    after = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert after["rows"] == manifest["rows"]  # replay added nothing
+    assert not os.path.exists(tmp)  # duplicate temp discarded
