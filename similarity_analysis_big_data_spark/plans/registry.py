@@ -137,6 +137,7 @@ PRIORITY: tuple[str, ...] = (
     "target_encode_priority_loo",
     "attribution_decay_revenue",
     "ann_binary_sign_recall_at_k",
+    "price_drift_psi",
 )
 
 

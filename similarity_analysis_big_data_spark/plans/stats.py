@@ -705,3 +705,110 @@ def user_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("burstiness"),
     )
+
+
+PSI_BUCKETS = 10
+
+
+@register(
+    "price_drift_psi",
+    oracle=f"""
+        WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0),
+        cur AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 1),
+        edges AS (
+            SELECT quantile_cont(v, [{', '.join(str((i + 1) / PSI_BUCKETS) for i in range(PSI_BUCKETS - 1))}]) AS es
+            FROM ref
+        ),
+        rb AS (
+            SELECT len(list_filter(e.es, x -> x < r.v)) AS bucket,
+                   count(*) AS n
+            FROM ref r CROSS JOIN edges e GROUP BY 1
+        ),
+        cb AS (
+            SELECT len(list_filter(e.es, x -> x < c.v)) AS bucket,
+                   count(*) AS n
+            FROM cur c CROSS JOIN edges e GROUP BY 1
+        ),
+        tot AS (
+            SELECT (SELECT sum(n) FROM rb) AS rn, (SELECT sum(n) FROM cb) AS cn
+        ),
+        grid AS (SELECT unnest(range({PSI_BUCKETS})) AS bucket)
+        SELECT g.bucket,
+               round(coalesce(rb.n, 0) / CAST(t.rn AS DOUBLE), 6) AS ref_frac,
+               round(coalesce(cb.n, 0) / CAST(t.cn AS DOUBLE), 6) AS cur_frac,
+               round(CASE
+                   WHEN coalesce(rb.n, 0) = 0 OR coalesce(cb.n, 0) = 0 THEN 0.0
+                   ELSE (cb.n / CAST(t.cn AS DOUBLE) - rb.n / CAST(t.rn AS DOUBLE))
+                        * ln((cb.n / CAST(t.cn AS DOUBLE))
+                             / (rb.n / CAST(t.rn AS DOUBLE)))
+               END, 6) AS psi_term
+        FROM grid g
+        LEFT JOIN rb ON rb.bucket = g.bucket
+        LEFT JOIN cb ON cb.bucket = g.bucket
+        CROSS JOIN tot t
+        ORDER BY g.bucket
+    """,
+    doc=f"[ext] population stability index: even-keyed orders are the "
+    f"reference snapshot, odd-keyed the current one; the reference's "
+    f"{PSI_BUCKETS} equi-depth deciles bucket both sides and each bucket "
+    "contributes (cur% - ref%) * ln(cur%/ref%) — the standard "
+    "feature-drift monitor (PSI > 0.2 = retrain). Empty buckets "
+    "contribute 0 (stated, not smoothed) identically on both engines.",
+)
+def price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: decile edges are one exact-percentile aggregate over the
+    reference (swap approx_percentile at 100 TB — bucket LOAD only, the
+    PSI itself is exact given any edges as long as both sides share
+    them); bucketing is a broadcast-literal fold; each side is one
+    partial+final count agg over {PSI_BUCKETS} groups."""
+    from ..operators.rank import bucket_of
+
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_totalprice").alias("v")
+    )
+    cur = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_totalprice").alias("v")
+    )
+    qs = [(i + 1) / PSI_BUCKETS for i in range(PSI_BUCKETS - 1)]
+    es_row = ref.agg(
+        F.expr(
+            f"percentile(v, array({', '.join(str(q) for q in qs)}))"
+        ).alias("es")
+    ).collect()[0]["es"]
+    # empty reference -> no edges: everything lands in bucket 0 and both
+    # fraction relations are empty (grid left-joins null-fill to 0)
+    edges = [float(b) for b in es_row] if es_row is not None else []
+
+    def frac(df, name):
+        n = df.count()
+        return (
+            df.withColumn("bucket", bucket_of("v", edges).cast("long"))
+            .groupBy("bucket")
+            .agg((F.count("*") / F.lit(float(max(n, 1)))).alias(name))
+        )
+
+    grid = spark.range(PSI_BUCKETS).select(F.col("id").alias("bucket"))
+    rf = frac(ref, "rf")
+    cf = frac(cur, "cf")
+    out = (
+        grid.join(F.broadcast(rf), "bucket", "left")
+        .join(F.broadcast(cf), "bucket", "left")
+        .select(
+            "bucket",
+            F.round(F.coalesce("rf", F.lit(0.0)), 6).alias("ref_frac"),
+            F.round(F.coalesce("cf", F.lit(0.0)), 6).alias("cur_frac"),
+            F.round(
+                F.when(
+                    F.coalesce("rf", F.lit(0.0)).eqNullSafe(0.0)
+                    | F.coalesce("cf", F.lit(0.0)).eqNullSafe(0.0),
+                    0.0,
+                ).otherwise(
+                    (F.col("cf") - F.col("rf"))
+                    * F.log(F.col("cf") / F.col("rf"))
+                ),
+                6,
+            ).alias("psi_term"),
+        )
+    )
+    return out
