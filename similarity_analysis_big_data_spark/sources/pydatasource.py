@@ -278,22 +278,24 @@ def _parse_flat_ddl(ddl: str):
             inner = t[len("map<") : -1]
             depth = 0
             for i, ch in enumerate(inner):
-                if ch == "<":
+                if ch in "<(":
                     depth += 1
-                elif ch == ">":
+                elif ch in ">)":
                     depth -= 1
                 elif ch == "," and depth == 0:
                     return MapType(parse_type(inner[:i]), parse_type(inner[i + 1 :]))
         raise ValueError(f"legacy jsonl_dir manifest: unsupported DDL type {t!r}")
 
+    # split on top-level commas only: both angle brackets (array/map) and
+    # parentheses (decimal(p,s)) nest commas that must not split fields
     fields = []
     depth = 0
     start = 0
     parts = []
     for i, ch in enumerate(ddl):
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append(ddl[start:i])

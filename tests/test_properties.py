@@ -450,3 +450,87 @@ def test_bpe_pair_counts_match_reference(spark):
     want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
     for rnk, (pair, cnt) in enumerate(want, start=1):
         assert got[pair] == (cnt, rnk)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),  # order key (dups ok)
+            st.integers(min_value=0, max_value=9),  # value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_buckets=st.sampled_from([1, 2, 5, 32]),
+)
+def test_bucketed_rank_and_sums_match_windows_on_random_data(rows, n_buckets):
+    """Property: for ANY key distribution (ties, negatives, constant keys)
+    and ANY bucket count, the bucketed rank / running sum / running max
+    agree row-for-row with the global-window forms."""
+    from pyspark.sql import Window as W
+
+    from similarity_analysis_big_data_spark.operators.rank import (
+        bucketed_row_number,
+        bucketed_running_max,
+        bucketed_running_sum,
+    )
+
+    spark = _SPARK["s"]
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "id long, k long, v long"
+    )
+    w = W.orderBy("k", "id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    exp = (
+        df.withColumn("r", F.row_number().over(w))
+        .withColumn("rs", F.sum("v").over(run))
+        .withColumn("rm", F.max("v").over(run))
+    )
+    got = bucketed_row_number(df, "k", ["id"], rank_name="r", n_buckets=n_buckets)
+    got = bucketed_running_sum(got, "k", ["id"], "v", sum_name="rs", n_buckets=n_buckets)
+    got = bucketed_running_max(got, "k", ["id"], "v", max_name="rm", n_buckets=n_buckets)
+    cols = ["id", "k", "v", "r", "rs", "rm"]
+    g, e = got.select(cols), exp.select(cols)
+    assert g.exceptAll(e).count() == 0 and e.exceptAll(g).count() == 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    fields=st.lists(
+        st.tuples(
+            st.text(
+                alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=8
+            ),
+            st.sampled_from(
+                [
+                    "string", "bigint", "int", "double", "float", "boolean",
+                    "binary", "date", "timestamp", "decimal(12,2)",
+                    "array<string>", "array<bigint>", "map<string,double>",
+                    "array<decimal(10,3)>", "map<bigint,array<string>>",
+                ]
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_flat_ddl_parser_roundtrips_simple_strings(fields):
+    """Property: the session-free legacy-manifest DDL parser re-parses any
+    flat schema's simpleString back to the identical StructType."""
+    from pyspark.sql.types import StructField, StructType
+
+    from similarity_analysis_big_data_spark.sources.pydatasource import (
+        _parse_flat_ddl,
+    )
+
+    ddl = ", ".join(f"{n} {t}" for n, t in fields)
+    parsed = _parse_flat_ddl(ddl)
+    assert parsed.simpleString() == f"struct<{','.join(f'{n}:{t}' for n, t in fields)}>"
+    assert isinstance(parsed, StructType)
+    assert all(isinstance(f, StructField) for f in parsed.fields)
