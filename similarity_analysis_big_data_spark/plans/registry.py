@@ -138,6 +138,7 @@ PRIORITY: tuple[str, ...] = (
     "attribution_decay_revenue",
     "ann_binary_sign_recall_at_k",
     "price_drift_psi",
+    "abtest_cuped_adjusted",
 )
 
 
