@@ -1370,3 +1370,116 @@ def decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec * weight).cast("string").alias("weighted_exact"),
         F.count("*").alias("n_orders"),
     )
+
+
+@register(
+    "gdpr_erasure_cascade",
+    oracle="""
+        WITH subjects AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE CAST(ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+                       AS BIGINT) % 16 = 0
+        )
+        SELECT 'events' AS table_name,
+               CAST((SELECT count(*) FROM events e
+                     WHERE EXISTS (SELECT 1 FROM subjects s
+                                   WHERE s.user_id = e.user_id))
+                    AS BIGINT) AS rows_to_erase,
+               CAST((SELECT count(*) FROM events e
+                     WHERE NOT EXISTS (SELECT 1 FROM subjects s
+                                       WHERE s.user_id = e.user_id))
+                    AS BIGINT) AS rows_retained
+        UNION ALL
+        SELECT 'customer',
+               CAST((SELECT count(*) FROM customer c
+                     WHERE EXISTS (SELECT 1 FROM subjects s
+                                   WHERE s.user_id = c.c_custkey))
+                    AS BIGINT),
+               CAST((SELECT count(*) FROM customer c
+                     WHERE NOT EXISTS (SELECT 1 FROM subjects s
+                                       WHERE s.user_id = c.c_custkey))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'orders',
+               CAST((SELECT count(*) FROM orders o
+                     WHERE EXISTS (SELECT 1 FROM subjects s
+                                   WHERE s.user_id = o.o_custkey))
+                    AS BIGINT),
+               CAST((SELECT count(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM subjects s
+                                       WHERE s.user_id = o.o_custkey))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem',
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE EXISTS (SELECT 1 FROM orders o
+                                   JOIN subjects s ON s.user_id = o.o_custkey
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       JOIN subjects s ON s.user_id = o.o_custkey
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT)
+    """,
+    doc="[ext] GDPR erasure-scope cascade: a deterministic 1-in-16 subject "
+    "set propagates through the FK graph (events and customer directly by "
+    "user key; orders by customer; lineitem transitively through its "
+    "order) and each table reports erase vs retain counts — the "
+    "right-to-be-forgotten impact audit that runs before any delete job.",
+)
+def gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the subject set is small (sampled keys) and BROADCASTS into
+    every semi/anti probe, so no fact table shuffles; the lineitem leg
+    first reduces orders x subjects to an order-key set (still
+    subject-scaled) and probes with that. Each fact is scanned once per
+    direction — and erase + retain = total is asserted by construction in
+    the oracle comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    subjects = (
+        ev.select("user_id")
+        .distinct()
+        .filter(
+            F.ascii(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1))
+            .cast("long") % 16
+            == 0
+        )
+    )
+
+    def split_counts(df, key_col, probe, probe_col, label):
+        # membership flag via broadcast left join -> ONE agg per table
+        # (semi + anti would scan twice); no driver-side counting
+        marked = df.join(
+            F.broadcast(
+                probe.select(F.col(probe_col).alias(key_col)).distinct()
+                .withColumn("_subject", F.lit(1))
+            ),
+            key_col,
+            "left",
+        )
+        return marked.agg(
+            F.lit(label).alias("table_name"),
+            F.count_if(F.col("_subject").isNotNull()).alias("rows_to_erase"),
+            F.count_if(F.col("_subject").isNull()).alias("rows_retained"),
+        )
+
+    out = split_counts(ev, "user_id", subjects, "user_id", "events")
+    out = out.unionByName(
+        split_counts(customer, "c_custkey", subjects, "user_id", "customer")
+    )
+    out = out.unionByName(
+        split_counts(orders, "o_custkey", subjects, "user_id", "orders")
+    )
+    erased_orders = orders.join(
+        F.broadcast(subjects.select(F.col("user_id").alias("o_custkey"))),
+        "o_custkey",
+        "left_semi",
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    out = out.unionByName(
+        split_counts(lineitem, "l_orderkey", erased_orders, "l_orderkey", "lineitem")
+    )
+    return out

@@ -139,6 +139,7 @@ PRIORITY: tuple[str, ...] = (
     "ann_binary_sign_recall_at_k",
     "price_drift_psi",
     "abtest_cuped_adjusted",
+    "gdpr_erasure_cascade",
 )
 
 
