@@ -141,14 +141,21 @@ def jaccard_pairs(
     shingle_col: str = "shingle",
     min_intersection: int = 1,
     candidates: DataFrame | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets: (id_l, id_r, jaccard).
 
     Sparse-join formulation (same shape as the cosine join): only pairs
     sharing a shingle materialize. With ``candidates`` (e.g. LSH output)
     the join is pre-filtered — the LSH-then-verify pattern.
+    ``assume_distinct`` skips the defensive (id, shingle) distinct — set
+    it ONLY when rows are distinct by construction (the dedup plans
+    explode ``array_distinct`` token sets); duplicate rows would inflate
+    n_common and set sizes.
     """
-    sets = shingles.select(F.col(id_col), F.col(shingle_col)).distinct()
+    sets = shingles.select(F.col(id_col), F.col(shingle_col))
+    if not assume_distinct:
+        sets = sets.distinct()
     sizes = sets.groupBy(id_col).agg(F.count("*").alias("set_size"))
 
     if candidates is not None:

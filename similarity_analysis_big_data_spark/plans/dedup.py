@@ -189,7 +189,7 @@ def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
     sigs = minhash_signatures(shingles, "doc_id")
     cand = lsh_candidate_pairs(sigs, "doc_id")
-    pairs = jaccard_pairs(shingles, "doc_id", candidates=cand)
+    pairs = jaccard_pairs(shingles, "doc_id", candidates=cand, assume_distinct=True)
     return pairs.filter(F.col("jaccard") >= 0.5).select(
         "id_l", "id_r", F.round("jaccard", 6).alias("jaccard")
     )
@@ -371,7 +371,7 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
     sigs = minhash_signatures(shingles, "doc_id")
     cand = lsh_candidate_pairs(sigs, "doc_id")
-    dup_pairs = jaccard_pairs(shingles, "doc_id", candidates=cand).filter(
+    dup_pairs = jaccard_pairs(shingles, "doc_id", candidates=cand, assume_distinct=True).filter(
         F.col("jaccard") >= 0.5
     )
     # the CC iteration state is label-sized, not corpus-sized: 8
@@ -908,7 +908,7 @@ def near_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
     cand = lsh_candidate_pairs(minhash_signatures(shingles, "doc_id"), "doc_id")
-    dup = jaccard_pairs(shingles, "doc_id", candidates=cand).filter(
+    dup = jaccard_pairs(shingles, "doc_id", candidates=cand, assume_distinct=True).filter(
         F.col("jaccard") >= 0.5
     )
     comp = connected_components(dup.select("id_l", "id_r"), "id_l", "id_r")
@@ -1014,7 +1014,7 @@ def near_dup_best_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFra
     shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
     sigs = minhash_signatures(shingles, "doc_id")
     cand = lsh_candidate_pairs(sigs, "doc_id")
-    dup_pairs = jaccard_pairs(shingles, "doc_id", candidates=cand).filter(
+    dup_pairs = jaccard_pairs(shingles, "doc_id", candidates=cand, assume_distinct=True).filter(
         F.col("jaccard") >= 0.5
     )
     comp = connected_components(
@@ -1113,7 +1113,7 @@ def incremental_near_dup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = base.join(delta, ["band", "key"]).select("id_l", "id_r").distinct()
     dup_delta = (
-        jaccard_pairs(shingles, "doc_id", candidates=cand)
+        jaccard_pairs(shingles, "doc_id", candidates=cand, assume_distinct=True)
         .filter(F.col("jaccard") >= 0.5)
         .select(F.col("id_r").alias("doc_id"))
         .distinct()
