@@ -551,7 +551,11 @@ class JsonlDirStreamWriter(DataSourceStreamWriter):
     a post-failure REPLAY and its files are discarded instead of
     double-appended (generation is deterministic upstream, so the
     already-committed rows are the same rows). Same single-writer-per-
-    path and local-FS contracts as the batch writer."""
+    path and local-FS contracts as the batch writer. The manifest's
+    epoch list grows one entry per trigger — long-running deployments
+    would compact it to a high-watermark (only the max batchId matters
+    for replay detection, since Spark replays at most the LAST epoch);
+    kept explicit here for auditability at test scale."""
 
     def __init__(self, options: dict, schema_json: str, field_names: list[str]) -> None:
         self.path = options["path"]
