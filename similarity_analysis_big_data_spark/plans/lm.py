@@ -936,9 +936,13 @@ def trigram_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    c3 = counts.select(F.col("g").alias("tg"), F.col("c").alias("c3"))
-    c2 = counts.select(F.col("g").alias("bg"), F.col("c").alias("c2"))
-    c1 = counts.select(F.col("g").alias("w"), F.col("c").alias("c1"))
+    # slice the combined relation by arity (space count) so each join
+    # broadcasts only its own third, not the whole table — key spaces are
+    # disjoint either way, this is purely a broadcast-size trim
+    arity = F.size(F.split("g", " "))
+    c3 = counts.filter(arity == 3).select(F.col("g").alias("tg"), F.col("c").alias("c3"))
+    c2 = counts.filter(arity == 2).select(F.col("g").alias("bg"), F.col("c").alias("c2"))
+    c1 = counts.filter(arity == 1).select(F.col("g").alias("w"), F.col("c").alias("c1"))
     # unigram total: a vocab-sized scan of the persisted counts, not a
     # corpus pass (unigram keys are exactly the space-free grams);
     # `or 0` guards the empty-corpus case (sum over zero rows is NULL)
