@@ -808,3 +808,21 @@ def test_trigram_backoff_count_joins_broadcast(spark, sf_oracle):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 5
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_gdpr_cascade_probes_broadcast(spark, sf_oracle):
+    """gdpr_erasure_cascade: every fact table is probed by a BROADCAST
+    subject set (membership-flag left joins) — no fact shuffle anywhere."""
+    df = QUERIES["gdpr_erasure_cascade"].fn(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_binary_sign_topk_uses_window_group_limit(spark, sf_oracle):
+    """ann_binary_sign_recall_at_k: both per-query top-k rank filters
+    compile to WindowGroupLimit, so each task prunes to k rows per query
+    before the query_id shuffle — the pair relation never moves whole."""
+    df = QUERIES["ann_binary_sign_recall_at_k"].fn(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2
