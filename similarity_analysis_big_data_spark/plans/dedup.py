@@ -1123,3 +1123,52 @@ def incremental_near_dup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dup_delta, "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+@register(
+    "dup_rate_by_source",
+    oracle=_SQL_TOKS
+    + """
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(d.text)) AS BIGINT) AS n_exact_distinct,
+           round(1.0 - count(DISTINCT md5(d.text)) / CAST(count(*) AS DOUBLE), 6)
+               AS exact_dup_rate,
+           CAST(count(DISTINCT md5(array_to_string(list_sort(list_distinct(t.tokens)), ' ')))
+                AS BIGINT) AS n_canonical_distinct,
+           round(1.0 - count(DISTINCT md5(array_to_string(list_sort(list_distinct(t.tokens)), ' ')))
+                       / CAST(count(*) AS DOUBLE), 6) AS canonical_dup_rate
+    FROM documents d JOIN toks t USING (doc_id)
+    GROUP BY d.source
+    """,
+    doc="[ext] per-source duplication telemetry: exact (content digest) "
+    "and canonical (order/multiplicity-insensitive token set) duplicate "
+    "rates per source — the curation dashboard that decides which crawl "
+    "feeds need dedup attention first; canonical > exact gap exposes "
+    "templated/shuffled boilerplate that byte hashing misses.",
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one hash aggregate keyed on source with two distinct-count
+    aggregates over derived digests — the digests are map-side column
+    math (md5, sorted distinct token fingerprint), so the shuffle moves
+    (source, digest) pairs; swap approx_count_distinct at 100 TB."""
+    from ..operators.dedup import canonical_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("digest"),
+        canonical_fingerprint(tokenize(F.lower("text"))).alias("canon"),
+    )
+    return toks.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("digest").alias("n_exact_distinct"),
+        F.round(
+            1.0 - F.countDistinct("digest") / F.count("*").cast("double"), 6
+        ).alias("exact_dup_rate"),
+        F.countDistinct("canon").alias("n_canonical_distinct"),
+        F.round(
+            1.0 - F.countDistinct("canon") / F.count("*").cast("double"), 6
+        ).alias("canonical_dup_rate"),
+    )

@@ -140,6 +140,7 @@ PRIORITY: tuple[str, ...] = (
     "price_drift_psi",
     "abtest_cuped_adjusted",
     "gdpr_erasure_cascade",
+    "dup_rate_by_source",
 )
 
 
