@@ -267,3 +267,33 @@ def test_xml_roundtrip_with_explicit_schema(spark, sf_smoke, tmp_path_factory):
     got = {(r["n_nationkey"], r["n_name"], r["n_regionkey"]) for r in back.collect()}
     assert got == orig
     assert all(r["_corrupt_record"] is None for r in back.collect())
+
+
+def test_compact_parquet_dir_preserves_rows_and_reduces_files(spark, tmp_path):
+    """Compaction rewrites a many-tiny-files directory to ~target-sized
+    files with IDENTICAL rows; an already-compact directory is a no-op."""
+    import os
+
+    from similarity_analysis_big_data_spark.sources.maintenance import (
+        compact_parquet_dir,
+        plan_compaction,
+    )
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).selectExpr(
+        "id", "md5(cast(id as string)) as digest", "id * 1.5 as score"
+    )
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    before = plan_compaction(path)
+    assert before["n_files"] == 64
+
+    want = {tuple(r) for r in df.collect()}
+    result = compact_parquet_dir(spark, path, target_bytes=1 << 30)
+    assert result["compacted"] is True
+    assert result["n_files"] == 1  # everything fits one target-sized file
+    got = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert got == want
+
+    # idempotent: second run is a no-op
+    again = compact_parquet_dir(spark, path, target_bytes=1 << 30)
+    assert again["compacted"] is False
