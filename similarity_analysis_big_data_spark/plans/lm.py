@@ -1036,3 +1036,124 @@ def feature_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("weight"))
     )
+
+
+BPE_ROUNDS = 4
+
+
+def _bpe_rounds_sql(k: int) -> str:
+    """Unrolled K-round BPE train+apply CTE chain (same unrolling
+    precedent as plans/graph.py's PageRank oracle). Symbol sequences are
+    space-joined and space-padded; each round's merge applies as TWO
+    plain string replaces — the first pass consumes the trailing
+    boundary of each match and so skips immediately-adjacent
+    occurrences, the second pass (whose input has the merged token's
+    trailing space restored) catches exactly those."""
+    parts = [r"""
+    , wf AS (SELECT term, count(*) AS w FROM terms GROUP BY term),
+    s0 AS (
+        SELECT term, w,
+               ' ' || array_to_string(list_transform(range(1, len(term) + 1),
+                                      i -> substr(term, i, 1)), ' ') || ' ' AS s
+        FROM wf
+    )"""]
+    for r in range(1, k + 1):
+        prev = f"s{r - 1}"
+        parts.append(f"""
+    , p{r} AS (
+        SELECT unnest(list_transform(range(1, len(string_split(trim(s), ' '))),
+                      i -> string_split(trim(s), ' ')[i] || ' ' ||
+                           string_split(trim(s), ' ')[i + 1])) AS pair,
+               w
+        FROM {prev} WHERE len(string_split(trim(s), ' ')) >= 2
+    ),
+    c{r} AS (SELECT pair, CAST(sum(w) AS BIGINT) AS cnt FROM p{r} GROUP BY pair),
+    m{r} AS (SELECT pair, replace(pair, ' ', '') AS fused, cnt
+             FROM c{r} ORDER BY cnt DESC, pair LIMIT 1),
+    s{r} AS (
+        SELECT t.term, t.w,
+               replace(replace(t.s, ' ' || m.pair || ' ', ' ' || m.fused || ' '),
+                       ' ' || m.pair || ' ', ' ' || m.fused || ' ') AS s
+        FROM {prev} t CROSS JOIN m{r} m
+    )""")
+    selects = [
+        f"""SELECT {r} AS round, m.pair AS merge_pair, m.cnt AS pair_count,
+               (SELECT CAST(sum(w * len(string_split(trim(s), ' '))) AS BIGINT)
+                FROM s{r}) AS n_symbols_after
+        FROM m{r} m"""
+        for r in range(1, k + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "bpe_train_apply_unrolled",
+    oracle=_SQL_TERMS + _bpe_rounds_sql(BPE_ROUNDS),
+    doc=f"[ext] {BPE_ROUNDS}-round BPE train AND apply (Sennrich et al. "
+    "2016): each round picks the frequency-weighted argmax symbol pair "
+    "and REWRITES every word's symbol sequence (boundary-safe double "
+    "replace), so later rounds merge multi-char symbols — the actual "
+    "tokenizer-training loop, not just round one's statistic. Output per "
+    "round: the chosen merge, its count, and the corpus symbol count "
+    "after applying it (the compression curve a vocab-size decision "
+    "reads).",
+)
+def bpe_train_apply_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the corpus collapses to the word-frequency relation before
+    any character work, so every round is vocabulary-priced: one pair agg
+    (symbol-pair keyed), a 1-row argmax collected to the driver (bounded
+    artifact, same posture as the k-means centroids / PQ codebooks), and
+    a map-only double replace re-entering as literals. K rounds = K
+    vocab-sized passes — never a corpus rescan."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(tokenize(F.lower("text"))).alias("term"))
+    wf = terms.groupBy("term").agg(F.count("*").alias("w"))
+    seq = wf.select(
+        "term",
+        "w",
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.expr("transform(sequence(1, length(term)), i -> substring(term, i, 1))"),
+                " ",
+            ),
+            F.lit(" "),
+        ).alias("s"),
+    )
+    out_rows = []
+    for r in range(1, BPE_ROUNDS + 1):
+        syms = F.split(F.trim(F.col("s")), " ")
+        pairs = seq.filter(F.size(syms) >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(trim(s), ' ')) - 1), "
+                    "i -> concat(split(trim(s), ' ')[i - 1], ' ', split(trim(s), ' ')[i]))"
+                )
+            ).alias("pair"),
+            "w",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("w").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:  # empty corpus: no merges, empty output
+            break
+        pair, cnt = top[0]["pair"], top[0]["cnt"]
+        fused = pair.replace(" ", "")
+        patt, repl = F.lit(f" {pair} "), F.lit(f" {fused} ")
+        seq = seq.select(
+            "term",
+            "w",
+            F.replace(F.replace("s", patt, repl), patt, repl).alias("s"),
+        )
+        n_after = seq.agg(
+            F.sum(F.col("w") * F.size(F.split(F.trim(F.col("s")), " ")))
+        ).collect()[0][0]
+        out_rows.append((r, pair, int(cnt), int(n_after)))
+    return spark.createDataFrame(
+        out_rows,
+        "round int, merge_pair string, pair_count long, n_symbols_after long",
+    )

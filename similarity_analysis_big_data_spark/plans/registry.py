@@ -141,6 +141,7 @@ PRIORITY: tuple[str, ...] = (
     "abtest_cuped_adjusted",
     "gdpr_erasure_cascade",
     "dup_rate_by_source",
+    "bpe_train_apply_unrolled",
 )
 
 
