@@ -1172,3 +1172,82 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.countDistinct("canon") / F.count("*").cast("double"), 6
         ).alias("canonical_dup_rate"),
     )
+
+
+@register(
+    "lsh_recall_by_jaccard_band",
+    oracle=(_SQL_SAMPLE_SHINGLES
+    + _SQL_MH
+    + _SQL_BANDS
+    + """
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+        FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+    truth AS (
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+               CAST(count(*) AS DOUBLE)
+               / (sl.set_size + sr.set_size - count(*)) AS j
+        FROM shingles a
+        JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN sizes sl ON sl.doc_id = a.doc_id
+        JOIN sizes sr ON sr.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id, sl.set_size, sr.set_size
+    )
+    SELECT CAST(floor(t.j * 10) AS BIGINT) AS jaccard_decile,
+           CAST(count(*) AS BIGINT) AS n_true_pairs,
+           CAST(count(c.id_l) AS BIGINT) AS n_candidates,
+           round(CAST(count(c.id_l) AS DOUBLE) / count(*), 6) AS recall
+    FROM truth t
+    LEFT JOIN cand c ON c.id_l = t.id_l AND c.id_r = t.id_r
+    WHERE t.j >= 0.1
+    GROUP BY 1
+    """),
+    doc="[ext] LSH banding self-evaluation: candidate recall per exact-"
+    "Jaccard decile — the S-curve that justifies the (bands x rows) "
+    "choice: high-similarity pairs must be near-1.0 recall, low-"
+    "similarity deciles near 0 (candidates there are wasted verify "
+    "work). Truth is the exact shingle self-join on the bounded 1-in-5 "
+    "sample (the evaluation is sample-priced BY design; production "
+    "evaluates banding on a sample exactly like this).",
+)
+def lsh_recall_by_jaccard_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the all-pairs truth join is the one deliberately
+    sample-bounded stage (that is what makes the evaluation affordable —
+    the production pipeline never runs it on the full corpus); candidates
+    come from the same banding operator the pipeline uses, and the
+    recall aggregate is decile-keyed."""
+    from ..operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SAMPLE_MOD == 0
+    )
+    shingles = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize(F.lower("text")))).alias("shingle"),
+    )
+    truth = jaccard_pairs(shingles, "doc_id", assume_distinct=True).filter(
+        F.col("jaccard") >= 0.1
+    )
+    cand = lsh_candidate_pairs(
+        minhash_signatures(shingles, "doc_id"), "doc_id"
+    ).withColumn("_hit", F.lit(1))
+    return (
+        truth.join(cand, ["id_l", "id_r"], "left")
+        .groupBy(
+            F.floor(F.col("jaccard") * 10).cast("long").alias("jaccard_decile")
+        )
+        .agg(
+            F.count("*").alias("n_true_pairs"),
+            F.count("_hit").alias("n_candidates"),
+            F.round(F.count("_hit").cast("double") / F.count("*"), 6).alias(
+                "recall"
+            ),
+        )
+    )

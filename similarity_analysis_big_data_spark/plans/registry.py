@@ -142,6 +142,7 @@ PRIORITY: tuple[str, ...] = (
     "gdpr_erasure_cascade",
     "dup_rate_by_source",
     "bpe_train_apply_unrolled",
+    "lsh_recall_by_jaccard_band",
 )
 
 
