@@ -1199,12 +1199,14 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(t.j * 10) AS BIGINT) AS jaccard_decile,
            CAST(count(*) AS BIGINT) AS n_true_pairs,
            CAST(count(c.id_l) AS BIGINT) AS n_candidates,
-           round(CAST(count(c.id_l) AS DOUBLE) / count(*), 6) AS recall
+           round(CAST(count(c.id_l) AS DOUBLE) / count(*), 6) AS recall,
+           round(1.0 - pow(1.0 - pow((floor(t.j * 10) + 0.5) / 10.0, {LSH_ROWS}),
+                           {LSH_BANDS}), 6) AS expected_recall
     FROM truth t
     LEFT JOIN cand c ON c.id_l = t.id_l AND c.id_r = t.id_r
     WHERE t.j >= 0.1
-    GROUP BY 1
-    """),
+    GROUP BY 1, 5
+    """.format(LSH_ROWS=LSH_ROWS, LSH_BANDS=LSH_BANDS)),
     doc="[ext] LSH banding self-evaluation: candidate recall per exact-"
     "Jaccard decile — the S-curve that justifies the (bands x rows) "
     "choice: high-similarity pairs must be near-1.0 recall, low-"
@@ -1248,6 +1250,22 @@ def lsh_recall_by_jaccard_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_hit").alias("n_candidates"),
             F.round(F.count("_hit").cast("double") / F.count("*"), 6).alias(
                 "recall"
+            ),
+        )
+        # analytic banding curve at the decile midpoint: 1-(1-j^r)^b —
+        # measured-vs-theory in one relation (literal math, both engines)
+        .withColumn(
+            "expected_recall",
+            F.round(
+                1.0
+                - F.pow(
+                    1.0
+                    - F.pow(
+                        (F.col("jaccard_decile") + 0.5) / 10.0, float(LSH_ROWS)
+                    ),
+                    float(LSH_BANDS),
+                ),
+                6,
             ),
         )
     )
