@@ -1012,7 +1012,11 @@ def event_lateness_watermark_profile(spark: SparkSession, sf_dir: str) -> DataFr
     unpartitioned `max() OVER (ORDER BY event_id)` would funnel the
     stream through one task. Lateness aggregation is one event_type agg
     with exact interpolated percentiles (swap approx_percentile at
-    corpus scale)."""
+    corpus scale). Toy-scale note: the bucketed form costs ~4 Spark jobs
+    (~1.3 s of fixed overhead at sf0.1) where a single-threaded engine
+    windows 43k rows in milliseconds — the crossover is exactly where
+    one partition stops fitting one machine, the regime this plan
+    exists for."""
     from ..functions.timeutil import epoch_micros
     from ..operators.rank import bucketed_running_max
 
