@@ -107,8 +107,13 @@ def _label_sum(labels: DataFrame):
         col = col.cast("decimal(38,0)")
         return labels.agg(F.sum(col)).first()[0]
     # non-numeric labels: sum-of-hashes change witness (collision odds
-    # negligible at 2^-64 per round)
-    return labels.agg(F.sum(F.xxhash64("component"))).first()[0]
+    # negligible at 2^-64 per round). The hash must be widened to
+    # decimal(38,0) before summing — uniform 64-bit values overflow a
+    # bigint sum almost surely past a handful of rows, and Spark 4's ANSI
+    # default turns that into ARITHMETIC_OVERFLOW instead of a wrap.
+    return labels.agg(
+        F.sum(F.xxhash64("component").cast("decimal(38,0)"))
+    ).first()[0]
 
 
 def _connected_components_loop(

@@ -72,6 +72,23 @@ def bucket_of(key: str, bounds: list[float]) -> Column:
     )
 
 
+def _join_offsets(d: DataFrame, off: DataFrame, keys: list[str]) -> DataFrame:
+    """Broadcast-join the bounded per-(group, bucket) offset relation back
+    onto the data on null-safe equality. ``groupBy`` keeps a NULL
+    partition value as a real group, so a plain equi-join here would
+    silently drop every row of that group (the window-form equivalent
+    keeps them) — ``eqNullSafe`` matches the NULL group back up while
+    still planning as a BroadcastHashJoin (ADVICE r5)."""
+    o = off
+    for k in keys:
+        o = o.withColumnRenamed(k, f"_o_{k}")
+    cond = d["_bkt"] == o["_o__bkt"]
+    for k in keys:
+        if k != "_bkt":
+            cond = cond & d[k].eqNullSafe(o[f"_o_{k}"])
+    return d.join(F.broadcast(o), cond).drop(*[f"_o_{k}" for k in keys])
+
+
 def bucketed_row_number(
     df: DataFrame,
     key: str,
@@ -99,11 +116,9 @@ def bucketed_row_number(
     cnt = d.groupBy(*pcols, "_bkt").agg(F.count("*").alias("_n"))
     off = _exclusive_offsets(cnt, pcols, "_n", "_off", "_tot")
     w_rn = W.partitionBy(*pcols, "_bkt").orderBy(key, *tiebreaks)
-    out = (
-        d.withColumn("_rb", F.row_number().over(w_rn))
-        .join(F.broadcast(off), [*pcols, "_bkt"])
-        .withColumn(rank_name, F.col("_off") + F.col("_rb"))
-    )
+    out = _join_offsets(
+        d.withColumn("_rb", F.row_number().over(w_rn)), off, [*pcols, "_bkt"]
+    ).withColumn(rank_name, F.col("_off") + F.col("_rb"))
     if n_name is not None:
         out = out.withColumn(n_name, F.col("_tot"))
     return out.drop("_bkt", "_rb", "_off", "_tot")
@@ -202,8 +217,9 @@ def bucketed_running_sum(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
-        d.withColumn("_rs", F.sum(value).over(w_run))
-        .join(F.broadcast(off), [*pcols, "_bkt"])
+        _join_offsets(
+            d.withColumn("_rs", F.sum(value).over(w_run)), off, [*pcols, "_bkt"]
+        )
         .withColumn(sum_name, F.col("_voff") + F.col("_rs"))
         .drop("_bkt", "_rs", "_voff")
     )
@@ -261,8 +277,9 @@ def bucketed_running_max(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
-        d.withColumn("_rm", F.max(value).over(w_run))
-        .join(F.broadcast(off), [*pcols, "_bkt"])
+        _join_offsets(
+            d.withColumn("_rm", F.max(value).over(w_run)), off, [*pcols, "_bkt"]
+        )
         .withColumn(max_name, F.greatest(F.col("_rm"), F.col("_pmax")))
         .drop("_bkt", "_rm", "_pmax")
     )

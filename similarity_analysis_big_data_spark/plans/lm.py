@@ -895,7 +895,7 @@ def trigram_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     train half explodes concat(trigrams, bigrams, tokens) once and one
     hash aggregate keys on the gram string (arity is recoverable from the
     space count, and tokens cannot contain spaces, so the key spaces are
-    disjoint). The relation is vocabulary-scaled and persisted, so its
+    disjoint). The relation is vocabulary-scaled and materialized once, so its
     five join consumers and the N-total probe read the aggregate instead
     of re-tokenizing the corpus (2 corpus tokenize passes total: train
     counts + held trigrams — down from 4 in the per-order formulation;
@@ -905,9 +905,15 @@ def trigram_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — broadcast when the tables fit, else hash-partitioned on the
     key; no window, no self-join. A trigram seen in train implies its
     prefix bigram and its w2 unigram are in train, so the cascade never
-    divides by null."""
-    from pyspark import StorageLevel
+    divides by null.
 
+    The combined count relation is ``localCheckpoint(eager=True)``-
+    materialized, not ``persist``-ed: a persist here outlives the query
+    (CacheManager holds it until an explicit unpersist, and a
+    registry-wide sweep runs hundreds of queries per session — ADVICE
+    r5), while a local checkpoint's blocks are reclaimed by the context
+    cleaner once the DataFrame is garbage collected. Same compute-once
+    behavior for the five join consumers and the N-total probe."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", tokenize(F.lower("text")).alias("tokens")
@@ -934,7 +940,7 @@ def trigram_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("g")
         .agg(F.count("*").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     # slice the combined relation by arity (space count) so each join
     # broadcasts only its own third, not the whole table — key spaces are

@@ -52,62 +52,15 @@ def register(
 
 
 # Names surfaced FIRST in query_map()/oracle_sql_map(). The round driver
-# samples ~50 registry entries per round in presentation order; rounds r1-r4
-# covered 160 of the 225 registered queries. Round-5 ordering is exactly the
-# 65 queries that have never had a driver CORRECTNESS row (r1∪r2∪r3∪r4),
-# so the r5 sample window is all first-time names; r6 finishes the tail.
-# (Pure presentation order — every query is in the map either way.)
+# samples ~50 registry entries per round in presentation order; rounds r1-r5
+# covered 210 of the 242 registered queries. Round-6 ordering leads with the
+# exact 32 queries that have never had a driver CORRECTNESS row
+# (registry minus r1∪r2∪r3∪r4∪r5), so one more 50-slot window gives every
+# registered query a green driver row; new r6 queries queue directly behind
+# them inside the same window. (Pure presentation order — every query is in
+# the map either way.)
 PRIORITY: tuple[str, ...] = (
-    "corr_stats_by_returnflag",
-    "ntile_customer_quartiles",
-    "sliding_window_event_counts",
-    "hourly_rollup_gapfilled",
-    "window_percent_rank",
-    "latest_event_per_user",
-    "docs_above_p95_length",
-    "null_semantics_audit",
-    "disjunctive_filter_revenue",
-    "interval_join_click_purchase",
-    "profile_orders_columns",
-    "dq_violations_lineitem",
-    "q6_forecast_revenue",
-    "q14_promo_revenue_share",
-    "q18_large_volume_orders",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q10_returned_item_revenue",
-    "q13_customer_order_distribution",
-    "q22_dormant_rich_customers",
-    "train_val_test_split",
-    "stratified_sample_by_lang",
-    "weighted_reservoir_sample",
-    "doc_term_frequency",
-    "doc_frequency_by_term",
-    "category_similarity_matrix",
-    "category_matrix_pivot",
-    "mismatch_samples",
-    "doc_top_keywords",
-    "robust_stats_by_source",
-    "mad_outlier_docs",
-    "regr_price_vs_qty",
-    "char_entropy_scores",
-    "weighted_median_price",
-    "abtest_conversion_zstat",
-    "brand_type_independence",
-    "user_event_burstiness",
-    "subq_scalar_above_avg",
-    "subq_correlated_small_qty",
-    "subq_exists_returned",
-    "subq_not_exists_unreturned_parts",
-    "subq_in_big_spenders",
-    "subq_not_in_quiet_suppliers",
-    "lateral_top2_lineitems",
-    "lang_id_scores",
-    "text_quality_scores",
-    "token_count_stats",
-    "sessionization_gap",
-    "doc_length_histogram",
-    "training_corpus_filtered",
+    # -- the 32 never-sampled (r1..r5 union checked 2026-08-14) --
     "zscore_doclen_by_lang",
     "top_trigrams_per_lang",
     "gopher_repetition_metrics",
@@ -123,10 +76,7 @@ PRIORITY: tuple[str, ...] = (
     "q16_supplier_variety",
     "q20_dominant_part_suppliers",
     "geometric_mean_by_type",
-    # new/plan-changed this round — sampled after the never-sampled tail:
     "pca_fixed_basis_projection",
-    "approx_distinct_parts",
-    "hll_sketch_merge_users",
     "trigram_backoff_scores",
     "near_dup_best_quality_survivors",
     "q19_disjunctive_join_revenue",
@@ -143,6 +93,8 @@ PRIORITY: tuple[str, ...] = (
     "dup_rate_by_source",
     "bpe_train_apply_unrolled",
     "lsh_recall_by_jaccard_band",
+    # -- new or plan-changed in r6: sampled inside the same 50-slot window --
+    "stream_twin_sliding_counts",
 )
 
 

@@ -53,7 +53,26 @@ def compact_parquet_dir(
     if before["n_files"] <= max(before["target_partitions"], min_files_to_compact - 1):
         return {**before, "compacted": False}
 
+    # A hive-partitioned layout (part=.../ dirs) would be silently
+    # flattened by a plain rewrite — partition dirs become inferred data
+    # columns with re-inferred types. Refuse rather than corrupt; the
+    # partition-preserving rewrite is per-partition compaction, which the
+    # caller should drive over the leaf directories (ADVICE r5).
+    part_dirs = [
+        d
+        for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    ]
+    if part_dirs:
+        raise ValueError(
+            f"compact_parquet_dir: {path} is hive-partitioned "
+            f"({part_dirs[0]}, ...); compact each leaf partition "
+            f"directory instead — a flat rewrite would demote partition "
+            f"dirs to inferred data columns"
+        )
+
     df = spark.read.parquet(path)
+    n_before = df.count()
     tmp = f"{path.rstrip('/')}._compact-{uuid.uuid4().hex[:8]}"
     # repartition (round-robin) gives evenly sized output files; the
     # rewrite preserves rows exactly — schema and values untouched
@@ -61,9 +80,24 @@ def compact_parquet_dir(
         "overwrite"
     ).parquet(tmp)
 
+    # verify the rewrite BEFORE the destructive swap: a row-count mismatch
+    # (partial write, concurrent append) aborts with the original intact
+    n_after = spark.read.parquet(tmp).count()
+    if n_after != n_before:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compact_parquet_dir: rewrite row count {n_after} != "
+            f"original {n_before}; original left untouched at {path}"
+        )
+
     trash = f"{path.rstrip('/')}._pre-compact-{uuid.uuid4().hex[:8]}"
     os.rename(path, trash)
     os.rename(tmp, path)
     shutil.rmtree(trash)
     after = plan_compaction(path, target_bytes)
-    return {**after, "compacted": True, "files_before": before["n_files"]}
+    return {
+        **after,
+        "compacted": True,
+        "files_before": before["n_files"],
+        "rows": n_after,
+    }

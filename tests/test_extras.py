@@ -139,6 +139,31 @@ def test_connected_components_distributed_path_matches_driver_finish(spark, monk
     assert distributed == expected
 
 
+def test_connected_components_string_ids_propagation_path(spark, monkeypatch):
+    """String-id graphs through the PROPAGATION loop (driver finish
+    disabled): the label-sum fixpoint witness must use the overflow-safe
+    decimal hash sum — summing raw xxhash64 values as bigint overflows
+    under Spark 4's ANSI default almost surely past a handful of labels
+    (ADVICE r5: components.py _label_sum)."""
+    import similarity_analysis_big_data_spark.operators.components as C
+
+    # 50+ distinct string labels in play: a 50-node chain plus a clique
+    chain = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(50)]
+    clique = [
+        (f"z{i}", f"z{j}") for i in range(5) for j in range(i + 1, 5)
+    ]
+    pairs = spark.createDataFrame(chain + clique, ["id_l", "id_r"])
+    monkeypatch.setattr(C, "_DRIVER_FINISH_MAX_EDGES", 0)
+    got = {
+        r["id"]: r["component"]
+        for r in C.connected_components(pairs).collect()
+    }
+    expected = {f"n{i:03d}": "n000" for i in range(51)} | {
+        f"z{i}": "z0" for i in range(5)
+    }
+    assert got == expected
+
+
 def test_streaming_dedup_drops_duplicates(spark, sf_smoke):
     from similarity_analysis_big_data_spark.streaming.dedup import dedup_event_stream
 

@@ -741,6 +741,49 @@ def test_bucketed_running_max_equals_window_running_max(spark):
     assert exp_g.exceptAll(got_g).count() == 0
 
 
+def test_bucketed_rank_family_keeps_null_partition_groups(spark):
+    """A NULL partition value is a real group under groupBy, and the
+    window form keeps its rows — the offset join back must be null-safe
+    or those rows silently vanish (ADVICE r5: rank.py offset joins)."""
+    from pyspark.sql import Window as W
+
+    from similarity_analysis_big_data_spark.operators.rank import (
+        bucketed_row_number,
+        bucketed_running_max,
+        bucketed_running_sum,
+    )
+
+    df = _rank_fixture(spark).withColumn(
+        "grp", F.when(F.col("id") % 4 == 0, F.lit(None)).otherwise(F.col("grp"))
+    )
+    n = df.count()
+    cols = ["id", "grp", "k", "v", "out"]
+    w = (
+        W.partitionBy("grp")
+        .orderBy("k", "id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    for op, exp_col in [
+        (bucketed_running_max, F.max("v").over(w)),
+        (bucketed_running_sum, F.sum("v").over(w)),
+    ]:
+        got = op(df, "k", ["id"], "v", "out", partition_cols=("grp",)).select(cols)
+        assert got.count() == n  # NULL-group rows survive
+        exp = df.withColumn("out", exp_col).select(cols)
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0
+
+    got_rn = bucketed_row_number(
+        df, "k", ["id"], rank_name="out", partition_cols=("grp",)
+    ).select(cols)
+    assert got_rn.count() == n
+    exp_rn = df.withColumn(
+        "out", F.row_number().over(W.partitionBy("grp").orderBy("k", "id"))
+    ).select(cols)
+    assert got_rn.exceptAll(exp_rn).count() == 0
+    assert exp_rn.exceptAll(got_rn).count() == 0
+
+
 def test_bucketed_running_max_with_null_values(spark):
     """All-NULL buckets must not clobber or crash the carried prefix max
     (max aggregates NULL for them); matches the window form row-for-row."""

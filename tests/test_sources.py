@@ -297,3 +297,25 @@ def test_compact_parquet_dir_preserves_rows_and_reduces_files(spark, tmp_path):
     # idempotent: second run is a no-op
     again = compact_parquet_dir(spark, path, target_bytes=1 << 30)
     assert again["compacted"] is False
+
+
+def test_compact_parquet_dir_rejects_hive_partitioned_layout(spark, tmp_path):
+    """A flat rewrite of a hive-partitioned directory would demote the
+    partition dirs to inferred data columns — compaction must refuse it
+    outright, leaving the layout untouched (ADVICE r5)."""
+    import pytest
+
+    from similarity_analysis_big_data_spark.sources.maintenance import (
+        compact_parquet_dir,
+    )
+
+    path = str(tmp_path / "parts")
+    df = spark.range(1_000).selectExpr("id", "id % 3 as part")
+    df.repartition(16).write.partitionBy("part").parquet(path)
+
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet_dir(spark, path, target_bytes=1 << 30)
+    # layout untouched: partition dirs still present, rows still read back
+    back = spark.read.parquet(path)
+    assert back.count() == 1_000
+    assert "part" in back.columns
