@@ -4,21 +4,24 @@
 relation through one partition. The exact distributed equivalent used
 across the repo (stable_doc_reindex, quantile normalize, gini, RFM):
 
-1. B approximate percentile boundaries of the order key (GK sketch —
-   mergeable, cardinality-bounded state) — one aggregate, broadcast as
-   an array literal;
+1. B boundaries of the order key — approximate percentiles (GK sketch —
+   mergeable, cardinality-bounded state) or a min/max equal-width grid;
+   one aggregate, broadcast as an array literal;
 2. bucket id per row = #boundaries strictly below the key — a map-only
    JVM-side column, monotone in the key, so bucket order IS key order
    and equal keys share a bucket;
-3. per-bucket counts -> exclusive cumulative offsets, computed on the
-   DRIVER from the collected ``|partitions| * B``-row count relation
-   (bounded by construction — same posture as operators/reindex.py; the
-   machinery is only ever needed when partition_cols are few or absent,
-   since high-cardinality partitions already parallelize a plain
-   partitioned window) and broadcast back;
+3. per-bucket counts -> exclusive cumulative offsets, computed as a
+   WINDOW over the ``|partitions| * B``-row subtotal relation (bounded
+   by construction — the machinery is only ever needed when
+   partition_cols are few or absent, since high-cardinality partitions
+   already parallelize a plain partitioned window), broadcast-joined
+   back — the offsets materialize inside the SAME Spark action as the
+   query that consumes them, where a driver collect would pay one extra
+   action round-trip per operator call (r5 verdict item 3);
 4. ``row_number`` windows PARTITIONED by bucket, plus the broadcast
-   offset -> the exact global rank. No unpartitioned window exists at
-   any size.
+   offset -> the exact global rank. No unpartitioned window over
+   unbounded data exists at any size (the only unpartitioned-per-group
+   window reads the B-row subtotal relation).
 
 Equal-key runs share a bucket (bounded skew: a single massively-repeated
 key value degrades one bucket — the documented trade for exactness of
@@ -58,6 +61,30 @@ def percentile_bounds(
     if row["bs"] is None:
         return []
     return sorted(set(float(b) for b in row["bs"]))
+
+
+def min_max_grid_bounds(df: DataFrame, key: str, n_buckets: int) -> list[float]:
+    """Equal-width grid boundaries from one min/max aggregate — the
+    zero-sketch alternative to ``percentile_bounds`` for roughly-uniform
+    numeric keys (dense ids, event timestamps). Boundaries only set the
+    bucket LOAD BALANCE, never an output value (the rank-equality
+    property test pins that for any boundary vector), so a skewed key
+    degrades parallelism, not correctness. The aggregate scans one
+    pruned column and is eligible for parquet footer min/max pushdown —
+    materially cheaper than the GK sketch pass when the caller knows the
+    key is uniform. Returns [] on empty/constant input — callers degrade
+    to a single bucket."""
+    if n_buckets <= 1:
+        return []
+    row = df.agg(
+        F.min(F.col(key).cast("double")).alias("lo"),
+        F.max(F.col(key).cast("double")).alias("hi"),
+    ).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    if lo is None or hi is None or lo == hi:
+        return []
+    step = (hi - lo) / n_buckets
+    return sorted({lo + i * step for i in range(1, n_buckets)})
 
 
 def bucket_of(key: str, bounds: list[float]) -> Column:
@@ -124,48 +151,34 @@ def bucketed_row_number(
     return out.drop("_bkt", "_rb", "_off", "_tot")
 
 
-def _exclusive_offsets(cnt, pcols, val: str, off_name: str, tot_name: str):
-    """Collect the bounded per-(group, bucket) subtotal relation and
-    rebuild it with exclusive-cumulative offsets and group totals —
-    driver-side arithmetic over <= |groups| * B rows, re-entering the
-    plan as a broadcast literal relation (zero window nodes)."""
-    rows = cnt.collect()
-    rows.sort(key=lambda r: (tuple(str(r[c]) for c in pcols), r["_bkt"]))
-    # Seed the accumulator with a zero of the VALUE column's Python type:
-    # createDataFrame rejects int 0 for a DoubleType/DecimalType offset
-    # column (running sums over float/decimal values).
-    val_dt = dict((f.name, f.dataType) for f in cnt.schema.fields)[val]
-    kind = val_dt.simpleString()
-    if kind in ("double", "float"):
-        zero: object = 0.0
-    elif kind.startswith("decimal"):
-        from decimal import Decimal
-
-        zero = Decimal(0)
-    else:
-        zero = 0
-    acc: dict = {}
-    totals: dict = {}
-    out_rows = []
-    for r in rows:
-        g = tuple(r[c] for c in pcols)
-        out_rows.append((*g, r["_bkt"], acc.get(g, zero)))
-        acc[g] = acc.get(g, zero) + r[val]
-        totals[g] = acc[g]
-    out_rows = [
-        (*row[:-1], row[-1], totals[row[: len(pcols)]]) for row in out_rows
-    ]
-    schema = cnt.select(*pcols, "_bkt").schema
-    fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
-    )
+def _exclusive_offsets(cnt, pcols, val: str, off_name: str, tot_name: str | None):
+    """Exclusive cumulative offsets (and group totals when ``tot_name``)
+    over the bounded per-(group, bucket) subtotal relation, computed AS A
+    PLAN: windows over <= |groups| * B rows. The per-group window is
+    unpartitioned within its group, which is legal exactly because its
+    input is the bucket-subtotal relation — bounded by construction, the
+    same relation the old driver-collect form shipped to Python. Staying
+    JVM-side folds the offset computation into the SAME Spark action as
+    the consuming query (it executes as the broadcast build side), where
+    the collect paid one extra action round-trip per operator call.
+    Offsets are cast back to the subtotal's exact type so consumer output
+    dtypes are unchanged (sum() widens decimals)."""
     val_type = dict(
         (f.name, f.dataType.simpleString()) for f in cnt.schema.fields
     )[val]
-    spark = cnt.sparkSession
-    return spark.createDataFrame(
-        out_rows, f"{fields}, {off_name} {val_type}, {tot_name} {val_type}"
+    w_off = (
+        W.partitionBy(*pcols).orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
     )
+    out = cnt.withColumn(
+        off_name,
+        F.coalesce(F.sum(val).over(w_off), F.lit(0)).cast(val_type),
+    )
+    if tot_name is not None:
+        w_tot = W.partitionBy(*pcols).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+        out = out.withColumn(tot_name, F.sum(val).over(w_tot).cast(val_type))
+    return out.drop(val)
 
 
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
@@ -210,7 +223,7 @@ def bucketed_running_sum(
 
     pcols = list(partition_cols)
     bsum = d.groupBy(*pcols, "_bkt").agg(F.sum(value).alias("_bs"))
-    off = _exclusive_offsets(bsum, pcols, "_bs", "_voff", "_vtot").drop("_vtot")
+    off = _exclusive_offsets(bsum, pcols, "_bs", "_voff", None)
     w_run = (
         W.partitionBy(*pcols, "_bkt")
         .orderBy(key, *tiebreaks)
@@ -234,42 +247,42 @@ def bucketed_running_max(
     partition_cols: tuple[str, ...] = (),
     n_buckets: int = 32,
     bounds: list[float] | None = None,
+    bucket_col: Column | None = None,
 ) -> DataFrame:
     """Adds ``max_name`` = the running maximum of ``value`` under
     ``ORDER BY key, *tiebreaks`` within each ``partition_cols`` group
     (global when empty) — the max twin of ``bucketed_running_sum``:
-    per-bucket maxima become exclusive PREFIX maxima on the driver
-    (bounded relation), broadcast back, and greatest()-merged with the
-    within-bucket running max. Exact for any orderable value type; max
-    is order-insensitive so there is no float-ulp caveat here.
+    per-bucket maxima become exclusive PREFIX maxima (a window over the
+    bounded B-row subtotal relation), broadcast back, and
+    greatest()-merged with the within-bucket running max. Exact for any
+    orderable value type; max is order-insensitive so there is no
+    float-ulp caveat here.
+
+    ``bucket_col`` (when given) replaces the boundary machinery outright:
+    any integer Column that is monotone non-decreasing in ``key`` within
+    each group (equal keys -> equal bucket) is a valid bucket id — e.g.
+    an equal-width grid computed from a broadcast-joined 1-row min/max
+    aggregate, which makes the WHOLE operator a single Spark action
+    (zero driver probes). Correctness never depends on where buckets
+    land (rank-equality property test); only load balance does.
     """
-    if bounds is None:
-        bounds = percentile_bounds(df, key, n_buckets)
-    d = df.withColumn("_bkt", bucket_of(key, bounds))
+    if bucket_col is not None:
+        d = df.withColumn("_bkt", bucket_col)
+    else:
+        if bounds is None:
+            bounds = percentile_bounds(df, key, n_buckets)
+        d = df.withColumn("_bkt", bucket_of(key, bounds))
 
     pcols = list(partition_cols)
     bmax = d.groupBy(*pcols, "_bkt").agg(F.max(value).alias("_bm"))
-    rows = bmax.collect()
-    rows.sort(key=lambda r: (tuple(str(r[c]) for c in pcols), r["_bkt"]))
-    acc: dict = {}
-    out_rows = []
-    for r in rows:
-        g = tuple(r[c] for c in pcols)
-        out_rows.append((*g, r["_bkt"], acc.get(g)))  # None = no prior bucket
-        prev = acc.get(g)
-        # a bucket whose values are all NULL aggregates to a NULL max —
-        # it must not clobber (or crash against) the carried prefix
-        if r["_bm"] is not None and (prev is None or r["_bm"] > prev):
-            acc[g] = r["_bm"]
-    schema = bmax.select(*pcols, "_bkt").schema
-    fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+    # exclusive PREFIX maxima as a window over the bounded B-row subtotal
+    # relation (max() skips NULLs, so an all-NULL bucket neither clobbers
+    # nor breaks the carried prefix; the first bucket's prefix is NULL) —
+    # JVM-side for the same one-action reason as _exclusive_offsets
+    w_pm = (
+        W.partitionBy(*pcols).orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
     )
-    val_type = dict(
-        (f.name, f.dataType.simpleString()) for f in bmax.schema.fields
-    )["_bm"]
-    spark = bmax.sparkSession
-    off = spark.createDataFrame(out_rows, f"{fields}, _pmax {val_type}")
+    off = bmax.withColumn("_pmax", F.max("_bm").over(w_pm)).drop("_bm")
 
     w_run = (
         W.partitionBy(*pcols, "_bkt")
