@@ -166,6 +166,10 @@ def _exclusive_offsets(cnt, pcols, val: str, off_name: str, tot_name: str | None
     val_type = dict(
         (f.name, f.dataType.simpleString()) for f in cnt.schema.fields
     )[val]
+    # the no-group form is an unpartitioned window — legal ONLY because
+    # its input is the <= B-row subtotal relation (WindowExec's
+    # single-partition warning is a false positive here; a constant
+    # partition spec would not silence it, constant folding strips it)
     w_off = (
         W.partitionBy(*pcols).orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
     )
