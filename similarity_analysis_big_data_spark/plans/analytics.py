@@ -1050,6 +1050,62 @@ def event_lateness_watermark_profile(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "stream_twin_sliding_counts",
+    oracle="""
+        WITH slots AS (
+            SELECT event_type, value,
+                   time_bucket(INTERVAL '15 minutes', ts)
+                       - k.k * INTERVAL '15 minutes' AS win_start
+            FROM events, (SELECT unnest(range(0, 4)) AS k) k
+        )
+        SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM slots GROUP BY 1, 2
+    """,
+    headline=True,
+    doc="[ext] STRUCTURED STREAMING twin, driver-visible (r5 verdict item "
+    "6): the same hopping-window aggregation as the batch "
+    "sliding_window_event_counts, but executed through the actual stream "
+    "path — file-source stream over the events parquet, watermarked "
+    "F.window('1 hour','15 minutes') state, availableNow trigger, memory "
+    "sink — and hash-checked against the identical DuckDB oracle. Green "
+    "means the streaming plan, not just its batch restatement, computes "
+    "the right answer.",
+)
+def stream_twin_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the streaming plan is the production shape — watermark
+    bounds the hopping-window state (4x overlap factor), the file source
+    is swapped for kafka with the same downstream plan, and complete
+    output mode here exists only because the harness drains a FINITE
+    fixture (a real deployment runs append mode and emits each window
+    once its watermark passes). The memory-sink table is per-invocation
+    (uuid-named) so repeated driver/test runs never collide."""
+    import uuid
+
+    from ..streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        windowed_event_counts,
+    )
+
+    stream = windowed_event_counts(
+        read_event_stream(spark, sf_dir),
+        window="1 hour",
+        watermark="2 hours",
+        slide="15 minutes",
+    )
+    out = run_to_memory(stream, f"stream_twin_{uuid.uuid4().hex[:8]}")
+    return out.select(
+        F.col("hour_bucket").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
     "target_encode_priority_loo",
     oracle="""
         WITH g AS (

@@ -416,7 +416,10 @@ def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
-    headline=True,
+    # headline r2-r5; displaced r6 by stream_twin_sliding_counts (the bench
+    # set displaces, not accumulates — r5 verdict item 7); still
+    # oracle-checked every round via test_oracle_parity + the driver sample
+    headline=False,
     doc="[ext] §2.3: as-of join — last click at-or-before each purchase, per user.",
 )
 def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
