@@ -42,17 +42,22 @@ def doc_frequency(tf: DataFrame, term_col: str = "term") -> DataFrame:
     return tf.groupBy(term_col).agg(F.count("*").alias("df"))
 
 
-def tfidf_weight(tf_col: Column | str, df_col: Column | str, n_docs: int) -> Column:
-    """M3: the sklearn-smooth weight as a single codegen'd expression."""
+def tfidf_weight(
+    tf_col: Column | str, df_col: Column | str, n_docs: int | Column
+) -> Column:
+    """M3: the sklearn-smooth weight as a single codegen'd expression.
+    ``n_docs`` may be a Column (the corpus count cross-joined in as a
+    1-row broadcast relation) instead of a driver-collected literal."""
     tf_c = F.col(tf_col) if isinstance(tf_col, str) else tf_col
     df_c = F.col(df_col) if isinstance(df_col, str) else df_col
-    return (1 + F.log10(tf_c)) * (F.log10((F.lit(n_docs) + 1) / (df_c + 1)) + 1)
+    n_c = n_docs if isinstance(n_docs, Column) else F.lit(n_docs)
+    return (1 + F.log10(tf_c)) * (F.log10((n_c + 1) / (df_c + 1)) + 1)
 
 
 def tfidf(
     tf: DataFrame,
     df_: DataFrame,
-    n_docs: int,
+    n_docs: int | DataFrame,
     doc_cols: list[str],
     term_col: str = "term",
     left: bool = False,
@@ -63,6 +68,12 @@ def tfidf(
     corpus keep df=0 (coalesce replaces the reference's Python null-fill at
     lab2.py:209) so they still get idf = log10(n+1)+1.
 
+    ``n_docs`` is either the driver-collected corpus size (callers that
+    already have it from a probe action) or a 1-row DataFrame holding the
+    corpus-count aggregate in column ``_n_docs`` — the latter cross-joins
+    in as a broadcast scalar, so the IDF needs NO separate count action
+    (the whole query stays a single Spark action).
+
     Scale: df_ is |vocabulary| rows — small relative to the corpus — so
     Catalyst/AQE broadcasts it; no shuffle of the big tf side.
     """
@@ -70,8 +81,13 @@ def tfidf(
     joined = tf.join(F.broadcast(df_), term_col, how)
     if left:
         joined = joined.withColumn("df", F.coalesce("df", F.lit(0)))
+    if isinstance(n_docs, DataFrame):
+        joined = joined.crossJoin(F.broadcast(n_docs))
+        n: int | Column = F.col("_n_docs")
+    else:
+        n = n_docs
     return joined.select(
-        *doc_cols, term_col, tfidf_weight("tf", "df", n_docs).alias("weight")
+        *doc_cols, term_col, tfidf_weight("tf", "df", n).alias("weight")
     )
 
 

@@ -157,16 +157,20 @@ def doc_frequency_by_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_tfidf_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: TF agg shuffles on (doc,term); DF relation is vocabulary-sized
     and broadcast into the join; normalization is one window shuffle on
-    doc_id. No Python anywhere — the whole weight formula is codegen'd."""
+    doc_id. No Python anywhere — the whole weight formula is codegen'd.
+    SINGLE action (r6): the corpus size enters the IDF as a cross-joined
+    1-row broadcast aggregate instead of a separate count() — the exact
+    shape of the oracle's CROSS JOIN corpus CTE. The DF broadcast build
+    side materializes the tf persist before the probe side reads it."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    corpus_n = docs.agg(F.count("*").alias("_n_docs"))
     # tf feeds both the DF aggregate and the weighting join; persist runs
     # the corpus tokenize+agg once instead of twice (same rationale as
     # title_best_abstract, which see).
     tf = term_frequency(_doc_terms(spark, sf_dir), ["doc_id"]).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    weighted = tfidf(tf, doc_frequency(tf), n_docs, ["doc_id"])
+    weighted = tfidf(tf, doc_frequency(tf), corpus_n, ["doc_id"])
     return l2_normalize(weighted, ["doc_id"]).withColumn(
         "weight", F.round("weight", 6)
     )

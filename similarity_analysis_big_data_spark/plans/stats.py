@@ -781,11 +781,23 @@ def price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = [float(b) for b in es_row] if es_row is not None else []
 
     def frac(df, name):
-        n = df.count()
-        return (
+        # side total = sum over the bucket-count relation (<= PSI_BUCKETS
+        # rows; the unpartitioned full-frame window is bounded by
+        # construction) — no separate count() action per side (r6 probe
+        # sweep); greatest(...,1) keeps the empty side division-safe
+        cnt = (
             df.withColumn("bucket", bucket_of("v", edges).cast("long"))
             .groupBy("bucket")
-            .agg((F.count("*") / F.lit(float(max(n, 1)))).alias(name))
+            .agg(F.count("*").alias("_c"))
+        )
+        tot = F.sum("_c").over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        return cnt.select(
+            "bucket",
+            (F.col("_c") / F.greatest(tot, F.lit(1)).cast("double")).alias(name),
         )
 
     grid = spark.range(PSI_BUCKETS).select(F.col("id").alias("bucket"))

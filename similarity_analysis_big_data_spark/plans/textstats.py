@@ -659,9 +659,15 @@ def user_event_chisq_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     user_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
     user_tot = user_type.groupBy("user_id").agg(F.sum("n").alias("un"))
-    total = ev.count()
-    glob = ev.groupBy("event_type").agg(
-        (F.count("*").cast("double") / F.lit(total)).alias("p")
+    # corpus total = sum over the |types|-row count relation (bounded, so
+    # the unpartitioned full-frame window is legal) — no separate count()
+    # action (r6 probe sweep); the whole query is ONE action
+    gcnt = ev.groupBy("event_type").agg(F.count("*").alias("_gc"))
+    tot = F.sum("_gc").over(
+        W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    glob = gcnt.select(
+        "event_type", (F.col("_gc").cast("double") / tot).alias("p")
     )
     users = ev.select("user_id").distinct()
     cells = (
