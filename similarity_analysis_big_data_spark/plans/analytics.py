@@ -1106,6 +1106,68 @@ def stream_twin_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_twin_session_windows",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN prev_ts IS NULL
+                             OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS new_session
+            FROM ordered
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               count(*) AS n_events
+        FROM sessions GROUP BY user_id, sid
+    """,
+    doc="[ext] STRUCTURED STREAMING stateful twin #2: gap-based "
+    "sessionization through the actual stream path — file-source stream, "
+    "watermarked F.session_window('30 minutes') merge state, availableNow "
+    "trigger, memory sink — hash-checked against the batch lag+cumsum "
+    "island oracle. Boundary semantics: session_window windows are "
+    "end-exclusive ([ts, ts+gap)), so a gap of EXACTLY 30 minutes starts "
+    "a new session — the oracle flags new_session on gap >= 30 min "
+    "(sessionization_gap's batch oracle uses > by convention; both are "
+    "self-consistent, this one matches the streaming operator).",
+)
+def stream_twin_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: session_window state merges per user and is watermark-bounded
+    — a session older than (watermark + gap) can never merge again and is
+    evicted; complete output mode exists only because the harness drains a
+    FINITE fixture (production runs append/update and emits each session
+    once the watermark passes its close). The memory-sink table is
+    per-invocation (uuid-named) so repeated driver/test runs never
+    collide."""
+    import uuid
+
+    from ..streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        session_window_counts,
+    )
+
+    stream = session_window_counts(
+        read_event_stream(spark, sf_dir), gap="30 minutes", watermark="2 hours"
+    )
+    out = run_to_memory(stream, f"stream_twin_sess_{uuid.uuid4().hex[:8]}")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+
+
+@register(
     "target_encode_priority_loo",
     oracle="""
         WITH g AS (

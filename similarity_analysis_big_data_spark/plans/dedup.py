@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.hashing import (
@@ -235,6 +236,112 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = jaccard_pairs(grams, "doc_id")
     return pairs.select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "exact_substring_spans",
+    oracle=_SQL_TOKS
+    + """,
+    grams AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS pos,
+               array_to_string(list_slice(tokens, p + 1, p + 8), ' ') AS gram
+        FROM toks, unnest(range(0, greatest(len(tokens) - 7, 0))) AS r(p)
+    ),
+    capped AS (
+        SELECT doc_id, pos, gram FROM (
+            SELECT doc_id, pos, gram, count(*) OVER (PARTITION BY gram) AS occ
+            FROM grams
+        ) WHERE occ <= 64
+    ),
+    pairs AS (
+        SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+               l.pos AS pos_l, l.pos - r.pos AS diag
+        FROM capped l JOIN capped r ON l.gram = r.gram AND l.doc_id < r.doc_id
+    ),
+    islands AS (
+        SELECT id_l, id_r, diag, pos_l,
+               pos_l - row_number() OVER (PARTITION BY id_l, id_r, diag
+                                          ORDER BY pos_l) AS isl
+    FROM pairs
+    )
+    SELECT id_l, id_r,
+           min(pos_l) AS start_l,
+           min(pos_l) - diag AS start_r,
+           count(*) + 7 AS span_tokens
+    FROM islands
+    GROUP BY id_l, id_r, diag, isl
+    HAVING count(*) + 7 >= 12
+    """,
+    doc="[ext] EXACT-SUBSTRING dedup (the Lee et al. 2022 'deduplicating "
+    "training data' substring mode, re-expressed hash-gram-first): every "
+    "duplicated run of >= 12 consecutive tokens shared by a doc pair is "
+    "reported as a maximal span (start offset in both docs + token "
+    "length). 8-token grams join across docs; runs of consecutive "
+    "matching grams on the same diagonal (pos_l - pos_r) merge via "
+    "gaps-and-islands; a matched run of g grams is a span of g+7 tokens.",
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: ONE wide shuffle on the gram key does all pair generation —
+    grams group into buckets (the suffix-array alternative: hash buckets
+    need no global order), each bucket emits its ordered doc pairs
+    JVM-side via higher-order transform/filter, and the 64-occurrence
+    bucket cap is the same hot-bucket lever as LSH max_bucket_size
+    (operators/dedup.py:108): a boilerplate gram in d docs would emit
+    d^2/2 pairs on one reducer; capped buckets drop stopword-like grams
+    whose spans the per-diagonal merge would fragment anyway. The island
+    merge windows over (id_l, id_r, diag) — partition count = matched
+    pair volume, never corpus size; the final agg rides the same
+    partitioning."""
+    K, CAP, MIN_SPAN = 8, 64, 12
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokenize(F.lower("text")).alias("tokens")
+    ).filter(F.size("tokens") >= K)
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(tokens) - {K}), "
+                f"i -> array_join(slice(tokens, i + 1, {K}), ' '))"
+            )
+        ).alias("pos", "gram"),
+    )
+    buckets = (
+        grams.groupBy("gram")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("doc_id"), F.col("pos").cast("long").alias("pos"))
+            ).alias("occs")
+        )
+        .filter(F.size("occs") <= CAP)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(occs, a -> "
+                "transform(filter(occs, b -> b.doc_id > a.doc_id), "
+                "b -> struct(a.doc_id AS id_l, b.doc_id AS id_r, "
+                "a.pos AS pos_l, a.pos - b.pos AS diag))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    w = W.partitionBy("id_l", "id_r", "diag").orderBy("pos_l")
+    islands = pairs.withColumn("isl", F.col("pos_l") - F.row_number().over(w))
+    return (
+        islands.groupBy("id_l", "id_r", "diag", "isl")
+        .agg(
+            F.min("pos_l").alias("start_l"),
+            (F.count("*") + (K - 1)).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= MIN_SPAN)
+        .select(
+            "id_l",
+            "id_r",
+            "start_l",
+            (F.col("start_l") - F.col("diag")).alias("start_r"),
+            "span_tokens",
+        )
+    )
 
 
 _SQL_SIMHASH = (

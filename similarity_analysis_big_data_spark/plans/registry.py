@@ -95,6 +95,8 @@ PRIORITY: tuple[str, ...] = (
     "lsh_recall_by_jaccard_band",
     # -- new or plan-changed in r6: sampled inside the same 50-slot window --
     "stream_twin_sliding_counts",
+    "stream_twin_session_windows",
+    "exact_substring_spans",
 )
 
 
