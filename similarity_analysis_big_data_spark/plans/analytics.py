@@ -1168,6 +1168,44 @@ def stream_twin_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_twin_interval_join",
+    oracle="""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS micros_to_purchase
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    doc="[ext] STRUCTURED STREAMING twin #3: the STREAM-STREAM time-banded "
+    "interval join run through the real stream path (two watermarked "
+    "file-source streams, 30-minute event-time band bounding both sides' "
+    "join state, availableNow trigger, memory sink) and hash-checked "
+    "against the batch interval_join_click_purchase oracle — with the "
+    "window-agg and session-state twins this makes all three streaming "
+    "state families (sliding agg, merging sessions, join buffers) "
+    "driver-visible.",
+)
+def stream_twin_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: both sides carry watermarks and the join condition carries
+    the event-time band, so each side's buffered state is evicted once
+    the other side's watermark passes ts + band — the bounded-state form
+    of stream-stream joins (unbanded joins grow state without limit).
+    Inner joins emit eagerly (no watermark wait), so draining a finite
+    fixture yields the complete batch answer; append mode is the
+    production shape, not a harness concession."""
+    import uuid
+
+    from ..streaming.events import interval_join_stream, read_event_stream, run_to_memory
+
+    ev_c = read_event_stream(spark, sf_dir)
+    ev_p = read_event_stream(spark, sf_dir)
+    stream = interval_join_stream(ev_c, ev_p, band_minutes=30, watermark="2 hours")
+    out = run_to_memory(stream, f"stream_twin_ij_{uuid.uuid4().hex[:8]}")
+    return out.select("click_id", "purchase_id", "user_id", "micros_to_purchase")
+
+
+@register(
     "target_encode_priority_loo",
     oracle="""
         WITH g AS (

@@ -96,6 +96,7 @@ PRIORITY: tuple[str, ...] = (
     # -- new or plan-changed in r6: sampled inside the same 50-slot window --
     "stream_twin_sliding_counts",
     "stream_twin_session_windows",
+    "stream_twin_interval_join",
     "exact_substring_spans",
 )
 
