@@ -238,9 +238,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
 
 
-@register(
-    "exact_substring_spans",
-    oracle=_SQL_TOKS
+# Shared CTE chain for the exact-substring family: tokens -> positioned
+# 8-grams -> occurrence-capped gram buckets -> diagonal pairs -> island
+# merge -> maximal spans of >= 12 tokens.
+_SQL_SUBSTRING_SPANS = (
+    _SQL_TOKS
     + """,
     grams AS (
         SELECT doc_id, CAST(p AS BIGINT) AS pos,
@@ -263,15 +265,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                pos_l - row_number() OVER (PARTITION BY id_l, id_r, diag
                                           ORDER BY pos_l) AS isl
     FROM pairs
+    ),
+    spans AS (
+        SELECT id_l, id_r,
+               min(pos_l) AS start_l,
+               min(pos_l) - diag AS start_r,
+               count(*) + 7 AS span_tokens
+        FROM islands
+        GROUP BY id_l, id_r, diag, isl
+        HAVING count(*) + 7 >= 12
     )
-    SELECT id_l, id_r,
-           min(pos_l) AS start_l,
-           min(pos_l) - diag AS start_r,
-           count(*) + 7 AS span_tokens
-    FROM islands
-    GROUP BY id_l, id_r, diag, isl
-    HAVING count(*) + 7 >= 12
-    """,
+    """
+)
+
+
+@register(
+    "exact_substring_spans",
+    oracle=_SQL_SUBSTRING_SPANS + "SELECT * FROM spans",
     doc="[ext] EXACT-SUBSTRING dedup (the Lee et al. 2022 'deduplicating "
     "training data' substring mode, re-expressed hash-gram-first): every "
     "duplicated run of >= 12 consecutive tokens shared by a doc pair is "
@@ -292,6 +302,10 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge windows over (id_l, id_r, diag) — partition count = matched
     pair volume, never corpus size; the final agg rides the same
     partitioning."""
+    return _substring_spans(spark, sf_dir)
+
+
+def _substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     K, CAP, MIN_SPAN = 8, 64, 12
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -341,6 +355,99 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("start_l") - F.col("diag")).alias("start_r"),
             "span_tokens",
         )
+    )
+
+
+@register(
+    "substring_dup_coverage",
+    oracle=_SQL_SUBSTRING_SPANS
+    + """,
+    iv AS (
+        SELECT id_l AS doc_id, start_l AS s, start_l + span_tokens AS e FROM spans
+        UNION ALL
+        SELECT id_r, start_r, start_r + span_tokens FROM spans
+    ),
+    flagged AS (
+        SELECT doc_id, s, e,
+               CASE WHEN max(e) OVER w_prev IS NULL
+                         OR s > max(e) OVER w_prev THEN 1 ELSE 0 END AS new_isl
+        FROM iv
+        WINDOW w_prev AS (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    grp AS (
+        SELECT doc_id, s, e,
+               sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e
+                                  ROWS UNBOUNDED PRECEDING) AS g
+        FROM flagged
+    ),
+    cov AS (
+        SELECT doc_id, CAST(sum(seg) AS BIGINT) AS dup_tokens FROM (
+            SELECT doc_id, g, max(e) - min(s) AS seg FROM grp GROUP BY doc_id, g
+        ) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+           coalesce(c.dup_tokens, 0) AS dup_tokens,
+           round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / len(t.tokens), 6)
+               AS dup_fraction
+    FROM toks t LEFT JOIN cov c USING (doc_id)
+    WHERE len(t.tokens) > 0
+    """,
+    doc="[ext] per-document duplicated-token coverage (the Lee et al. 2022 "
+    "headline statistic): union the >= 12-token exact-substring spans "
+    "each doc participates in (either side), merge overlapping intervals "
+    "gaps-and-islands, and report covered tokens / total tokens. The "
+    "removal policy downstream (drop one copy of each span) keys off "
+    "exactly this relation.",
+)
+def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: span volume (matched pairs), never corpus size, prices every
+    stage past the gram shuffle — the interval union windows over
+    (doc_id) with spans-per-doc cardinality, and the final left join back
+    to per-doc token counts is key-grained. Docs with no duplicated span
+    surface with coverage 0 via the left join, so the output is a full
+    corpus audit, not a hit list."""
+    spans = _substring_spans(spark, sf_dir)
+    iv = spans.select(
+        F.col("id_l").alias("doc_id"),
+        F.col("start_l").alias("s"),
+        (F.col("start_l") + F.col("span_tokens")).alias("e"),
+    ).unionByName(
+        spans.select(
+            F.col("id_r").alias("doc_id"),
+            F.col("start_r").alias("s"),
+            (F.col("start_r") + F.col("span_tokens")).alias("e"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy("s", "e")
+    prev_end = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_isl",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+    )
+    grp = flagged.withColumn(
+        "g", F.sum("new_isl").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    cov = (
+        grp.groupBy("doc_id", "g")
+        .agg((F.max("e") - F.min("s")).alias("seg"))
+        .groupBy("doc_id")
+        .agg(F.sum("seg").alias("dup_tokens"))
+    )
+    lens = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokenize(F.lower("text")).alias("tokens"))
+        .select("doc_id", F.size("tokens").cast("long").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    return lens.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0).cast("long")) / F.col("n_tokens"), 6
+        ).alias("dup_fraction"),
     )
 
 

@@ -98,6 +98,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_twin_session_windows",
     "stream_twin_interval_join",
     "exact_substring_spans",
+    "substring_dup_coverage",
 )
 
 
