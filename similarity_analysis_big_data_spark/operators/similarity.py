@@ -170,6 +170,7 @@ def dense_best_match(
     query_id: str,
     match_id: str,
     round_to: int = 9,
+    t_rows: list | None = None,
 ) -> DataFrame:
     """Exact arg-max cosine via blocked dense matmul — the small-vocabulary
     physical strategy for ``sparse_cosine_join`` + ``best_match``.
@@ -201,7 +202,10 @@ def dense_best_match(
     import numpy as np
     import pandas as pd
 
-    t_rows = title_vec.collect()  # bounded by the caller's strategy check
+    if t_rows is None:
+        # bounded by the caller's strategy check; callers that already
+        # collected the matrix inside their probe action pass t_rows
+        t_rows = title_vec.collect()
     terms = sorted({r["term"] for r in t_rows})
     t_idx = {t: i for i, t in enumerate(terms)}
     q_ids = sorted({r[query_id] for r in t_rows})

@@ -216,9 +216,10 @@ def title_best_abstract(
       tiebreak contract, so the result — and the oracle — is the same.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # ONE scan serves both driver scalars (corpus size for the IDF
-    # formula, title count for the auto-strategy probe) instead of two
-    # separate count() jobs
+    # corpus size enters the IDF as a 1-row broadcast aggregate (no count
+    # action); the same scan also yields the title count the auto-strategy
+    # decision needs
+    corpus_n = docs.agg(F.count("*").alias("_n_docs"))
     sizes_agg = docs.agg(
         F.count("*").alias("n"),
         F.count_if(F.col("doc_id") % TITLE_SAMPLE_MOD == 0).alias("nt"),
@@ -234,39 +235,63 @@ def title_best_abstract(
     # instead of being thrown away
     df_ = doc_frequency(abstract_tf).persist(StorageLevel.MEMORY_AND_DISK)
 
-    if strategy == "auto":
-        # ONE driver action yields all three scalars: the vocab count
-        # (vocabulary-sized agg over the persisted TF — this is also what
-        # materializes both persists), cross-joined with the 1-row corpus
-        # sizes aggregate (r5 verdict item 2: the sizes collect was a
-        # separate action)
-        row = (
-            df_.agg(F.count("*").alias("vocab"))
-            .crossJoin(sizes_agg)
-            .collect()[0]
-        )
-        dense_ok = (
-            row["vocab"] <= DENSE_MAX_VOCAB
-            and row["nt"] * row["vocab"] <= DENSE_MAX_BROADCAST_CELLS
-        )
-        strategy = "dense" if dense_ok else "sparse"
-    else:
-        row = sizes_agg.collect()[0]
-    n_docs, n_titles = row["n"], row["nt"]
-
     abstract_vec = l2_normalize(
-        tfidf(abstract_tf, df_, n_docs, ["abstract_id"]), ["abstract_id"]
+        tfidf(abstract_tf, df_, corpus_n, ["abstract_id"]), ["abstract_id"]
     )
     title_tf = term_frequency(_title_terms(spark, sf_dir), ["title_id"])
     title_vec = l2_normalize(
-        tfidf(title_tf, df_, n_docs, ["title_id"], left=True), ["title_id"]
+        tfidf(title_tf, df_, corpus_n, ["title_id"], left=True), ["title_id"]
     )
     all_titles = docs.filter(F.col("doc_id") % TITLE_SAMPLE_MOD == 0).select(
         F.col("doc_id").alias("title_id")
     )
 
+    t_rows = None
+    if strategy == "auto":
+        # ONE driver action yields the strategy decision AND (when the
+        # decision is dense) the full title matrix (r6 fold of the former
+        # separate dense_best_match collect): the decision row is the
+        # vocab count (vocabulary-sized agg over the persisted TF — this
+        # is also what materializes both persists) cross-joined with the
+        # 1-row corpus sizes aggregate, and the title-matrix rows are
+        # gated plan-side by cross-joining title_vec against the FILTERED
+        # decision row — a sparse decision makes that branch empty, so
+        # the sparse path never pays for a title collect.
+        dec = (
+            df_.agg(F.count("*").alias("vocab"))
+            .crossJoin(sizes_agg)
+            .withColumn(
+                "dense_ok",
+                (F.col("vocab") <= DENSE_MAX_VOCAB)
+                & (F.col("nt") * F.col("vocab") <= DENSE_MAX_BROADCAST_CELLS),
+            )
+        )
+        tagged_dec = dec.select(
+            F.lit("dec").alias("tag"),
+            F.lit(None).cast("long").alias("title_id"),
+            F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("double").alias("weight"),
+            "dense_ok",
+        )
+        tagged_vec = title_vec.crossJoin(
+            F.broadcast(dec.filter("dense_ok").select(F.lit(1).alias("_g")))
+        ).select(
+            F.lit("vec").alias("tag"),
+            "title_id",
+            "term",
+            "weight",
+            F.lit(None).cast("boolean").alias("dense_ok"),
+        )
+        rows = tagged_dec.unionByName(tagged_vec).collect()
+        dec_row = next(r for r in rows if r["tag"] == "dec")
+        strategy = "dense" if dec_row["dense_ok"] else "sparse"
+        if strategy == "dense":
+            t_rows = [r for r in rows if r["tag"] == "vec"]
+
     if strategy == "dense":
-        top = dense_best_match(title_vec, abstract_vec, "title_id", "abstract_id")
+        top = dense_best_match(
+            title_vec, abstract_vec, "title_id", "abstract_id", t_rows=t_rows
+        )
         # dense mode's precondition (n_titles * vocab <= broadcast cells)
         # bounds the match relation, so the null-fill join broadcasts
         top = all_titles.join(F.broadcast(top), "title_id", "left").select(
