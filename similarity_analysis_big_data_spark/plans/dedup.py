@@ -197,6 +197,90 @@ def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cross_source_dup_matrix",
+    oracle=_SQL_SAMPLE_SHINGLES
+    + _SQL_MH
+    + _SQL_BANDS
+    + """
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+        FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS n_common
+        FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    verified AS (
+        SELECT i.id_l, i.id_r,
+               CAST(i.n_common AS DOUBLE) / (sl.set_size + sr.set_size - i.n_common)
+                   AS jaccard
+        FROM inter i
+        JOIN cand c ON c.id_l = i.id_l AND c.id_r = i.id_r
+        JOIN sizes sl ON sl.doc_id = i.id_l
+        JOIN sizes sr ON sr.doc_id = i.id_r
+        WHERE CAST(i.n_common AS DOUBLE) / (sl.set_size + sr.set_size - i.n_common) >= 0.5
+    ),
+    srcpairs AS (
+        SELECT least(dl.source, dr.source) AS source_a,
+               greatest(dl.source, dr.source) AS source_b,
+               v.jaccard
+        FROM verified v
+        JOIN documents dl ON dl.doc_id = v.id_l
+        JOIN documents dr ON dr.doc_id = v.id_r
+    )
+    SELECT source_a, source_b, count(*) AS n_pairs,
+           round(avg(jaccard), 6) AS avg_jaccard
+    FROM srcpairs GROUP BY source_a, source_b
+    """,
+    doc="[ext] cross-source duplication matrix: verified near-dup pairs "
+    "(LSH candidates -> exact Jaccard >= 0.5) rolled up by unordered "
+    "source pair — the curation dashboard that shows WHICH crawl sources "
+    "overlap (intra-source boilerplate sits on the diagonal, mirrored "
+    "inter-source scrapes off it) and so which source a dedup pass will "
+    "shrink.",
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: everything through the verify stage is the bounded near-dup
+    pipeline (banded candidates, candidate-driven verify); the source
+    attachment is two key-grained joins of the PAIR relation against the
+    (doc_id, source) projection — pairs drive the cost, never corpus x
+    corpus — and the final matrix is |sources|^2-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = docs.filter(F.col("doc_id") % SAMPLE_MOD == 0)
+    toksets = sampled.select(
+        "doc_id", F.array_distinct(tokenize(F.lower("text"))).alias("toks")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
+    sigs = minhash_signatures(shingles, "doc_id")
+    cand = lsh_candidate_pairs(sigs, "doc_id")
+    verified = jaccard_pairs(
+        shingles, "doc_id", candidates=cand, assume_distinct=True
+    ).filter(F.col("jaccard") >= 0.5)
+    src = docs.select("doc_id", "source")
+    return (
+        verified.join(
+            src.withColumnsRenamed({"doc_id": "id_l", "source": "source_l"}), "id_l"
+        )
+        .join(
+            src.withColumnsRenamed({"doc_id": "id_r", "source": "source_r"}), "id_r"
+        )
+        .select(
+            F.least("source_l", "source_r").alias("source_a"),
+            F.greatest("source_l", "source_r").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+    )
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle=_SQL_TOKS
     + f""",

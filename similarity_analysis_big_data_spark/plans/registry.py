@@ -99,6 +99,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_twin_interval_join",
     "exact_substring_spans",
     "substring_dup_coverage",
+    "cross_source_dup_matrix",
 )
 
 
