@@ -1096,7 +1096,9 @@ def stream_twin_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="2 hours",
         slide="15 minutes",
     )
-    out = run_to_memory(stream, f"stream_twin_{uuid.uuid4().hex[:8]}")
+    # bounded state (|windows| x |event types| rows): 8 state partitions,
+    # not the batch-width 32 — see run_to_memory's sizing note
+    out = run_to_memory(stream, f"stream_twin_{uuid.uuid4().hex[:8]}", shuffle_partitions=8)
     return out.select(
         F.col("hour_bucket").alias("window_start"),
         "event_type",

@@ -92,19 +92,41 @@ def session_window_counts(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame, name: str, shuffle_partitions: int | None = None
+) -> DataFrame:
     """Drive a streaming plan over all currently-available input and return
     the materialized result (test/bench harness; production uses a real
-    sink with checkpointing)."""
-    query = (
-        stream_df.writeStream.outputMode("complete" if _is_agg(stream_df) else "append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+    sink with checkpointing).
+
+    ``shuffle_partitions`` sizes the streaming STATE partitioning (Spark
+    reads ``spark.sql.shuffle.partitions`` once at stream start and pins
+    it in the checkpoint): each state partition is an independent state
+    store whose open/commit cost is paid every micro-batch, so a
+    production deployment sizes the count to state volume — up for a
+    high-cardinality keyspace, down for a bounded one (a windowed rollup
+    holds |windows|x|keys| rows no matter how many partitions hold them).
+    In a real deployment this is per-streaming-job spark-submit conf; the
+    shared-session harness emulates that by setting and restoring the
+    session value around the (synchronous) availableNow drain."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        query = (
+            stream_df.writeStream.outputMode(
+                "complete" if _is_agg(stream_df) else "append"
+            )
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"SELECT * FROM {name}")
 
 
 def _is_agg(df: DataFrame) -> bool:
