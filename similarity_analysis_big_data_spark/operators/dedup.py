@@ -360,3 +360,141 @@ def jaccard_verify_candidates(
             ).alias("jaccard"),
         )
     )
+
+
+def substring_span_pairs(
+    toks: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    cap: int = 64,
+    min_span: int = 12,
+) -> DataFrame:
+    """Exact-substring dedup (the sixth mode — Lee et al. 2022's substring
+    dedup, re-expressed hash-gram-first): every duplicated run of
+    ``>= min_span`` consecutive tokens shared by a doc pair becomes one
+    maximal span row ``(id_l, id_r, start_l, start_r, span_tokens)``.
+
+    ``toks`` is ``(id_col, tokens array<string>)``. Positioned ``k``-grams
+    bucket by gram value in ONE wide shuffle (the suffix-array alternative:
+    hash buckets need no global order); each bucket emits its ordered doc
+    pairs JVM-side via higher-order transform/filter; runs of consecutive
+    matching grams on the same diagonal (pos_l - pos_r) merge
+    gaps-and-islands; a run of g grams is a span of g+k-1 tokens.
+
+    ``cap`` is the hot-bucket skew lever (same contract as
+    ``lsh_candidate_pairs``'s max_bucket_size): a gram occurring n times
+    would emit O(n²) pairs on one reducer; buckets over ``cap``
+    occurrences are dropped entirely, which only suppresses
+    stopword-like grams whose spans the per-diagonal merge would
+    fragment anyway. Every stage past the gram shuffle is priced by
+    matched-pair volume, never corpus size.
+    """
+    sized = toks.filter(F.size("tokens") >= k)
+    grams = sized.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(tokens) - {k}), "
+                f"i -> array_join(slice(tokens, i + 1, {k}), ' '))"
+            )
+        ).alias("pos", "gram"),
+    )
+    buckets = (
+        grams.groupBy("gram")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col), F.col("pos").cast("long").alias("pos"))
+            ).alias("occs")
+        )
+        .filter(F.size("occs") <= cap)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(occs, a -> "
+                f"transform(filter(occs, b -> b.{id_col} > a.{id_col}), "
+                f"b -> struct(a.{id_col} AS id_l, b.{id_col} AS id_r, "
+                f"a.pos AS pos_l, a.pos - b.pos AS diag))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    w = W.partitionBy("id_l", "id_r", "diag").orderBy("pos_l")
+    islands = pairs.withColumn("isl", F.col("pos_l") - F.row_number().over(w))
+    return (
+        islands.groupBy("id_l", "id_r", "diag", "isl")
+        .agg(
+            F.min("pos_l").alias("start_l"),
+            (F.count("*") + (k - 1)).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span)
+        .select(
+            "id_l",
+            "id_r",
+            "start_l",
+            (F.col("start_l") - F.col("diag")).alias("start_r"),
+            "span_tokens",
+        )
+    )
+
+
+def substring_coverage(
+    toks: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    cap: int = 64,
+    min_span: int = 12,
+) -> DataFrame:
+    """Per-document duplicated-token coverage over ``substring_span_pairs``:
+    union the span intervals each doc participates in (either side of
+    every pair), merge overlapping intervals gaps-and-islands, and report
+    ``(doc_id, n_tokens, dup_tokens, dup_fraction)`` for every doc with at
+    least one token — docs with no duplicated span surface with coverage
+    0 via the left join, so the output audits the whole corpus.
+
+    Scale: the interval union windows over doc_id with spans-per-doc
+    cardinality; the final join back to per-doc token counts is
+    key-grained.
+    """
+    spans = substring_span_pairs(toks, id_col, k=k, cap=cap, min_span=min_span)
+    # distinct: identical intervals (a doc sharing the same span with
+    # several partners) carry no information for a union, and tied rows
+    # in the island windows are an engine-order hazard (see the oracle's
+    # iv CTE note in plans/dedup.py)
+    iv = (
+        spans.select(
+            F.col("id_l").alias(id_col),
+            F.col("start_l").alias("s"),
+            (F.col("start_l") + F.col("span_tokens")).alias("e"),
+        )
+        .unionByName(
+            spans.select(
+                F.col("id_r").alias(id_col),
+                F.col("start_r").alias("s"),
+                (F.col("start_r") + F.col("span_tokens")).alias("e"),
+            )
+        )
+        .distinct()
+    )
+    w = W.partitionBy(id_col).orderBy("s", "e")
+    prev_end = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    grp = iv.withColumn(
+        "new_isl",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+    ).withColumn("g", F.sum("new_isl").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    cov = (
+        grp.groupBy(id_col, "g")
+        .agg((F.max("e") - F.min("s")).alias("seg"))
+        .groupBy(id_col)
+        .agg(F.sum("seg").alias("dup_tokens"))
+    )
+    lens = toks.select(
+        id_col, F.size("tokens").cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    return lens.join(cov, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0).cast("long")) / F.col("n_tokens"), 6
+        ).alias("dup_fraction"),
+    )

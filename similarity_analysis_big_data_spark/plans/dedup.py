@@ -35,6 +35,8 @@ from ..operators.dedup import (
     minhash_signatures,
     simhash_banded_pairs,
     simhash_signatures,
+    substring_coverage,
+    substring_span_pairs,
 )
 from ..sources.readers import load_table
 from .registry import register
@@ -386,59 +388,12 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge windows over (id_l, id_r, diag) — partition count = matched
     pair volume, never corpus size; the final agg rides the same
     partitioning."""
-    return _substring_spans(spark, sf_dir)
+    return substring_span_pairs(_doc_tokens(spark, sf_dir))
 
 
-def _substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    K, CAP, MIN_SPAN = 8, 64, 12
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
         "doc_id", tokenize(F.lower("text")).alias("tokens")
-    ).filter(F.size("tokens") >= K)
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(tokens) - {K}), "
-                f"i -> array_join(slice(tokens, i + 1, {K}), ' '))"
-            )
-        ).alias("pos", "gram"),
-    )
-    buckets = (
-        grams.groupBy("gram")
-        .agg(
-            F.collect_list(
-                F.struct(F.col("doc_id"), F.col("pos").cast("long").alias("pos"))
-            ).alias("occs")
-        )
-        .filter(F.size("occs") <= CAP)
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(occs, a -> "
-                "transform(filter(occs, b -> b.doc_id > a.doc_id), "
-                "b -> struct(a.doc_id AS id_l, b.doc_id AS id_r, "
-                "a.pos AS pos_l, a.pos - b.pos AS diag))))"
-            )
-        ).alias("p")
-    ).select("p.*")
-    w = W.partitionBy("id_l", "id_r", "diag").orderBy("pos_l")
-    islands = pairs.withColumn("isl", F.col("pos_l") - F.row_number().over(w))
-    return (
-        islands.groupBy("id_l", "id_r", "diag", "isl")
-        .agg(
-            F.min("pos_l").alias("start_l"),
-            (F.count("*") + (K - 1)).alias("span_tokens"),
-        )
-        .filter(F.col("span_tokens") >= MIN_SPAN)
-        .select(
-            "id_l",
-            "id_r",
-            "start_l",
-            (F.col("start_l") - F.col("diag")).alias("start_r"),
-            "span_tokens",
-        )
     )
 
 
@@ -447,9 +402,16 @@ def _substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_SQL_SUBSTRING_SPANS
     + """,
     iv AS (
-        SELECT id_l AS doc_id, start_l AS s, start_l + span_tokens AS e FROM spans
-        UNION ALL
-        SELECT id_r, start_r, start_r + span_tokens FROM spans
+        -- DISTINCT is load-bearing: duplicate intervals are tie rows in
+        -- the island windows below, and DuckDB evaluates new_isl and the
+        -- running sum as two separate window passes whose tie order can
+        -- disagree (observed: one island counted twice). Identical
+        -- intervals carry no information for a union, so drop them.
+        SELECT DISTINCT doc_id, s, e FROM (
+            SELECT id_l AS doc_id, start_l AS s, start_l + span_tokens AS e FROM spans
+            UNION ALL
+            SELECT id_r, start_r, start_r + span_tokens FROM spans
+        )
     ),
     flagged AS (
         SELECT doc_id, s, e,
@@ -492,47 +454,7 @@ def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     to per-doc token counts is key-grained. Docs with no duplicated span
     surface with coverage 0 via the left join, so the output is a full
     corpus audit, not a hit list."""
-    spans = _substring_spans(spark, sf_dir)
-    iv = spans.select(
-        F.col("id_l").alias("doc_id"),
-        F.col("start_l").alias("s"),
-        (F.col("start_l") + F.col("span_tokens")).alias("e"),
-    ).unionByName(
-        spans.select(
-            F.col("id_r").alias("doc_id"),
-            F.col("start_r").alias("s"),
-            (F.col("start_r") + F.col("span_tokens")).alias("e"),
-        )
-    )
-    w = W.partitionBy("doc_id").orderBy("s", "e")
-    prev_end = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
-    flagged = iv.withColumn(
-        "new_isl",
-        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
-    )
-    grp = flagged.withColumn(
-        "g", F.sum("new_isl").over(w.rowsBetween(W.unboundedPreceding, 0))
-    )
-    cov = (
-        grp.groupBy("doc_id", "g")
-        .agg((F.max("e") - F.min("s")).alias("seg"))
-        .groupBy("doc_id")
-        .agg(F.sum("seg").alias("dup_tokens"))
-    )
-    lens = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", tokenize(F.lower("text")).alias("tokens"))
-        .select("doc_id", F.size("tokens").cast("long").alias("n_tokens"))
-        .filter(F.col("n_tokens") > 0)
-    )
-    return lens.join(cov, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
-        F.round(
-            F.coalesce("dup_tokens", F.lit(0).cast("long")) / F.col("n_tokens"), 6
-        ).alias("dup_fraction"),
-    )
+    return substring_coverage(_doc_tokens(spark, sf_dir))
 
 
 _SQL_SIMHASH = (
