@@ -498,3 +498,45 @@ def substring_coverage(
             F.coalesce("dup_tokens", F.lit(0).cast("long")) / F.col("n_tokens"), 6
         ).alias("dup_fraction"),
     )
+
+
+def substring_dedup_rewrite(
+    toks: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    cap: int = 64,
+    min_span: int = 12,
+) -> DataFrame:
+    """The removal half of exact-substring dedup (Lee et al. 2022): drop
+    every token position covered by a duplicated span on the doc's RIGHT
+    side (id_r — the higher id loses; the id_l copy is the surviving
+    first occurrence) and reassemble the remaining tokens in order.
+    Returns ``(id_col, n_tokens, kept_tokens, text_dedup)`` for every doc
+    with at least one token.
+
+    Scale: the removal intervals are span-volume-sized, group to one
+    array row per AFFECTED doc, and join LEFT onto the corpus — the
+    position filter is a JVM-side higher-order ``filter`` over each
+    token array (no explode of the corpus, no per-position join).
+    """
+    spans = substring_span_pairs(toks, id_col, k=k, cap=cap, min_span=min_span)
+    rem = spans.select(
+        F.col("id_r").alias(id_col),
+        F.col("start_r").alias("s"),
+        (F.col("start_r") + F.col("span_tokens")).alias("e"),
+    ).distinct()
+    ivs = rem.groupBy(id_col).agg(F.collect_list(F.struct("s", "e")).alias("arr"))
+    kept = F.expr(
+        "filter(tokens, (tok, pi) -> arr IS NULL "
+        "OR NOT exists(arr, iv -> pi >= iv.s AND pi < iv.e))"
+    )
+    return (
+        toks.filter(F.size("tokens") > 0)
+        .join(ivs, id_col, "left")
+        .select(
+            id_col,
+            F.size("tokens").cast("long").alias("n_tokens"),
+            F.size(kept).cast("long").alias("kept_tokens"),
+            F.array_join(kept, " ").alias("text_dedup"),
+        )
+    )

@@ -1208,6 +1208,52 @@ def stream_twin_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_twin_stateful_totals",
+    oracle="""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY user_id
+    """,
+    doc="[ext] STRUCTURED STREAMING twin #4: the CUSTOM stateful operator "
+    "(applyInPandasWithState per-user running totals — arbitrary Python "
+    "state, not a built-in aggregation) run through the real stream path "
+    "and hash-checked against the batch GROUP BY oracle. With the "
+    "window-agg, session, and join twins this makes the fourth and last "
+    "streaming state family (user-defined state) driver-visible.",
+)
+def stream_twin_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: state is one fixed-width (count, sum) row per user —
+    O(|users|) regardless of stream length (production adds a timeout to
+    expire idle keys). Update mode emits each user's row once per
+    micro-batch that touched it; the final totals are recovered
+    batch-count-agnostically by max_by on the monotone event count, so
+    the check does not depend on the fixture draining in one batch."""
+    import uuid
+
+    from ..streaming.events import read_event_stream, run_to_memory
+    from ..streaming.stateful import running_user_totals
+
+    stream = running_user_totals(read_event_stream(spark, sf_dir))
+    out = run_to_memory(
+        stream,
+        f"stream_twin_state_{uuid.uuid4().hex[:8]}",
+        shuffle_partitions=8,
+        output_mode="update",
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max_by(F.struct("n_events", "total_value"), "n_events").alias("fin")
+        )
+        .select(
+            "user_id",
+            F.col("fin.n_events").alias("n_events"),
+            F.round("fin.total_value", 4).alias("total_value"),
+        )
+    )
+
+
+@register(
     "target_encode_priority_loo",
     oracle="""
         WITH g AS (

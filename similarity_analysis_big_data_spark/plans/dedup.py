@@ -36,6 +36,7 @@ from ..operators.dedup import (
     simhash_banded_pairs,
     simhash_signatures,
     substring_coverage,
+    substring_dedup_rewrite as substring_dedup_rewrite_op,
     substring_span_pairs,
 )
 from ..sources.readers import load_table
@@ -455,6 +456,50 @@ def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface with coverage 0 via the left join, so the output is a full
     corpus audit, not a hit list."""
     return substring_coverage(_doc_tokens(spark, sf_dir))
+
+
+@register(
+    "substring_dedup_rewrite",
+    oracle=_SQL_SUBSTRING_SPANS
+    + """,
+    rem AS (
+        SELECT DISTINCT id_r AS doc_id, start_r AS s, start_r + span_tokens AS e
+        FROM spans
+    ),
+    ivs AS (
+        SELECT doc_id, list(struct_pack(s := s, e := e)) AS arr
+        FROM rem GROUP BY doc_id
+    )
+    SELECT q.doc_id,
+           CAST(len(q.tokens) AS BIGINT) AS n_tokens,
+           CAST(len(q.kept) AS BIGINT) AS kept_tokens,
+           -- coalesce: DuckDB's array_to_string on a fully-emptied list
+           -- yields NULL where Spark's array_join yields ''
+           coalesce(array_to_string(q.kept, ' '), '') AS text_dedup
+    FROM (
+        SELECT t.doc_id, t.tokens,
+               list_filter(t.tokens, (tok, pi) ->
+                   v.arr IS NULL OR
+                   len(list_filter(v.arr, iv -> pi - 1 >= iv.s AND pi - 1 < iv.e)) = 0
+               ) AS kept
+        FROM toks t LEFT JOIN ivs v USING (doc_id)
+        WHERE len(t.tokens) > 0
+    ) q
+    """,
+    doc="[ext] the REMOVAL half of exact-substring dedup (Lee et al. "
+    "2022): every token position covered by a duplicated >=12-token span "
+    "on the doc's id_r side is dropped (the higher id loses; the id_l "
+    "copy survives as the first occurrence) and the remaining tokens "
+    "reassemble in order — detect (exact_substring_spans), audit "
+    "(substring_dup_coverage), rewrite (this) is the full pipeline.",
+)
+def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: removal intervals are span-volume-sized, collapse to one
+    array row per AFFECTED doc, and LEFT-join onto the corpus; the
+    position filter is a JVM-side higher-order filter over each token
+    array — the corpus is never exploded per position and unaffected
+    docs pass through with arr NULL."""
+    return substring_dedup_rewrite_op(_doc_tokens(spark, sf_dir))
 
 
 _SQL_SIMHASH = (

@@ -97,8 +97,10 @@ PRIORITY: tuple[str, ...] = (
     "stream_twin_sliding_counts",
     "stream_twin_session_windows",
     "stream_twin_interval_join",
+    "stream_twin_stateful_totals",
     "exact_substring_spans",
     "substring_dup_coverage",
+    "substring_dedup_rewrite",
     "cross_source_dup_matrix",
 )
 

@@ -93,7 +93,10 @@ def session_window_counts(
 
 
 def run_to_memory(
-    stream_df: DataFrame, name: str, shuffle_partitions: int | None = None
+    stream_df: DataFrame,
+    name: str,
+    shuffle_partitions: int | None = None,
+    output_mode: str | None = None,
 ) -> DataFrame:
     """Drive a streaming plan over all currently-available input and return
     the materialized result (test/bench harness; production uses a real
@@ -116,7 +119,7 @@ def run_to_memory(
             spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         query = (
             stream_df.writeStream.outputMode(
-                "complete" if _is_agg(stream_df) else "append"
+                output_mode or ("complete" if _is_agg(stream_df) else "append")
             )
             .format("memory")
             .queryName(name)

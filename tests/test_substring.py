@@ -18,6 +18,7 @@ from hypothesis import strategies as st
 
 from similarity_analysis_big_data_spark.operators.dedup import (
     substring_coverage,
+    substring_dedup_rewrite,
     substring_span_pairs,
 )
 
@@ -123,6 +124,29 @@ def test_substring_coverage_matches_reference(docs):
     for r in rows:
         assert 0 <= r["dup_tokens"] <= r["n_tokens"]
         assert 0.0 <= r["dup_fraction"] <= 1.0
+
+
+def _ref_rewrite(docs: list[list[str]], spans):
+    rem = defaultdict(set)
+    for _dl, dr, _sl, sr, n in spans:
+        rem[dr].update(range(sr, sr + n))
+    out = {}
+    for d, toks in enumerate(docs):
+        if not toks:
+            continue
+        kept = [t for i, t in enumerate(toks) if i not in rem.get(d, ())]
+        out[d] = (len(toks), len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy)
+def test_substring_rewrite_matches_reference(docs):
+    rows = substring_dedup_rewrite(
+        _toks_df(docs), k=K, cap=CAP, min_span=MIN_SPAN
+    ).collect()
+    got = {r["doc_id"]: (r["n_tokens"], r["kept_tokens"], r["text_dedup"]) for r in rows}
+    assert got == _ref_rewrite(docs, _ref_spans(docs, K, CAP, MIN_SPAN))
 
 
 def test_substring_spans_known_construction(spark):
