@@ -540,3 +540,63 @@ def substring_dedup_rewrite(
             F.array_join(kept, " ").alias("text_dedup"),
         )
     )
+
+
+def substring_span_pairs_delta(
+    base_toks: DataFrame,
+    delta_toks: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    cap: int = 64,
+    min_span: int = 12,
+) -> DataFrame:
+    """Incremental exact-substring dedup: spans shared between a DELTA
+    batch and the BASE corpus only — the daily-crawl ingest shape, where
+    cost is base-gram-index x delta, never base x base re-run.
+
+    Returns ``(id_delta, id_base, start_delta, start_base, span_tokens)``.
+    The base side is a positioned-gram relation a production deployment
+    materializes once (bucketed by gram) and PROBES per batch; ``cap``
+    drops base grams occurring more than ``cap`` times (the same
+    hot-bucket lever as the batch operator — a boilerplate gram would
+    fan every delta occurrence out by its full base posting list).
+    """
+
+    def _grams(toks: DataFrame) -> DataFrame:
+        return toks.filter(F.size("tokens") >= k).select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(tokens) - {k}), "
+                    f"i -> array_join(slice(tokens, i + 1, {k}), ' '))"
+                )
+            ).alias("pos", "gram"),
+        )
+
+    bg = _grams(base_toks)
+    occ = bg.groupBy("gram").agg(F.count("*").alias("_occ"))
+    bcap = bg.join(occ.filter(F.col("_occ") <= cap), "gram").drop("_occ")
+    dg = _grams(delta_toks)
+    pairs = dg.alias("d").join(bcap.alias("b"), "gram").select(
+        F.col(f"d.{id_col}").alias("id_delta"),
+        F.col(f"b.{id_col}").alias("id_base"),
+        F.col("d.pos").cast("long").alias("pos_d"),
+        (F.col("d.pos") - F.col("b.pos")).cast("long").alias("diag"),
+    )
+    w = W.partitionBy("id_delta", "id_base", "diag").orderBy("pos_d")
+    islands = pairs.withColumn("isl", F.col("pos_d") - F.row_number().over(w))
+    return (
+        islands.groupBy("id_delta", "id_base", "diag", "isl")
+        .agg(
+            F.min("pos_d").alias("start_delta"),
+            (F.count("*") + (k - 1)).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span)
+        .select(
+            "id_delta",
+            "id_base",
+            "start_delta",
+            (F.col("start_delta") - F.col("diag")).alias("start_base"),
+            "span_tokens",
+        )
+    )

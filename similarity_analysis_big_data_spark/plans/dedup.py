@@ -38,6 +38,7 @@ from ..operators.dedup import (
     substring_coverage,
     substring_dedup_rewrite as substring_dedup_rewrite_op,
     substring_span_pairs,
+    substring_span_pairs_delta,
 )
 from ..sources.readers import load_table
 from .registry import register
@@ -500,6 +501,66 @@ def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     array — the corpus is never exploded per position and unaffected
     docs pass through with arr NULL."""
     return substring_dedup_rewrite_op(_doc_tokens(spark, sf_dir))
+
+
+@register(
+    "incremental_substring_delta",
+    oracle=_SQL_TOKS
+    + """,
+    bgrams AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS pos,
+               array_to_string(list_slice(tokens, p + 1, p + 8), ' ') AS gram
+        FROM toks, unnest(range(0, greatest(len(tokens) - 7, 0))) AS r(p)
+        WHERE doc_id % 10 <> 7
+    ),
+    dgrams AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS pos,
+               array_to_string(list_slice(tokens, p + 1, p + 8), ' ') AS gram
+        FROM toks, unnest(range(0, greatest(len(tokens) - 7, 0))) AS r(p)
+        WHERE doc_id % 10 = 7
+    ),
+    bcap AS (
+        SELECT doc_id, pos, gram FROM (
+            SELECT doc_id, pos, gram, count(*) OVER (PARTITION BY gram) AS occ
+            FROM bgrams
+        ) WHERE occ <= 64
+    ),
+    pairs AS (
+        SELECT d.doc_id AS id_delta, b.doc_id AS id_base,
+               d.pos AS pos_d, d.pos - b.pos AS diag
+        FROM dgrams d JOIN bcap b ON d.gram = b.gram
+    ),
+    islands AS (
+        SELECT id_delta, id_base, diag, pos_d,
+               pos_d - row_number() OVER (PARTITION BY id_delta, id_base, diag
+                                          ORDER BY pos_d) AS isl
+        FROM pairs
+    )
+    SELECT id_delta, id_base,
+           min(pos_d) AS start_delta,
+           min(pos_d) - diag AS start_base,
+           count(*) + 7 AS span_tokens
+    FROM islands
+    GROUP BY id_delta, id_base, diag, isl
+    HAVING count(*) + 7 >= 12
+    """,
+    doc="[ext] incremental exact-substring dedup: a delta batch (doc_id "
+    "% 10 = 7 stands in for today's crawl) probes the BASE corpus's "
+    "positioned-gram index for shared >=12-token spans — base x delta "
+    "cost only, the daily-ingest twin of exact_substring_spans (and the "
+    "substring analog of incremental_near_dup_delta's LSH band probe).",
+)
+def incremental_substring_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the base gram relation is materialized once (production:
+    bucketed by gram) and probed with an equi-join by each batch; the
+    occurrence cap bounds any boilerplate gram's posting list before the
+    probe fans out. Island merge and span agg are priced by matched-pair
+    volume of the DELTA only."""
+    toks = _doc_tokens(spark, sf_dir)
+    return substring_span_pairs_delta(
+        toks.filter(F.col("doc_id") % 10 != 7),
+        toks.filter(F.col("doc_id") % 10 == 7),
+    )
 
 
 _SQL_SIMHASH = (

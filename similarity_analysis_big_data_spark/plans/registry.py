@@ -101,6 +101,7 @@ PRIORITY: tuple[str, ...] = (
     "exact_substring_spans",
     "substring_dup_coverage",
     "substring_dedup_rewrite",
+    "incremental_substring_delta",
     "cross_source_dup_matrix",
 )
 

@@ -20,6 +20,7 @@ from similarity_analysis_big_data_spark.operators.dedup import (
     substring_coverage,
     substring_dedup_rewrite,
     substring_span_pairs,
+    substring_span_pairs_delta,
 )
 
 K, CAP, MIN_SPAN = 3, 4, 4
@@ -147,6 +148,46 @@ def test_substring_rewrite_matches_reference(docs):
     ).collect()
     got = {r["doc_id"]: (r["n_tokens"], r["kept_tokens"], r["text_dedup"]) for r in rows}
     assert got == _ref_rewrite(docs, _ref_spans(docs, K, CAP, MIN_SPAN))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy)
+def test_substring_delta_consistent_with_full(docs):
+    """Uncapped, the delta operator's spans are exactly the full run's
+    cross-partition spans reoriented delta->base (the cap differs by
+    design: delta caps base-gram occurrences only, so compare with a cap
+    no gram can hit)."""
+    spark = _SPARK["s"]
+    big = 10_000
+    delta_ids = {i for i in range(len(docs)) if i % 2 == 1}
+    full = {
+        (r["id_l"], r["id_r"], r["start_l"], r["start_r"], r["span_tokens"])
+        for r in substring_span_pairs(
+            _toks_df(docs), k=K, cap=big, min_span=MIN_SPAN
+        ).collect()
+    }
+    expected = set()
+    for dl, dr, sl, sr, n in full:
+        if (dl in delta_ids) != (dr in delta_ids):
+            if dl in delta_ids:
+                expected.add((dl, dr, sl, sr, n))
+            else:
+                expected.add((dr, dl, sr, sl, n))
+    base_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs) if i not in delta_ids],
+        "doc_id long, tokens array<string>",
+    )
+    delta_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs) if i in delta_ids],
+        "doc_id long, tokens array<string>",
+    )
+    got = {
+        (r["id_delta"], r["id_base"], r["start_delta"], r["start_base"], r["span_tokens"])
+        for r in substring_span_pairs_delta(
+            base_df, delta_df, k=K, cap=big, min_span=MIN_SPAN
+        ).collect()
+    }
+    assert got == expected
 
 
 def test_substring_spans_known_construction(spark):
