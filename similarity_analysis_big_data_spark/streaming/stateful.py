@@ -19,14 +19,29 @@ OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
 STATE_SCHEMA = "n_events long, total_value double"
 
 
-def _update_user(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
-    (user_id,) = key
-    n, total = (state.get) if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total]})
+def _make_update_user():
+    """Build the state-update fn as a CLOSURE so cloudpickle ships it by
+    value: a module-level function pickles by reference, which breaks on
+    Python workers that cannot import this package (e.g. a driver that
+    added the repo to sys.path at runtime instead of cwd/PYTHONPATH)."""
+
+    def update_user(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        import pandas as _pd
+
+        (user_id,) = key
+        n, total = (state.get) if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield _pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
+    return update_user
+
+
+_update_user = _make_update_user()  # kept for test/back-compat imports
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
@@ -41,7 +56,7 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         events.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update_user,
+            _make_update_user(),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
