@@ -504,6 +504,63 @@ def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_budget_after_dedup",
+    oracle=_SQL_SUBSTRING_SPANS
+    + """,
+    rem AS (
+        SELECT DISTINCT id_r AS doc_id, start_r AS s, start_r + span_tokens AS e
+        FROM spans
+    ),
+    ivs AS (
+        SELECT doc_id, list(struct_pack(s := s, e := e)) AS arr
+        FROM rem GROUP BY doc_id
+    ),
+    kept AS (
+        SELECT t.doc_id, len(t.tokens) AS n_tokens,
+               len(list_filter(t.tokens, (tok, pi) ->
+                   v.arr IS NULL OR
+                   len(list_filter(v.arr, iv -> pi - 1 >= iv.s AND pi - 1 < iv.e)) = 0
+               )) AS kept_tokens
+        FROM toks t LEFT JOIN ivs v USING (doc_id)
+        WHERE len(t.tokens) > 0
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(k.n_tokens) AS BIGINT) AS tokens_before,
+           CAST(sum(k.kept_tokens) AS BIGINT) AS tokens_after,
+           round(CAST(sum(k.kept_tokens) AS DOUBLE) / sum(k.n_tokens), 6)
+               AS pct_kept
+    FROM kept k JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+    doc="[ext] dedup ROI per source: token budget before vs after the "
+    "exact-substring rewrite, rolled up by source — the number a data-mix "
+    "plan actually consumes (a source that keeps 60% of its tokens "
+    "contributes 60% of its nominal budget to training).",
+)
+def token_budget_after_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: rides the rewrite operator (span-volume-priced) and adds one
+    |sources|-sized aggregate; the source attachment is a key-grained
+    join of per-doc counts, and pct math happens after the rollup."""
+    kept = substring_dedup_rewrite_op(_doc_tokens(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "kept_tokens"
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        kept.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_before"),
+            F.sum("kept_tokens").alias("tokens_after"),
+            F.round(
+                F.sum("kept_tokens") / F.sum("n_tokens").cast("double"), 6
+            ).alias("pct_kept"),
+        )
+    )
+
+
+@register(
     "incremental_substring_delta",
     oracle=_SQL_TOKS
     + """,

@@ -103,6 +103,8 @@ PRIORITY: tuple[str, ...] = (
     "substring_dedup_rewrite",
     "incremental_substring_delta",
     "cross_source_dup_matrix",
+    "token_budget_after_dedup",
+    "zipf_fit_by_source",
 )
 
 
