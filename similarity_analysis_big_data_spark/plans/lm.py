@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
+from ..functions.vectors import cosine_similarity, cosine_sql
 from ..operators.topk import global_top_n
 from ..sources.readers import load_table
 from .registry import register
@@ -215,9 +216,9 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-@register(
-    "bm25_top_docs",
-    oracle=r"""
+# BM25 scored relation (doc_id, score) as a DuckDB CTE prefix — shared by
+# the plain top-k ranking and the reciprocal-rank-fusion hybrid below.
+_SQL_BM25_SCORED = r"""
         WITH sized AS (
             SELECT doc_id,
                    list_filter(regexp_split_to_array(lower(text), '[^\w]+'),
@@ -249,24 +250,19 @@ BM25_B = 0.75
             FROM tf JOIN dfr USING (term), consts
             GROUP BY tf.doc_id
         )
-        SELECT doc_id, score, rnk
-        FROM (SELECT doc_id, score,
-                     row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
-              FROM scored)
-        WHERE rnk <= 10
-    """,
-    doc="[ext] BM25 ranking (Robertson/Lucene idf form, k1=1.2, b=0.75): "
-    "top-10 documents for a 3-term query — the retrieval scorer built on "
-    "the inverted-index statistics, completing the IR surface beyond "
-    "TF-IDF cosine.",
-)
-def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: doc length rides THROUGH the explode (no corpus-sized join
+"""
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (doc_id, score) for the fixed query terms — shared by the plain
+    ranking and the RRF hybrid.
+
+    Scale: doc length rides THROUGH the explode (no corpus-sized join
     back); the per-(doc,term) relation is pre-filtered to query terms, so
     everything after the one corpus explode+agg is query-sized. df and the
     (N, avgdl) scalars broadcast; final top-k is TakeOrderedAndProject
     (per-task heaps merged on the driver) with the rank window running on
-    the 10 surviving rows — the scored relation is match-sized (corpus-
+    the surviving rows — the scored relation is match-sized (corpus-
     scale for common query terms), so no unbounded global window."""
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
@@ -296,7 +292,123 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(term_score), 6).alias("score"))
     )
-    return global_top_n(scored, [F.desc("score"), F.asc("doc_id")], 10)
+    return scored
+
+
+@register(
+    "bm25_top_docs",
+    oracle=_SQL_BM25_SCORED
+    + r"""
+        SELECT doc_id, score, rnk
+        FROM (SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+              FROM scored)
+        WHERE rnk <= 10
+    """,
+    doc="[ext] BM25 ranking (Robertson/Lucene idf form, k1=1.2, b=0.75): "
+    "top-10 documents for a 3-term query — the retrieval scorer built on "
+    "the inverted-index statistics, completing the IR surface beyond "
+    "TF-IDF cosine.",
+)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 ranking (see :func:`_bm25_scored` for the scale notes)."""
+    return global_top_n(
+        _bm25_scored(spark, sf_dir), [F.desc("score"), F.asc("doc_id")], 10
+    )
+
+
+# ---- hybrid retrieval: reciprocal rank fusion -------------------------------
+
+RRF_K = 60  # the canonical fusion constant (Cormack et al., SIGIR 2009)
+RRF_DEPTH = 50  # rank depth taken from each retriever
+RRF_TOP_N = 20
+_RRF_COS = cosine_sql("query_vec", "e.embedding")
+
+
+@register(
+    "rrf_fusion_retrieval",
+    oracle=_SQL_BM25_SCORED
+    + f"""
+        , bm AS (
+            SELECT doc_id AS id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rnk
+            FROM scored
+        ),
+        bm_top AS (SELECT id, bm25_rnk FROM bm WHERE bm25_rnk <= {RRF_DEPTH}),
+        qv AS (
+            SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0
+        ),
+        cos_scored AS (
+            SELECT e.vec_id AS id,
+                   round({_RRF_COS}, 6) AS cosine
+            FROM embeddings e, qv
+            WHERE e.vec_id <> 0
+        ),
+        cs AS (
+            SELECT id,
+                   row_number() OVER (ORDER BY cosine DESC, id) AS cos_rnk
+            FROM cos_scored
+        ),
+        cs_top AS (SELECT id, cos_rnk FROM cs WHERE cos_rnk <= {RRF_DEPTH}),
+        fused AS (
+            SELECT COALESCE(bm_top.id, cs_top.id) AS id,
+                   CAST(COALESCE(bm_top.bm25_rnk, 0) AS BIGINT) AS bm25_rnk,
+                   CAST(COALESCE(cs_top.cos_rnk, 0) AS BIGINT) AS cos_rnk,
+                   round(COALESCE(1.0 / ({RRF_K} + bm_top.bm25_rnk), 0)
+                         + COALESCE(1.0 / ({RRF_K} + cs_top.cos_rnk), 0),
+                         6) AS rrf_score
+            FROM bm_top FULL OUTER JOIN cs_top ON bm_top.id = cs_top.id
+        )
+        SELECT id, bm25_rnk, cos_rnk, rrf_score, rnk
+        FROM (SELECT id, bm25_rnk, cos_rnk, rrf_score,
+                     row_number() OVER (ORDER BY rrf_score DESC, id) AS rnk
+              FROM fused)
+        WHERE rnk <= {RRF_TOP_N}
+    """,
+    doc="[ext] hybrid retrieval: BM25 (lexical) and embedding-cosine "
+    "(semantic) rank lists fused by reciprocal rank (1/(60+rank), Cormack "
+    "et al.) — the standard RAG-stack scorer that needs no score "
+    "normalization across heterogeneous retrievers.",
+)
+def rrf_fusion_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each retriever reduces to a depth-50 list through its own
+    scale-safe plan (BM25: match-sized agg + TakeOrderedAndProject; cosine:
+    one corpus pass against a broadcast query vector), so the fusion join
+    and final rank run on ≤2·depth rows on the driver-adjacent path — the
+    heavy lifting stays in the two retriever scans."""
+    bm = global_top_n(
+        _bm25_scored(spark, sf_dir),
+        [F.desc("score"), F.asc("doc_id")],
+        RRF_DEPTH,
+        rank_name="bm25_rnk",
+    ).select(F.col("doc_id").alias("id"), "bm25_rnk")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    cos_scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(cosine_similarity("embedding", "query_vec"), 6).alias("cosine"),
+        )
+    )
+    cs = global_top_n(
+        cos_scored, [F.desc("cosine"), F.asc("id")], RRF_DEPTH, rank_name="cos_rnk"
+    ).select("id", "cos_rnk")
+    k = F.lit(float(RRF_K))
+    fused = bm.join(cs, "id", "full_outer").select(
+        "id",
+        F.coalesce("bm25_rnk", F.lit(0)).cast("long").alias("bm25_rnk"),
+        F.coalesce("cos_rnk", F.lit(0)).cast("long").alias("cos_rnk"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (k + F.col("bm25_rnk")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (k + F.col("cos_rnk")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return global_top_n(fused, [F.desc("rrf_score"), F.asc("id")], RRF_TOP_N)
 
 
 # ---- collocations + BPE training step --------------------------------------

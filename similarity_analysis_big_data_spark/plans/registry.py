@@ -105,6 +105,7 @@ PRIORITY: tuple[str, ...] = (
     "cross_source_dup_matrix",
     "token_budget_after_dedup",
     "zipf_fit_by_source",
+    "rrf_fusion_retrieval",
 )
 
 
