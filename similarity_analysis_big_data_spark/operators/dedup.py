@@ -600,3 +600,98 @@ def substring_span_pairs_delta(
             "span_tokens",
         )
     )
+
+
+def ppjoin_pairs(
+    token_sets: DataFrame,
+    id_col: str,
+    token_col: str = "token",
+    threshold: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering (AllPairs /
+    PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08).
+
+    The deterministic complement to MinHash-LSH: zero false negatives at
+    the cost of an exact-overlap verify, where LSH trades a tunable miss
+    rate for hash-sized signatures. Input is a distinct (id, token)
+    relation; output is every pair with Jaccard >= num/den, with the
+    integer intersection/size witnesses attached.
+
+    Prefix-filter lemma: order each set by GLOBAL ascending document
+    frequency (rarest first, ties by token). If J(x,y) >= t then
+    |x ∩ y| >= ceil(t·max(|x|,|y|)), so x and y must share a token among
+    their first |·| - ceil(t·|·|) + 1 ordered tokens — joining ONLY the
+    prefixes loses no qualifying pair. Rare-first ordering makes prefix
+    buckets small (df=1 tokens match only their one other occurrence),
+    which is what bounds the candidate fan-out.
+
+    All threshold arithmetic is integer-exact (``threshold`` is a
+    rational num/den): prefix length uses ``(num·sz + den−1) div den``
+    and the final filter is ``den·inter >= num·union`` — no float
+    boundary wobble at J == t.
+
+    Scale: one shuffle keys the df join on token, one window pass per
+    doc ranks the set (partitioned by id — never a global window), the
+    prefix self-join touches only prefix tokens, and the verify is
+    candidate-driven (cost ∝ Σ|set_l| over surviving candidates, the
+    same shape as jaccard_pairs(candidates=...)). The skew lever is the
+    same as LSH banding: a token with huge df lands at the END of every
+    ordering, so it only enters a prefix when a set is nearly all
+    boilerplate — prefix buckets stay df-bounded by construction.
+    """
+    num, den = threshold
+    sets = token_sets.select(
+        F.col(id_col).alias("_id"), F.col(token_col).alias("_tok")
+    )
+    dfreq = sets.groupBy("_tok").agg(F.count("*").alias("_df"))
+    w_order = W.partitionBy("_id").orderBy("_df", "_tok")
+    w_all = W.partitionBy("_id")
+    ranked = sets.join(dfreq, "_tok").select(
+        "_id",
+        "_tok",
+        F.row_number().over(w_order).alias("_rk"),
+        F.count("*").over(w_all).alias("_sz"),
+    )
+    prefix = ranked.filter(
+        F.col("_rk")
+        <= F.col("_sz") - F.expr(f"({num} * _sz + {den - 1}) div {den}") + F.lit(1)
+    ).select("_id", "_tok", "_sz")
+    lhs = prefix.select(
+        F.col("_id").alias("id_l"), "_tok", F.col("_sz").alias("_szl")
+    )
+    rhs = prefix.select(
+        F.col("_id").alias("id_r"), "_tok", F.col("_sz").alias("_szr")
+    )
+    cand = (
+        lhs.join(rhs, "_tok")
+        .filter(
+            (F.col("id_l") < F.col("id_r"))
+            # length filter: den·min(sz) >= num·max(sz), two-sided form
+            & (num * F.col("_szl") <= den * F.col("_szr"))
+            & (num * F.col("_szr") <= den * F.col("_szl"))
+        )
+        .select("id_l", "id_r")
+        .distinct()
+    )
+    inter = (
+        cand.join(sets.select(F.col("_id").alias("id_l"), "_tok"), "id_l")
+        .join(sets.select(F.col("_id").alias("id_r"), "_tok"), ["_tok", "id_r"])
+        .groupBy("id_l", "id_r")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sets.groupBy("_id").agg(F.count("*").alias("set_size"))
+    return (
+        inter.join(
+            sizes.select(F.col("_id").alias("id_l"), F.col("set_size").alias("size_l")),
+            "id_l",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_r"), F.col("set_size").alias("size_r")),
+            "id_r",
+        )
+        .filter(
+            den * F.col("n_common")
+            >= num * (F.col("size_l") + F.col("size_r") - F.col("n_common"))
+        )
+        .select("id_l", "id_r", "n_common", "size_l", "size_r")
+    )

@@ -33,6 +33,7 @@ from ..operators.dedup import (
     jaccard_verify_candidates,
     lsh_candidate_pairs,
     minhash_signatures,
+    ppjoin_pairs,
     simhash_banded_pairs,
     simhash_signatures,
     substring_coverage,
@@ -324,6 +325,71 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = jaccard_pairs(grams, "doc_id")
     return pairs.select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
+
+
+PPJOIN_N = 5  # shingle width
+PPJOIN_T = (1, 2)  # Jaccard threshold as an exact rational
+
+
+@register(
+    "ppjoin_exact_pairs",
+    oracle=_SQL_TOKS
+    + f""",
+    sets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range({PPJOIN_N}, len(tokens) + 1),
+                      i -> list_aggregate(tokens[i-{PPJOIN_N - 1}:i],
+                                          'string_agg', ' '))) AS gs
+        FROM toks
+    ),
+    ne AS (SELECT doc_id, gs, len(gs) AS sz FROM sets WHERE len(gs) > 0),
+    pairs AS (
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+               len(list_intersect(a.gs, b.gs)) AS n_common,
+               a.sz AS size_l, b.sz AS size_r
+        FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+    )
+    SELECT id_l, id_r, n_common, size_l, size_r,
+           round(CAST(n_common AS DOUBLE) / (size_l + size_r - n_common), 6)
+               AS jaccard
+    FROM pairs
+    WHERE {PPJOIN_T[1]} * n_common
+          >= {PPJOIN_T[0]} * (size_l + size_r - n_common)
+    """,
+    doc="[ext] EXACT set-similarity self-join at Jaccard >= 1/2 over "
+    "word-5-gram shingle sets via prefix filtering (AllPairs/PPJoin, "
+    "Bayardo et al. WWW'07 / Xiao et al. WWW'08) — the zero-false-"
+    "negative complement to MinHash-LSH: rarest-first global token "
+    "order, |x|-ceil(t|x|)+1 prefixes joined instead of whole sets, "
+    "integer-exact threshold arithmetic, candidate-driven verify. The "
+    "oracle brute-forces every pair; the Spark plan touches only "
+    "prefix-sharing, length-compatible candidates.",
+)
+def ppjoin_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: see operators/dedup.py ppjoin_pairs — prefix join is the
+    candidate bound (df=1 shingles dominate prefixes, so buckets are
+    tiny); verify cost ∝ Σ|set| over candidates, never all pairs. The
+    oracle's O(n²) cross join exists only DuckDB-side as ground truth."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(tokenize(F.lower("text")), PPJOIN_N))
+        ).alias("shingle"),
+    )
+    pairs = ppjoin_pairs(grams, "doc_id", "shingle", threshold=PPJOIN_T)
+    return pairs.select(
+        "id_l",
+        "id_r",
+        "n_common",
+        "size_l",
+        "size_r",
+        F.round(
+            F.col("n_common")
+            / (F.col("size_l") + F.col("size_r") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
+    )
 
 
 # Shared CTE chain for the exact-substring family: tokens -> positioned

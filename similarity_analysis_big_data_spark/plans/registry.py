@@ -106,6 +106,7 @@ PRIORITY: tuple[str, ...] = (
     "token_budget_after_dedup",
     "zipf_fit_by_source",
     "rrf_fusion_retrieval",
+    "ppjoin_exact_pairs",
 )
 
 
