@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
 from ..functions.vectors import cosine_similarity, cosine_sql
+from ..operators.rank import bucketed_row_number, ntile_from_rank
 from ..operators.topk import global_top_n
 from ..sources.readers import load_table
 from .registry import register
@@ -934,9 +935,10 @@ def vocab_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "trigram_backoff_scores",
-    oracle=r"""
+# trigram stupid-backoff held-out scoring as a DuckDB CTE prefix ending in
+# the per-(doc, trigram) `scored` relation — shared by the per-doc score
+# query and the CCNet-style perplexity-tercile rollup below.
+_SQL_TRIGRAM_SCORED = r"""
         WITH toks AS (
             SELECT doc_id,
                    list_filter(regexp_split_to_array(lower(text), '[^\w]+'), x -> x <> '') AS tokens
@@ -989,6 +991,13 @@ def vocab_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             LEFT JOIN c1 u3 ON u3.w = h.w3
             CROSS JOIN n_tot
         )
+"""
+
+
+@register(
+    "trigram_backoff_scores",
+    oracle=_SQL_TRIGRAM_SCORED
+    + r"""
         SELECT doc_id,
                count(*) AS n_trigrams,
                round(avg(-log2(p)), 6) AS mean_neglog2,
@@ -1116,6 +1125,68 @@ def trigram_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_trigrams"),
         F.round(F.avg(-F.log2("p")), 6).alias("mean_neglog2"),
         F.round(F.avg("backed_off"), 6).alias("backoff_rate"),
+    )
+
+
+@register(
+    "perplexity_bucket_filter",
+    oracle=_SQL_TRIGRAM_SCORED
+    + r"""
+        , docsc AS (
+            SELECT doc_id, count(*) AS n_trigrams,
+                   round(avg(-log2(p)), 6) AS mean_neglog2
+            FROM scored GROUP BY doc_id
+        ),
+        tiled AS (
+            SELECT doc_id, n_trigrams, mean_neglog2,
+                   ntile(3) OVER (ORDER BY mean_neglog2, doc_id) AS b
+            FROM docsc
+        )
+        SELECT CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                      ELSE 'tail' END AS bucket,
+               count(*) AS n_docs,
+               CAST(sum(n_trigrams) AS BIGINT) AS total_trigrams,
+               round(min(mean_neglog2), 6) AS min_mean_neglog2,
+               round(max(mean_neglog2), 6) AS max_mean_neglog2
+        FROM tiled GROUP BY 1
+    """,
+    doc="[ext] CCNet-style perplexity gating (Wenzek et al. 2020): held-out "
+    "docs ranked by trigram-LM mean -log2 p and cut into head/middle/tail "
+    "terciles — the standard quality split that keeps the 'head' for "
+    "pretraining; per-bucket doc and token budgets plus the score range "
+    "each bucket spans.",
+)
+def perplexity_bucket_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the per-doc score relation reuses the trigram plan (one
+    vocab-sized count relation, held-half joins). The tercile is NOT an
+    ntile window over the corpus — bucketed_row_number gives the exact
+    global rank with per-bucket windows only, and ntile_from_rank
+    restates NTILE(3) arithmetically from (rank, N). Integer-exact
+    bucket membership (no float-boundary wobble at the cuts), and the
+    only unpartitioned window runs on the B-row bucket-subtotal
+    relation."""
+    scores = trigram_backoff_scores(spark, sf_dir).select(
+        "doc_id", "n_trigrams", "mean_neglog2"
+    )
+    ranked = bucketed_row_number(
+        scores, "mean_neglog2", ["doc_id"], rank_name="_rk", n_name="_n"
+    )
+    tiled = ranked.withColumn(
+        "b", ntile_from_rank(F.col("_rk"), F.col("_n"), 3)
+    )
+    bucket = (
+        F.when(F.col("b") == 1, F.lit("head"))
+        .when(F.col("b") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        tiled.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_trigrams").alias("total_trigrams"),
+            F.round(F.min("mean_neglog2"), 6).alias("min_mean_neglog2"),
+            F.round(F.max("mean_neglog2"), 6).alias("max_mean_neglog2"),
+        )
     )
 
 

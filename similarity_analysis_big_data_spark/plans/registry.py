@@ -107,6 +107,7 @@ PRIORITY: tuple[str, ...] = (
     "zipf_fit_by_source",
     "rrf_fusion_retrieval",
     "ppjoin_exact_pairs",
+    "perplexity_bucket_filter",
 )
 
 
