@@ -1254,6 +1254,55 @@ def stream_twin_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_twin_dedup",
+    oracle="""
+        WITH uniq AS (
+            SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_unique,
+               count(DISTINCT user_id) AS n_users,
+               count(DISTINCT h) AS n_hours
+        FROM uniq GROUP BY event_type
+    """,
+    doc="[ext] STRUCTURED STREAMING twin #5: watermarked stateful DEDUP "
+    "(dropDuplicates on an idempotency key — one event per user/type/"
+    "hour survives) run through the real stream path (file-source "
+    "stream, watermarked state, availableNow trigger, memory sink) and "
+    "hash-checked against the batch DISTINCT oracle. Completes the "
+    "driver-visible set: all five streaming state families (sliding "
+    "agg, merging sessions, join buffers, user-defined state, dedup "
+    "state) now have their own green correctness row.",
+)
+def stream_twin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: state is one entry per distinct key inside the watermark
+    horizon; the readback aggregates ONLY key-determined columns (which
+    physical duplicate survives is racy by design, the key set is not).
+    Production uses dropDuplicatesWithinWatermark (streaming/dedup.py)
+    so redelivery state evicts as the watermark advances; the plain
+    dropDuplicates here keys state on the hour-bucketed event-time, the
+    equivalent eviction contract for an event-time-derived key."""
+    import uuid
+
+    from ..streaming.dedup import dedup_hourly_key_stream
+    from ..streaming.events import read_event_stream, run_to_memory
+
+    stream = dedup_hourly_key_stream(read_event_stream(spark, sf_dir))
+    out = run_to_memory(
+        stream,
+        f"stream_twin_dd_{uuid.uuid4().hex[:8]}",
+        shuffle_partitions=8,
+        output_mode="append",
+    )
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_unique"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("hour_bucket").alias("n_hours"),
+    )
+
+
+@register(
     "target_encode_priority_loo",
     oracle="""
         WITH g AS (

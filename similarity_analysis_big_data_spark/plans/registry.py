@@ -108,6 +108,7 @@ PRIORITY: tuple[str, ...] = (
     "rrf_fusion_retrieval",
     "ppjoin_exact_pairs",
     "perplexity_bucket_filter",
+    "stream_twin_dedup",
 )
 
 

@@ -36,3 +36,18 @@ def dedup_event_stream_within_watermark(
         "digest", F.md5(F.concat_ws("|", "user_id", "event_type", F.col("value").cast("string")))
     )
     return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["digest"])
+
+
+def dedup_hourly_key_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Idempotency-key dedup: one event per (user_id, event_type, hour
+    bucket) survives. The key is built from event-time, so a duplicate
+    delivery (same user doing the same thing in the same hour) collapses;
+    survivor VALUES are not part of the contract — consumers must read
+    only key-determined columns, which is why the driver-visible twin
+    aggregates over the key columns alone."""
+    keyed = events.withColumn("hour_bucket", F.date_trunc("hour", F.col("ts")))
+    return (
+        keyed.withWatermark("ts", watermark)
+        .dropDuplicates(["user_id", "event_type", "hour_bucket"])
+        .select("user_id", "event_type", "hour_bucket")
+    )
