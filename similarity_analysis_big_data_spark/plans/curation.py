@@ -18,8 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_long_sql
 from ..functions.text import tokenize, word_ngrams
 from ..sources.readers import load_table
+from .dedup import SQL_PPJOIN_QUALIFIED
 from .registry import register
 
 CHUNK_TOKENS = 64  # chunk window size
@@ -370,4 +372,92 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.sum("n_tokens").over(pack_w) - F.col("n_tokens")) / F.lit(PACK_BUDGET))
         .cast("long")
         .alias("batch_id"),
+    )
+
+
+@register(
+    "contrastive_pair_mining",
+    oracle=SQL_PPJOIN_QUALIFIED
+    + f""",
+    ring AS (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY {md5_long_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+               ) AS rk,
+               count(*) OVER () AS n
+        FROM documents
+    ),
+    pos AS (
+        SELECT q.id_l AS anchor_id, q.id_r AS positive_id,
+               round(CAST(q.n_common AS DOUBLE)
+                     / (q.size_l + q.size_r - q.n_common), 6) AS pos_jaccard,
+               r.rk, r.n
+        FROM qual q JOIN ring r ON r.doc_id = q.id_l
+    ),
+    trip AS (
+        SELECT p.anchor_id, p.positive_id, rn.doc_id AS negative_id,
+               p.pos_jaccard
+        FROM pos p JOIN ring rn ON rn.rk = ((p.rk - 1 + p.n // 2) % p.n) + 1
+    )
+    SELECT t.anchor_id, t.positive_id, t.negative_id, t.pos_jaccard
+    FROM trip t
+    WHERE NOT EXISTS (SELECT 1 FROM qual q
+                      WHERE q.id_l = t.anchor_id AND q.id_r = t.negative_id)
+      AND NOT EXISTS (SELECT 1 FROM qual q
+                      WHERE q.id_r = t.anchor_id AND q.id_l = t.negative_id)
+    """,
+    doc="[ext] contrastive training triples for embedding-model "
+    "finetuning: anchors with a verified near-dup POSITIVE (exact "
+    "PPJoin pairs at Jaccard >= 1/2) and a deterministic hash-ring "
+    "NEGATIVE (the corpus antipode in md5 order — uniform-random in "
+    "content space, reproducible across runs/engines), with accidental "
+    "positives anti-joined away. The (anchor, positive, negative) "
+    "export every sentence-embedding trainer consumes.",
+)
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: positives come from the prefix-filtered exact join (never
+    all-pairs); the negative assignment is one corpus-sized exact rank
+    (bucketed_row_number — per-bucket windows only) plus two equi-joins
+    on the ring rank; the accidental-positive screens are broadcast-
+    sized anti-joins against the qualified-pair relation. No sampling
+    randomness: the ring is a pure function of doc_id, so the triples
+    are stable artifacts, not a per-run draw."""
+    from ..functions.hashing import md5_long
+    from ..operators.rank import bucketed_row_number
+    from .dedup import ppjoin_exact_pairs
+
+    pairs = ppjoin_exact_pairs(spark, sf_dir)
+    pos = pairs.select(
+        F.col("id_l").alias("anchor_id"),
+        F.col("id_r").alias("positive_id"),
+        F.col("jaccard").alias("pos_jaccard"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ring = bucketed_row_number(
+        docs.withColumn("_h", md5_long(F.col("doc_id").cast("string"))),
+        "_h",
+        ["doc_id"],
+        rank_name="_rk",
+        n_name="_n",
+    )
+    anchors = pos.join(
+        ring.select(F.col("doc_id").alias("anchor_id"), "_rk", "_n"), "anchor_id"
+    ).withColumn("_neg_rk", F.expr("((_rk - 1 + _n div 2) % _n) + 1"))
+    triples = anchors.join(
+        ring.select(F.col("doc_id").alias("negative_id"), F.col("_rk").alias("_neg_rk")),
+        "_neg_rk",
+    ).select("anchor_id", "positive_id", "negative_id", "pos_jaccard")
+    # screen accidental positives: the ring antipode may itself be a
+    # verified near-dup of the anchor (either orientation)
+    qual = pairs.select("id_l", "id_r")
+    triples = triples.join(
+        qual,
+        (triples.anchor_id == qual.id_l) & (triples.negative_id == qual.id_r),
+        "left_anti",
+    )
+    qual2 = pairs.select("id_l", "id_r")
+    return triples.join(
+        qual2,
+        (triples.anchor_id == qual2.id_r) & (triples.negative_id == qual2.id_l),
+        "left_anti",
     )

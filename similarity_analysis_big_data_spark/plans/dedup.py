@@ -331,9 +331,10 @@ PPJOIN_N = 5  # shingle width
 PPJOIN_T = (1, 2)  # Jaccard threshold as an exact rational
 
 
-@register(
-    "ppjoin_exact_pairs",
-    oracle=_SQL_TOKS
+# Brute-force qualified-pair CTE prefix (ends in `qual`) — shared by the
+# ppjoin parity oracle and the contrastive-pair-mining oracle in curation.
+SQL_PPJOIN_QUALIFIED = (
+    _SQL_TOKS
     + f""",
     sets AS (
         SELECT doc_id,
@@ -343,18 +344,30 @@ PPJOIN_T = (1, 2)  # Jaccard threshold as an exact rational
         FROM toks
     ),
     ne AS (SELECT doc_id, gs, len(gs) AS sz FROM sets WHERE len(gs) > 0),
-    pairs AS (
+    allp AS (
         SELECT a.doc_id AS id_l, b.doc_id AS id_r,
                len(list_intersect(a.gs, b.gs)) AS n_common,
                a.sz AS size_l, b.sz AS size_r
         FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+    ),
+    qual AS (
+        SELECT id_l, id_r, n_common, size_l, size_r
+        FROM allp
+        WHERE {PPJOIN_T[1]} * n_common
+              >= {PPJOIN_T[0]} * (size_l + size_r - n_common)
     )
+"""
+)
+
+
+@register(
+    "ppjoin_exact_pairs",
+    oracle=SQL_PPJOIN_QUALIFIED
+    + """
     SELECT id_l, id_r, n_common, size_l, size_r,
            round(CAST(n_common AS DOUBLE) / (size_l + size_r - n_common), 6)
                AS jaccard
-    FROM pairs
-    WHERE {PPJOIN_T[1]} * n_common
-          >= {PPJOIN_T[0]} * (size_l + size_r - n_common)
+    FROM qual
     """,
     doc="[ext] EXACT set-similarity self-join at Jaccard >= 1/2 over "
     "word-5-gram shingle sets via prefix filtering (AllPairs/PPJoin, "

@@ -109,6 +109,7 @@ PRIORITY: tuple[str, ...] = (
     "ppjoin_exact_pairs",
     "perplexity_bucket_filter",
     "stream_twin_dedup",
+    "contrastive_pair_mining",
 )
 
 
