@@ -331,6 +331,85 @@ PPJOIN_N = 5  # shingle width
 PPJOIN_T = (1, 2)  # Jaccard threshold as an exact rational
 
 
+@register(
+    "weighted_jaccard_pairs",
+    oracle=_SQL_TOKS
+    + f""",
+    unn AS (
+        SELECT doc_id, unnest(tokens) AS term
+        FROM toks WHERE doc_id % {SAMPLE_MOD * 2} = 0
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM unn GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total FROM tf GROUP BY doc_id),
+    minsum AS (
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+               CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS sum_min
+        FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT m.id_l, m.id_r, m.sum_min,
+           tl.total AS total_l, tr.total AS total_r,
+           round(CAST(m.sum_min AS DOUBLE)
+                 / (tl.total + tr.total - m.sum_min), 6) AS weighted_jaccard
+    FROM minsum m
+    JOIN tot tl ON tl.doc_id = m.id_l
+    JOIN tot tr ON tr.doc_id = m.id_r
+    """,
+    doc="[ext] EXACT weighted Jaccard (Σ min(tf_l, tf_r) / Σ max) over "
+    "term-frequency vectors — the boilerplate-robust weighted complement "
+    "to set Jaccard: a doc that repeats a template 10x no longer looks "
+    "identical to one that states it once. Σmax is recovered as "
+    "T_l + T_r − Σmin, so everything is integer arithmetic until the "
+    "final ratio (no float-boundary wobble).",
+)
+def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the same sparse-join shape as jaccard_pairs — only pairs
+    sharing a term materialize, Σmin aggregates per pair map-side; doc
+    totals join back by key (two vocab-scaled relations, never a dense
+    vector). Production bounds candidates with LSH/PPJoin output exactly
+    like the set form; the 1-in-{SAMPLE_MOD * 2} doc sample here bounds the
+    oracle's brute-force side only."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % (SAMPLE_MOD * 2) == 0
+    )
+    tf = (
+        docs.select("doc_id", F.explode(tokenize(F.lower("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    tot = tf.groupBy("doc_id").agg(F.sum("tf").alias("total"))
+    lhs = tf.select(F.col("doc_id").alias("id_l"), "term", F.col("tf").alias("tf_l"))
+    rhs = tf.select(F.col("doc_id").alias("id_r"), "term", F.col("tf").alias("tf_r"))
+    minsum = (
+        lhs.join(rhs, "term")
+        .filter(F.col("id_l") < F.col("id_r"))
+        .groupBy("id_l", "id_r")
+        .agg(F.sum(F.least("tf_l", "tf_r")).alias("sum_min"))
+    )
+    return (
+        minsum.join(
+            tot.select(F.col("doc_id").alias("id_l"), F.col("total").alias("total_l")),
+            "id_l",
+        )
+        .join(
+            tot.select(F.col("doc_id").alias("id_r"), F.col("total").alias("total_r")),
+            "id_r",
+        )
+        .select(
+            "id_l",
+            "id_r",
+            "sum_min",
+            "total_l",
+            "total_r",
+            F.round(
+                F.col("sum_min")
+                / (F.col("total_l") + F.col("total_r") - F.col("sum_min")),
+                6,
+            ).alias("weighted_jaccard"),
+        )
+    )
+
+
 # Brute-force qualified-pair CTE prefix (ends in `qual`) — shared by the
 # ppjoin parity oracle and the contrastive-pair-mining oracle in curation.
 SQL_PPJOIN_QUALIFIED = (

@@ -110,6 +110,7 @@ PRIORITY: tuple[str, ...] = (
     "perplexity_bucket_filter",
     "stream_twin_dedup",
     "contrastive_pair_mining",
+    "weighted_jaccard_pairs",
 )
 
 
