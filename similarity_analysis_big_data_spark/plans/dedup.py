@@ -14,7 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
-from pyspark.storagelevel import StorageLevel
 
 from ..functions.hashing import (
     LSH_BANDS,
@@ -187,11 +186,17 @@ def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the unfiltered shingle self-join). Measured 3x faster at sf0.1
     than the array-intersect verify, which ships both full token arrays
     to every pair; the array form remains for callers that need
-    zero-overlap candidates scored (minhash_estimate_accuracy)."""
+    zero-overlap candidates scored (minhash_estimate_accuracy).
+
+    The token-set relation feeds both the signature and the verify
+    branch; it is localCheckpoint-materialized rather than persisted so
+    the blocks are reclaimed once the returned plan is released — a
+    persist here outlives the query inside registry-wide sweeps
+    (the plans/lm.py CacheManager lesson, ADVICE r5)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % SAMPLE_MOD == 0)
     toksets = docs.select(
         "doc_id", F.array_distinct(tokenize(F.lower("text"))).alias("toks")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
     sigs = minhash_signatures(shingles, "doc_id")
     cand = lsh_candidate_pairs(sigs, "doc_id")
@@ -255,9 +260,11 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — and the final matrix is |sources|^2-bounded."""
     docs = load_table(spark, sf_dir, "documents")
     sampled = docs.filter(F.col("doc_id") % SAMPLE_MOD == 0)
+    # localCheckpoint, not persist: blocks self-release with the plan
+    # (the plans/lm.py CacheManager lesson, ADVICE r5).
     toksets = sampled.select(
         "doc_id", F.array_distinct(tokenize(F.lower("text"))).alias("toks")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
     sigs = minhash_signatures(shingles, "doc_id")
     cand = lsh_candidate_pairs(sigs, "doc_id")
