@@ -401,7 +401,11 @@ def pca_fixed_basis_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS new_id
         FROM documents
     """,
-    headline=True,
+    # displaced from the bench headline set in r6: the bucketed-rank
+    # family's bench representative is event_lateness_watermark_profile
+    # (same operator spine, and the one the r5 verdict directed); this
+    # 3-job reindex is overhead-dominated at toy scale (93x a 6 ms
+    # oracle) while its scale-right plan stays pinned by plan tests
     doc="[ext] dense sequential ids 0..n-1 in (n_chars, doc_id) order "
     "WITHOUT the single-partition global window: exact-percentile "
     "bucketing + per-bucket offsets + one shuffle (operators/reindex.py) — "

@@ -65,7 +65,9 @@ def global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF} 00:00:00'
         GROUP BY l_returnflag, l_linestatus
     """,
-    headline=True,
+    # displaced from the bench headline set in r6 (q3/q5 keep the TPC-H
+    # join-agg representatives; the total stays within the <=16 s budget
+    # as stream twins rotate in) — still driver-sampled and oracle-checked
     doc="A2/A6 analogue at TPC-H Q1 shape: filtered multi-agg groupBy.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
