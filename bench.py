@@ -21,6 +21,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        # non-standard dir name (e.g. a scale replica) — report the raw tag
+        pass
     spark = get_session(app_name="sabds-bench", master=f"local[{cpus}]")
 
     # warm-up: JVM/codegen/parquet-footer costs land here, not on the first
@@ -55,7 +60,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf),
+        "sf": sf,
     }
 
     # Optional self-assessment: SPARK_GRAFT_BENCH_ORACLE=1 also times each

@@ -131,9 +131,13 @@ def ann_bruteforce_topk(
 @register(
     "ann_ivf_topk",
     oracle=f"""
-        WITH cent AS (
+        WITH knc AS (
+            SELECT greatest({N_CELLS}, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS n_cells
+            FROM embeddings
+        ),
+        cent AS (
             SELECT vec_id AS cell_id, embedding AS cell_vec
-            FROM embeddings WHERE vec_id < {N_CELLS}
+            FROM embeddings, knc WHERE vec_id < knc.n_cells
         ),
         assigned AS (
             SELECT vec_id, embedding, cell_id
@@ -167,10 +171,22 @@ def ann_bruteforce_topk(
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: centroid assignment is one broadcast join (n·cells dots);
     search joins on cell_id so each query scores ~n/cells vectors. At 100 TB
-    the cells become partition keys — a co-located, prunable layout."""
+    the cells become partition keys — a co-located, prunable layout. The
+    cell count is sqrt-scaled with the corpus (max(N_CELLS, ceil(sqrt(n))),
+    the IVF nlist rule) via a 1-row broadcast aggregate, so total search
+    cost stays n_queries * sqrt(n) instead of going quadratic under a
+    fixture-constant grid — the pathology the 8x scale replica measured
+    on the kNN-graph twin (SCALE.md scaling table)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec")
+    ncells = emb.agg(
+        F.greatest(
+            F.lit(N_CELLS).cast("long"), F.ceil(F.sqrt(F.count("*")))
+        ).alias("_nc")
+    )
+    cent = (
+        emb.crossJoin(F.broadcast(ncells))
+        .filter(F.col("vec_id") < F.col("_nc"))
+        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec"))
     )
     w_assign = W.partitionBy("vec_id").orderBy(
         F.desc(F.round(cosine_similarity("embedding", "cell_vec"), 6)), F.asc("cell_id")
@@ -1040,9 +1056,13 @@ KNN_GRAPH_K = 3  # neighbors per vertex
 KNN_GRAPH_MOD = 4  # 1-in-4 vectors participate (bounds the fixture cell size)
 
 _KNN_EDGES_CTES = f"""
+    knc AS (
+        SELECT greatest({N_CELLS}, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS n_cells
+        FROM embeddings WHERE vec_id % {KNN_GRAPH_MOD} = 0
+    ),
     cent AS (
         SELECT vec_id AS cell_id, embedding AS cell_vec
-        FROM embeddings WHERE vec_id < {N_CELLS}
+        FROM embeddings, knc WHERE vec_id < knc.n_cells
     ),
     assigned AS (
         SELECT vec_id, embedding, cell_id
@@ -1072,10 +1092,28 @@ _KNN_EDGES_CTES = f"""
 
 def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared IVF-bounded kNN-graph edge relation: every participating
-    vector is a query against its own cell."""
+    vector is a query against its own cell.
+
+    The cell count scales with the corpus — ``max(N_CELLS, ceil(sqrt(n)))``
+    over the participating vectors — instead of staying a fixture
+    constant: with FIXED cells the per-cell all-pairs stage is quadratic
+    in corpus growth (measured 15.7x wall-time at an 8x data replica,
+    the one super-linear headliner in the SCALE.md scaling table), while
+    sqrt-scaled cells balance the n*cells assignment stage against the
+    n*(n/cells) pair stage, the classic IVF nlist rule. The count enters
+    the plan as a 1-row broadcast aggregate (no driver action), and the
+    oracle CTE computes the identical formula, so cell assignment stays
+    hash-checked end to end."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec")
+    ncells = emb.filter(F.col("vec_id") % KNN_GRAPH_MOD == 0).agg(
+        F.greatest(
+            F.lit(N_CELLS).cast("long"), F.ceil(F.sqrt(F.count("*")))
+        ).alias("_nc")
+    )
+    cent = (
+        emb.crossJoin(F.broadcast(ncells))
+        .filter(F.col("vec_id") < F.col("_nc"))
+        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec"))
     )
     w_assign = W.partitionBy("vec_id").orderBy(
         F.desc(F.round(cosine_similarity("embedding", "cell_vec"), 6)), F.asc("cell_id")

@@ -381,10 +381,11 @@ def test_knn_graph_never_cartesian(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "knn_graph_edges")
     assert "CartesianProduct" not in plan
     # the only nested-loop joins allowed are the broadcast centroid cross
-    # joins (8 rows, one per side of the pair join); the pair stage itself
-    # must be an equi-join on cell_id
+    # joins plus the 1-row n_cells scalar gate feeding each centroid
+    # relation (sqrt-scaled cell count); the pair stage itself must be an
+    # equi-join on cell_id
     # formatted plans print each operator twice (tree + detail section)
-    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    assert plan.count("BroadcastNestedLoopJoin") <= 8
     assert "SortMergeJoin Inner" in plan or "BroadcastHashJoin" in plan
 
 
