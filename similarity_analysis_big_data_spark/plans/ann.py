@@ -37,6 +37,57 @@ def _queries_and_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Da
     return queries, emb
 
 
+def _ivf_assign(emb: DataFrame, mod: int | None = None) -> DataFrame:
+    """Shared sqrt-scaled IVF cell assignment: (vec_id, embedding, cell_id).
+
+    Cells = max(N_CELLS, ceil(sqrt(n_participants))) — the IVF nlist rule
+    that keeps the n·cells assignment stage and the per-cell downstream
+    work balanced as the corpus grows (a fixture-constant grid measured
+    12.7-15.7x wall at an 8x data replica; see SCALE.md "Measured
+    scaling"). The count enters as a 1-row broadcast aggregate, no driver
+    action, and the oracle CTEs compute the identical formula.
+
+    The arg-max itself runs over a NARROW (vec_id, cell_id, cosine)
+    projection — norms precomputed per side, embeddings re-attached by
+    key afterwards. Carrying the vector arrays through the window's hash
+    exchange is what made the first sqrt-scaled version SLOWER at 8x
+    (each embedding duplicated once per cell through the shuffle); the
+    narrow form shuffles 24-byte rows instead. Tie semantics match the
+    oracles exactly: rounded cosine DESC (nulls last), cell_id ASC.
+    """
+    part = emb.filter(F.col("vec_id") % mod == 0) if mod else emb
+    ncells = part.agg(
+        F.greatest(
+            F.lit(N_CELLS).cast("long"), F.ceil(F.sqrt(F.count("*")))
+        ).alias("_nc")
+    )
+    cent = (
+        emb.crossJoin(F.broadcast(ncells))
+        .filter(F.col("vec_id") < F.col("_nc"))
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("embedding").alias("cell_vec"),
+            l2_norm("embedding").alias("_cn"),
+        )
+    )
+    cos = F.when(
+        (F.col("_vn") > 0) & (F.col("_cn") > 0),
+        dot("embedding", "cell_vec") / (F.col("_vn") * F.col("_cn")),
+    )
+    scored = (
+        part.withColumn("_vn", l2_norm("embedding"))
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "cell_id", F.round(cos, 6).alias("_cos"))
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("_cos"), F.asc("cell_id"))
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cell_id")
+    )
+    return part.join(best, "vec_id").select("vec_id", "embedding", "cell_id")
+
+
 @register(
     "ann_bruteforce_topk",
     oracle=f"""
@@ -178,25 +229,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture-constant grid — the pathology the 8x scale replica measured
     on the kNN-graph twin (SCALE.md scaling table)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ncells = emb.agg(
-        F.greatest(
-            F.lit(N_CELLS).cast("long"), F.ceil(F.sqrt(F.count("*")))
-        ).alias("_nc")
-    )
-    cent = (
-        emb.crossJoin(F.broadcast(ncells))
-        .filter(F.col("vec_id") < F.col("_nc"))
-        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec"))
-    )
-    w_assign = W.partitionBy("vec_id").orderBy(
-        F.desc(F.round(cosine_similarity("embedding", "cell_vec"), 6)), F.asc("cell_id")
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell_id")
-    )
+    assigned = _ivf_assign(emb)
     queries = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
@@ -431,9 +464,13 @@ SEMDEDUP_TAU = 0.3  # within-cell cosine threshold (fixture vectors are near-ort
 @register(
     "semdedup_cell_survivors",
     oracle=f"""
-        WITH cent AS (
+        WITH knc AS (
+            SELECT greatest({N_CELLS}, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS n_cells
+            FROM embeddings
+        ),
+        cent AS (
             SELECT vec_id AS cell_id, embedding AS cell_vec
-            FROM embeddings WHERE vec_id < {N_CELLS}
+            FROM embeddings, knc WHERE vec_id < knc.n_cells
         ),
         assigned AS (
             SELECT vec_id, embedding, cell_id
@@ -466,20 +503,13 @@ def semdedup_cell_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each executor dedups its own cells; no cross-cell traffic). The dup
     set stays (id) pairs-thin and the final anti-join never widens the
     vector relation. This is the embedding twin of the MinHash-LSH doc
-    path: cluster -> compare-within-bucket -> survivor anti-join."""
+    path: cluster -> compare-within-bucket -> survivor anti-join. The
+    cell count sqrt-scales with the corpus (the IVF nlist rule, via a
+    1-row broadcast aggregate mirrored in the oracle CTE) — with a
+    fixture-constant grid the within-cell pair stage measured 12.7x wall
+    at the 8x scale replica, the same quadratic the kNN graph had."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec")
-    )
-    w_assign = W.partitionBy("vec_id").orderBy(
-        F.desc(F.round(cosine_similarity("embedding", "cell_vec"), 6)), F.asc("cell_id")
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell_id")
-    )
+    assigned = _ivf_assign(emb)
     lhs = assigned.select(
         "cell_id", F.col("vec_id").alias("id_l"), F.col("embedding").alias("emb_l")
     ).withColumn("norm_l", l2_norm("emb_l"))
@@ -1100,31 +1130,13 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     in corpus growth (measured 15.7x wall-time at an 8x data replica,
     the one super-linear headliner in the SCALE.md scaling table), while
     sqrt-scaled cells balance the n*cells assignment stage against the
-    n*(n/cells) pair stage, the classic IVF nlist rule. The count enters
-    the plan as a 1-row broadcast aggregate (no driver action), and the
-    oracle CTE computes the identical formula, so cell assignment stays
-    hash-checked end to end."""
+    n*(n/cells) pair stage, the classic IVF nlist rule (shared helper
+    _ivf_assign — which also keeps the arg-max window NARROW; the oracle
+    CTE computes the identical formula, so cell assignment stays
+    hash-checked end to end)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ncells = emb.filter(F.col("vec_id") % KNN_GRAPH_MOD == 0).agg(
-        F.greatest(
-            F.lit(N_CELLS).cast("long"), F.ceil(F.sqrt(F.count("*")))
-        ).alias("_nc")
-    )
-    cent = (
-        emb.crossJoin(F.broadcast(ncells))
-        .filter(F.col("vec_id") < F.col("_nc"))
-        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec"))
-    )
-    w_assign = W.partitionBy("vec_id").orderBy(
-        F.desc(F.round(cosine_similarity("embedding", "cell_vec"), 6)), F.asc("cell_id")
-    )
-    assigned = (
-        emb.filter(F.col("vec_id") % KNN_GRAPH_MOD == 0)
-        .crossJoin(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell_id")
-        .withColumn("nrm", l2_norm("embedding"))
+    assigned = _ivf_assign(emb, mod=KNN_GRAPH_MOD).withColumn(
+        "nrm", l2_norm("embedding")
     )
     lhs = assigned.select(
         F.col("vec_id").alias("src_id"),
