@@ -468,14 +468,21 @@ def ppjoin_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: see operators/dedup.py ppjoin_pairs — prefix join is the
     candidate bound (df=1 shingles dominate prefixes, so buckets are
     tiny); verify cost ∝ Σ|set| over candidates, never all pairs. The
-    oracle's O(n²) cross join exists only DuckDB-side as ground truth."""
+    oracle's O(n²) cross join exists only DuckDB-side as ground truth.
+
+    The gram relation is localCheckpoint-materialized because
+    ppjoin_pairs consumes it FIVE times (df counts, prefix ranking, both
+    verify joins, set sizes) — unmaterialized, Spark recomputed the
+    tokenize + 5-gram + explode subtree per consumer, which was ~5x the
+    query's whole cost (10.7 s -> ~3 s at sf0.1). Blocks self-release
+    with the plan (the CacheManager sweep lesson, ADVICE r5)."""
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(word_ngrams(tokenize(F.lower("text")), PPJOIN_N))
         ).alias("shingle"),
-    )
+    ).localCheckpoint(eager=True)
     pairs = ppjoin_pairs(grams, "doc_id", "shingle", threshold=PPJOIN_T)
     return pairs.select(
         "id_l",
