@@ -57,24 +57,6 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     return np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
 
 
-def _extract_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    feats = []
-    for payload in batch["payload"]:
-        raw = bytes(payload)
-        pixels = decode_image(raw, fake=True)
-        # deterministic FEATURE_DIM-dim "embedding": normalized digest slices
-        vec = (pixels[:FEATURE_DIM] / 255.0).astype(np.float32)
-        feats.append(vec.tolist())
-    return pd.DataFrame(
-        {
-            "doc_id": batch["doc_id"],
-            "n_bytes": batch["payload"].map(len).astype("int64"),
-            "header": batch["payload"].map(lambda b: bytes(b)[:4].hex()),
-            "feature": feats,
-        }
-    )
-
-
 def extract_features(payloads: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the opaque payload column.
 
@@ -82,12 +64,42 @@ def extract_features(payloads: DataFrame) -> DataFrame:
     payloads (the decode-heavy path batches GPU/codec work naturally); the
     output schema is declared, columnar, and join-ready for the ANN
     operators.
+
+    The worker fn is a SELF-CONTAINED closure (imports + fake decode
+    inline): cloudpickle serializes module-level helpers by REFERENCE, so
+    a closure calling them requires every worker to import this package —
+    which breaks when the driver ran from outside the repo (sys.path
+    insert travels with the driver, not the workers). Same by-value rule
+    as the streaming stateful update fn.
     """
+    dim = FEATURE_DIM
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
         for batch in batches:
-            if len(batch):
-                yield _extract_batch(batch)
+            if not len(batch):
+                continue
+            feats = []
+            for payload in batch["payload"]:
+                raw = bytes(payload)
+                # deterministic fake decode (md5-digest "pixels"), the
+                # same math as decode_image(fake=True)
+                pixels = _np.frombuffer(
+                    _hashlib.md5(raw).digest(), dtype=_np.uint8
+                ).astype(_np.float32)
+                feats.append((pixels[:dim] / 255.0).astype(_np.float32).tolist())
+            yield _pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_bytes": batch["payload"].map(len).astype("int64"),
+                    "header": batch["payload"].map(lambda b: bytes(b)[:4].hex()),
+                    "feature": feats,
+                }
+            )
 
     return payloads.mapInPandas(gen, schema=FEATURES_SCHEMA)
 
@@ -98,10 +110,18 @@ def extract_features_arrow(payloads: DataFrame) -> DataFrame:
     payload columns that conversion is a real cost (pandas boxes every
     payload into a Python ``bytes`` object; Arrow keeps one contiguous
     buffer), so this is the preferred crossing for decode-heavy multimodal
-    work. Output values are IDENTICAL to the pandas path (tested)."""
-    import pyarrow as pa
+    work. Output values are IDENTICAL to the pandas path (tested).
+
+    Self-contained closure for the same worker-import reason as
+    :func:`extract_features`."""
+    dim = FEATURE_DIM
 
     def gen(batches):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pyarrow as pa
+
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -112,8 +132,10 @@ def extract_features_arrow(payloads: DataFrame) -> DataFrame:
                 raw = buf.as_py()
                 n_bytes.append(len(raw))
                 headers.append(raw[:4].hex())
-                pixels = decode_image(raw, fake=True)
-                feats.append((pixels[:FEATURE_DIM] / 255.0).astype(np.float32).tolist())
+                pixels = _np.frombuffer(
+                    _hashlib.md5(raw).digest(), dtype=_np.uint8
+                ).astype(_np.float32)
+                feats.append((pixels[:dim] / 255.0).astype(_np.float32).tolist())
             yield pa.RecordBatch.from_arrays(
                 [
                     doc_ids,
@@ -158,13 +180,27 @@ def resize_images(payloads: DataFrame, width: int, height: int) -> DataFrame:
     binary column — readers never guess)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained (same fake-resize math as resize_image(fake=True));
+        # see extract_features for the worker-import rationale
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def _fake_resize(raw: bytes) -> bytes:
+            out = bytearray()
+            counter = 0
+            while len(out) < width * height:
+                out += _hashlib.md5(raw + counter.to_bytes(4, "big")).digest()
+                counter += 1
+            return bytes(out[: width * height])
+
         for batch in batches:
             if len(batch):
-                yield pd.DataFrame(
+                yield _pd.DataFrame(
                     {
                         "doc_id": batch["doc_id"],
                         "payload": batch["payload"].map(
-                            lambda b: resize_image(bytes(b), width, height, fake=True)
+                            lambda b: _fake_resize(bytes(b))
                         ),
                         "width": width,
                         "height": height,
