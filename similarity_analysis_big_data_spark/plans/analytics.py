@@ -1161,7 +1161,9 @@ def stream_twin_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = session_window_counts(
         read_event_stream(spark, sf_dir), gap="30 minutes", watermark="2 hours"
     )
-    out = run_to_memory(stream, f"stream_twin_sess_{uuid.uuid4().hex[:8]}")
+    out = run_to_memory(
+        stream, f"stream_twin_sess_{uuid.uuid4().hex[:8]}", shuffle_partitions=8
+    )
     return out.select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -1203,7 +1205,9 @@ def stream_twin_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_c = read_event_stream(spark, sf_dir)
     ev_p = read_event_stream(spark, sf_dir)
     stream = interval_join_stream(ev_c, ev_p, band_minutes=30, watermark="2 hours")
-    out = run_to_memory(stream, f"stream_twin_ij_{uuid.uuid4().hex[:8]}")
+    out = run_to_memory(
+        stream, f"stream_twin_ij_{uuid.uuid4().hex[:8]}", shuffle_partitions=8
+    )
     return out.select("click_id", "purchase_id", "user_id", "micros_to_purchase")
 
 
