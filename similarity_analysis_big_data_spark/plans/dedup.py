@@ -293,6 +293,100 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_leakage_pairs",
+    oracle=_SQL_SAMPLE_SHINGLES
+    + _SQL_MH
+    + _SQL_BANDS
+    + f"""
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+        FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS n_common
+        FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    verified AS (
+        SELECT i.id_l, i.id_r,
+               CAST(i.n_common AS DOUBLE) / (sl.set_size + sr.set_size - i.n_common)
+                   AS jaccard
+        FROM inter i
+        JOIN cand c ON c.id_l = i.id_l AND c.id_r = i.id_r
+        JOIN sizes sl ON sl.doc_id = i.id_l
+        JOIN sizes sr ON sr.doc_id = i.id_r
+        WHERE CAST(i.n_common AS DOUBLE) / (sl.set_size + sr.set_size - i.n_common) >= 0.5
+    ),
+    split AS (
+        SELECT doc_id,
+               CASE WHEN {md5_long_sql("CAST(doc_id AS VARCHAR)")} % 100 < 80
+                    THEN 'train'
+                    WHEN {md5_long_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                    THEN 'val' ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT v.id_l, v.id_r, round(v.jaccard, 6) AS jaccard,
+           sl.split AS split_l, sr.split AS split_r
+    FROM verified v
+    JOIN split sl ON sl.doc_id = v.id_l
+    JOIN split sr ON sr.doc_id = v.id_r
+    WHERE sl.split <> sr.split
+    """,
+    doc="[ext] train/test LEAKAGE audit: verified near-duplicate pairs "
+    "(banded LSH candidates -> exact Jaccard >= 0.5) that STRADDLE the "
+    "deterministic 80/10/10 split — each such pair is an eval example "
+    "whose near-copy sits in training data, the contamination class "
+    "document-level decontamination misses when dedup runs BEFORE "
+    "splitting (Lee et al. 2022 measure the resulting eval inflation). "
+    "Uses the identical md5 split rule as train_val_test_split, so the "
+    "audit is consistent with the split it audits.",
+)
+def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the pair relation is the bounded near-dup pipeline (banded
+    candidates, candidate-driven verify); the split attachment is two
+    key-grained joins of the PAIR relation against the hash-derived
+    (doc_id, split) projection — a narrow map over the corpus, no
+    shuffle of its own. Pairs drive the cost, never corpus x corpus."""
+    from ..functions.hashing import md5_long
+    from .sampling import TRAIN_PCT, VAL_PCT
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = docs.filter(F.col("doc_id") % SAMPLE_MOD == 0)
+    toksets = sampled.select(
+        "doc_id", F.array_distinct(tokenize(F.lower("text"))).alias("toks")
+    ).localCheckpoint(eager=True)
+    shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
+    sigs = minhash_signatures(shingles, "doc_id")
+    cand = lsh_candidate_pairs(sigs, "doc_id")
+    verified = jaccard_pairs(
+        shingles, "doc_id", candidates=cand, assume_distinct=True
+    ).filter(F.col("jaccard") >= 0.5)
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = docs.select(
+        "doc_id",
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        verified.join(
+            split.withColumnsRenamed({"doc_id": "id_l", "split": "split_l"}), "id_l"
+        )
+        .join(
+            split.withColumnsRenamed({"doc_id": "id_r", "split": "split_r"}), "id_r"
+        )
+        .filter(F.col("split_l") != F.col("split_r"))
+        .select(
+            "id_l", "id_r", F.round("jaccard", 6).alias("jaccard"),
+            "split_l", "split_r",
+        )
+    )
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle=_SQL_TOKS
     + f""",

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_long_sql
 from ..functions.text import tokenize
 from ..functions.vectors import cosine_similarity, cosine_sql
 from ..operators.rank import bucketed_row_number, ntile_from_rank
@@ -1224,6 +1225,102 @@ def feature_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", (md5_long("term") % FEATURE_HASH_DIM).alias("bucket")
         )
         .agg(F.count("*").alias("weight"))
+    )
+
+
+DSIR_TARGET_LANG = "en"  # the target domain whose distribution we select FOR
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(lower(text), '[^\w]+'),
+                               x -> x <> '') AS tokens
+            FROM documents
+        ),
+        feat AS (
+            SELECT doc_id, lang,
+                   {md5_long_sql('t.term')} % {FEATURE_HASH_DIM} AS bucket
+            FROM toks, unnest(tokens) AS t(term)
+        ),
+        per_doc AS (
+            SELECT doc_id, lang, bucket, count(*) AS n
+            FROM feat GROUP BY 1, 2, 3
+        ),
+        bt AS (
+            SELECT bucket,
+                   count(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS ct,
+                   count(*) FILTER (lang <> '{DSIR_TARGET_LANG}') AS cr
+            FROM feat GROUP BY 1
+        ),
+        tot AS (
+            SELECT count(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS t,
+                   count(*) FILTER (lang <> '{DSIR_TARGET_LANG}') AS r
+            FROM feat
+        ),
+        ratio AS (
+            SELECT bucket,
+                   ln((ct + 1.0) / (t + {FEATURE_HASH_DIM}.0))
+                 - ln((cr + 1.0) / (r + {FEATURE_HASH_DIM}.0)) AS dlog
+            FROM bt, tot
+        ),
+        scores AS (
+            SELECT p.doc_id, round(sum(p.n * r.dlog), 4) AS dsir_llr
+            FROM per_doc p JOIN ratio r USING (bucket)
+            GROUP BY 1
+        )
+        SELECT d.doc_id, d.lang, coalesce(s.dsir_llr, 0.0) AS dsir_llr
+        FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id
+    """,
+    doc=f"[ext] DSIR-style importance weights (Xie et al. 2023, 'Data "
+    f"Selection for Language Models via Importance Resampling'): hashed "
+    f"unigram bag-of-words models of the target domain (lang = "
+    f"'{DSIR_TARGET_LANG}') and the raw rest, add-1 smoothed over the "
+    f"{FEATURE_HASH_DIM} hash buckets; each document scores the "
+    "log-likelihood ratio sum(n_f * (ln p_target(f) - ln p_raw(f))) — "
+    "resampling by these weights selects raw data that LOOKS like the "
+    "target domain. Zero-token documents score 0.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the corpus collapses to one (doc, bucket) partial+final hash
+    agg; the feature models are {FEATURE_HASH_DIM}-row and 1-row
+    aggregates that enter as broadcasts (no vocabulary relation at all —
+    the hashing trick makes model width constant at 100 TB); the final
+    score is one more per-doc agg. Nothing shuffles except by doc_id."""
+    from ..functions.hashing import md5_long
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokenize(F.lower("text"))).alias("term"),
+    ).select(
+        "doc_id", "lang", (md5_long("term") % FEATURE_HASH_DIM).alias("bucket")
+    )
+    is_t = F.col("lang") == DSIR_TARGET_LANG
+    per_doc = feat.groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
+    bt = feat.groupBy("bucket").agg(
+        F.count_if(is_t).alias("ct"), F.count_if(~is_t).alias("cr")
+    )
+    tot = feat.agg(F.count_if(is_t).alias("t"), F.count_if(~is_t).alias("r"))
+    dim = F.lit(float(FEATURE_HASH_DIM))
+    ratio = bt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("t") + dim))
+            - F.log((F.col("cr") + 1.0) / (F.col("r") + dim))
+        ).alias("dlog"),
+    )
+    scores = (
+        per_doc.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("n") * F.col("dlog")), 4).alias("dsir_llr"))
+    )
+    return docs.select("doc_id", "lang").join(scores, "doc_id", "left").select(
+        "doc_id", "lang", F.coalesce("dsir_llr", F.lit(0.0)).alias("dsir_llr")
     )
 
 
