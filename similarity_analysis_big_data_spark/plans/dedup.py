@@ -292,12 +292,10 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "split_leakage_pairs",
-    oracle=_SQL_SAMPLE_SHINGLES
-    + _SQL_MH
-    + _SQL_BANDS
-    + f"""
+# Shared CTE tail for the leakage family: LSH-candidate exact-verified
+# near-dup pairs plus the deterministic 80/10/10 split assignment (the
+# SAME md5 rule as plans/sampling.py train_val_test_split).
+_SQL_VERIFIED_AND_SPLIT = f"""
     , cand AS (
         SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
         FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
@@ -327,6 +325,16 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 'val' ELSE 'test' END AS split
         FROM documents
     )
+"""
+
+
+@register(
+    "split_leakage_pairs",
+    oracle=_SQL_SAMPLE_SHINGLES
+    + _SQL_MH
+    + _SQL_BANDS
+    + _SQL_VERIFIED_AND_SPLIT
+    + """
     SELECT v.id_l, v.id_r, round(v.jaccard, 6) AS jaccard,
            sl.split AS split_l, sr.split AS split_r
     FROM verified v
@@ -384,6 +392,81 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split_l", "split_r",
         )
     )
+
+
+@register(
+    "train_corpus_leakage_purged",
+    oracle=_SQL_SAMPLE_SHINGLES
+    + _SQL_MH
+    + _SQL_BANDS
+    + _SQL_VERIFIED_AND_SPLIT
+    + """
+    , leak_train AS (
+        SELECT DISTINCT CASE WHEN sl.split = 'train' THEN v.id_l
+                             ELSE v.id_r END AS doc_id
+        FROM verified v
+        JOIN split sl ON sl.doc_id = v.id_l
+        JOIN split sr ON sr.doc_id = v.id_r
+        WHERE sl.split <> sr.split
+          AND (sl.split = 'train' OR sr.split = 'train')
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN split s ON s.doc_id = d.doc_id
+    WHERE s.split = 'train'
+      AND NOT EXISTS (SELECT 1 FROM leak_train l WHERE l.doc_id = d.doc_id)
+    """,
+    doc="[ext] the leakage REPAIR step: the training split with every "
+    "document that near-duplicates a val/test document removed (purge "
+    "the train side, keep eval frozen — the standard remediation, since "
+    "mutating eval sets breaks comparability across runs). Composes the "
+    "split_leakage_pairs audit into the actionable training corpus.",
+)
+def train_corpus_leakage_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the leak set is pair-relation-sized (far below corpus) and
+    finishes as ONE broadcast anti-join against the split-filtered
+    corpus scan — the same shape as the near-dup survivor queries."""
+    from ..functions.hashing import md5_long
+    from .sampling import TRAIN_PCT, VAL_PCT
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = docs.filter(F.col("doc_id") % SAMPLE_MOD == 0)
+    toksets = sampled.select(
+        "doc_id", F.array_distinct(tokenize(F.lower("text"))).alias("toks")
+    ).localCheckpoint(eager=True)
+    shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
+    sigs = minhash_signatures(shingles, "doc_id")
+    cand = lsh_candidate_pairs(sigs, "doc_id")
+    verified = jaccard_pairs(
+        shingles, "doc_id", candidates=cand, assume_distinct=True
+    ).filter(F.col("jaccard") >= 0.5)
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = docs.select(
+        "doc_id",
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    pairs = (
+        verified.join(
+            split.withColumnsRenamed({"doc_id": "id_l", "split": "split_l"}), "id_l"
+        )
+        .join(
+            split.withColumnsRenamed({"doc_id": "id_r", "split": "split_r"}), "id_r"
+        )
+        .filter(F.col("split_l") != F.col("split_r"))
+        .filter((F.col("split_l") == "train") | (F.col("split_r") == "train"))
+    )
+    leak_train = pairs.select(
+        F.when(F.col("split_l") == "train", F.col("id_l"))
+        .otherwise(F.col("id_r"))
+        .alias("doc_id")
+    ).distinct()
+    train = docs.join(split.filter(F.col("split") == "train"), "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+    return train.join(leak_train, "doc_id", "left_anti")
 
 
 @register(
