@@ -39,7 +39,15 @@ DIMS = ("region", "nation")
 
 
 def _copy_sql(table: str, i: int, src: str) -> str:
-    suf = "qc" + string.ascii_lowercase[i]  # alphabetic: fuses under \w+
+    # Alphabetic (fuses under \w+), base-26 so any copy index works:
+    # i=0→"qca", 25→"qcz", 26→"qcba", 701→"qczz", 702→"qcbaa".
+    digits, n = "", i
+    while True:
+        n, r = divmod(n, 26)
+        digits = string.ascii_lowercase[r] + digits
+        if n == 0:
+            break
+    suf = "qc" + digits
     s = i * STRIDE
     base = f"SELECT * FROM '{src}/{table}.parquet'"
     if i == 0:

@@ -63,30 +63,6 @@ def percentile_bounds(
     return sorted(set(float(b) for b in row["bs"]))
 
 
-def min_max_grid_bounds(df: DataFrame, key: str, n_buckets: int) -> list[float]:
-    """Equal-width grid boundaries from one min/max aggregate — the
-    zero-sketch alternative to ``percentile_bounds`` for roughly-uniform
-    numeric keys (dense ids, event timestamps). Boundaries only set the
-    bucket LOAD BALANCE, never an output value (the rank-equality
-    property test pins that for any boundary vector), so a skewed key
-    degrades parallelism, not correctness. The aggregate scans one
-    pruned column and is eligible for parquet footer min/max pushdown —
-    materially cheaper than the GK sketch pass when the caller knows the
-    key is uniform. Returns [] on empty/constant input — callers degrade
-    to a single bucket."""
-    if n_buckets <= 1:
-        return []
-    row = df.agg(
-        F.min(F.col(key).cast("double")).alias("lo"),
-        F.max(F.col(key).cast("double")).alias("hi"),
-    ).collect()[0]
-    lo, hi = row["lo"], row["hi"]
-    if lo is None or hi is None or lo == hi:
-        return []
-    step = (hi - lo) / n_buckets
-    return sorted({lo + i * step for i in range(1, n_buckets)})
-
-
 def bucket_of(key: str, bounds: list[float]) -> Column:
     """#bounds strictly below the key — broadcast-literal fold, map-only."""
     if not bounds:  # empty input / n_buckets=1 → single bucket

@@ -1291,8 +1291,11 @@ def stream_twin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     physical duplicate survives is racy by design, the key set is not).
     Production uses dropDuplicatesWithinWatermark (streaming/dedup.py)
     so redelivery state evicts as the watermark advances; the plain
-    dropDuplicates here keys state on the hour-bucketed event-time, the
-    equivalent eviction contract for an event-time-derived key."""
+    dropDuplicates here declares its watermark ON the hour-bucketed
+    event-time column itself (see dedup_hourly_key_stream), so the
+    watermarked column sits inside the dedup key and state evicts as
+    the watermark passes each hour — bounded state, not just for the
+    finite fixture."""
     import uuid
 
     from ..streaming.dedup import dedup_hourly_key_stream

@@ -52,14 +52,23 @@ def register(
 
 
 # Names surfaced FIRST in query_map()/oracle_sql_map(). The round driver
-# samples ~50 registry entries per round in presentation order; rounds r1-r5
-# covered 210 of the 242 registered queries. Round-6 ordering leads with the
-# exact 32 queries that have never had a driver CORRECTNESS row
-# (registry minus r1∪r2∪r3∪r4∪r5), so one more 50-slot window gives every
-# registered query a green driver row; new r6 queries queue directly behind
-# them inside the same window. (Pure presentation order — every query is in
-# the map either way.)
+# samples ~50 registry entries per round in presentation order; r1∪…∪r6
+# covered 259 of the 262 registered queries. Round-7 ordering leads with
+# the 3 queries committed after the r6 driver run (their first CORRECTNESS
+# window), then the 2 queries whose only driver evidence is a stale
+# `no_oracle` amber from r2/r4 — both gained DuckDB oracles since and
+# hash-match locally, so resampling converts the ambers to green. New or
+# plan-changed r7 queries queue directly behind. (Pure presentation order —
+# every query is in the map either way.)
 PRIORITY: tuple[str, ...] = (
+    # -- the 3 never-driver-sampled (committed after the r6 driver run) --
+    "split_leakage_pairs",
+    "train_corpus_leakage_purged",
+    "dsir_importance_weights",
+    # -- stale no_oracle ambers (r2/r4) now oracle-backed: resample --
+    "approx_distinct_parts",
+    "hll_sketch_merge_users",
+    # -- r6 window retained behind the r7 lead --
     # -- the 32 never-sampled (r1..r5 union checked 2026-08-14) --
     "zscore_doclen_by_lang",
     "top_trigrams_per_lang",

@@ -44,10 +44,21 @@ def dedup_hourly_key_stream(events: DataFrame, watermark: str = "2 hours") -> Da
     delivery (same user doing the same thing in the same hour) collapses;
     survivor VALUES are not part of the contract — consumers must read
     only key-determined columns, which is why the driver-visible twin
-    aggregates over the key columns alone."""
+    aggregates over the key columns alone.
+
+    State boundedness: ``dropDuplicates`` only evicts state when the
+    WATERMARKED event-time column itself is in the key subset — a derived
+    ``date_trunc('hour', ts)`` column carries no watermark metadata, so
+    watermarking ``ts`` and keying on the bucket would grow state forever.
+    The watermark is therefore declared ON ``hour_bucket`` (a legal
+    event-time column: truncation shifts each event's time down by <1h,
+    which the delay absorbs), making the watermarked column part of the
+    dedup key; Spark then drops each (user, type, hour) entry once the
+    watermark passes that hour — the bounded-state contract a production
+    deployment needs."""
     keyed = events.withColumn("hour_bucket", F.date_trunc("hour", F.col("ts")))
     return (
-        keyed.withWatermark("ts", watermark)
+        keyed.withWatermark("hour_bucket", watermark)
         .dropDuplicates(["user_id", "event_type", "hour_bucket"])
         .select("user_id", "event_type", "hour_bucket")
     )

@@ -319,3 +319,43 @@ def test_compact_parquet_dir_rejects_hive_partitioned_layout(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 1_000
     assert "part" in back.columns
+
+
+def test_compact_parquet_dir_aborts_on_rowcount_mismatch(spark, tmp_path):
+    """The destructive swap only happens AFTER the rewrite's row count is
+    re-verified; a mismatch (simulating a partial write or a concurrent
+    append racing the rewrite) aborts with the original directory intact
+    and the temp rewrite cleaned up (VERDICT r6 item 7)."""
+    import os
+
+    import pytest
+
+    from similarity_analysis_big_data_spark.sources.maintenance import (
+        compact_parquet_dir,
+    )
+
+    path = str(tmp_path / "racy")
+    spark.range(5_000).selectExpr(
+        "id", "md5(cast(id as string)) as digest"
+    ).repartition(16).write.parquet(path)
+
+    class _ReaderProxy:
+        """spark.read twin that drops a row when re-reading the rewrite
+        temp dir — the verification must catch the discrepancy."""
+
+        def parquet(self, p):
+            df = spark.read.parquet(p)
+            return df.limit(df.count() - 1) if "._compact-" in p else df
+
+    class _SparkProxy:
+        read = _ReaderProxy()
+
+        def __getattr__(self, name):
+            return getattr(spark, name)
+
+    with pytest.raises(RuntimeError, match="row count"):
+        compact_parquet_dir(_SparkProxy(), path, target_bytes=1 << 30)
+    # original intact, temp rewrite gone
+    assert spark.read.parquet(path).count() == 5_000
+    leftovers = [d for d in os.listdir(tmp_path) if "._compact-" in d]
+    assert leftovers == []
