@@ -56,6 +56,12 @@ def get_session(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # DuckDB oracle timestamps are UTC-naive; pin the session TZ.
         "spark.sql.session.timeZone": "UTC",
+        # PySpark 4's per-call call-site capture (for enriched error
+        # messages) costs several py4j round trips on EVERY DataFrame API
+        # call — profiled at ~25% of driver-side plan-build time on the
+        # flagship query. Plan construction latency matters more than
+        # call-site strings in error text for a headless engine.
+        "spark.python.sql.dataFrameDebugging.enabled": "false",
         # Quiet the UI for headless test/bench runs.
         # (No parquet-nanos conf needed: Spark 4.1+ reads the events
         # fixture's TIMESTAMP(NANOS) natively as TIMESTAMP_NTZ, µs-truncated

@@ -71,9 +71,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     do not pass a schema here because parquet files are self-describing and
     a user-supplied schema would disable vectorized-reader fast paths on
     mismatch. Schema expectations are validated in tests instead.
+
+    The resulting DataFrame is memoized per (session, dir, table):
+    ``spark.read.parquet`` eagerly reads parquet footers for schema
+    resolution (~80 ms of driver latency per call), and a query that
+    touches the same table three times would otherwise pay that three
+    times per invocation. Sound because DataFrames are immutable plans and
+    the fixture dirs are read-only; the memo lives on the session object,
+    so its lifetime matches the session's.
     """
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    cache: dict = spark.__dict__.setdefault("_sabds_table_memo", {})
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
     df = _read_parquet_portable(spark, f"{sf_dir}/{name}.parquet")
     # events.ts is parquet TIMESTAMP(NANOS): Spark 4.1+ reads it natively as
     # TIMESTAMP_NTZ (no conversion needed). Under the legacy nanosAsLong
@@ -99,6 +111,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ),
             )
+    cache[key] = df
     return df
 
 
