@@ -300,6 +300,18 @@ def title_best_abstract(
             F.coalesce(F.col("cosine"), F.lit(0.0)).alias("cosine"),
         )
     else:
+        # Sparse branch: DROP the TF/DF persists before building the pair
+        # join. The cache only pays off when a LATER action rereads what
+        # the probe materialized — the dense path's collect does exactly
+        # that — but the sparse pair join is one giant streaming pass, and
+        # routing its build side through a TableCacheQueryStage barrier
+        # (serialized block write + read) instead of recomputing the
+        # corpus chain fused into the join stage measured 40.7 s vs
+        # 22.0 s at the 16x replica (SCALE.md r7 flagship sweep). After
+        # unpersist the planner stops substituting the cached relation
+        # and the whole chain pipelines into the join.
+        abstract_tf.unpersist()
+        df_.unpersist()
         pairs = sparse_cosine_join(
             title_vec,
             abstract_vec,
