@@ -85,6 +85,29 @@ def test_flagship_pair_stage_does_not_shuffle(spark, sf_oracle):
     assert "WindowGroupLimit" in plan
 
 
+def test_flagship_sparse_branch_drops_tf_cache(spark, sf_oracle):
+    """The sparse branch must NOT route its pair-join build side through
+    the probe's TF/DF cache: a persist feeding exactly one streaming pass
+    breaks whole-stage fusion behind a TableCacheQueryStage barrier
+    (measured 40.7 vs 22.0 s at the 16x replica, SCALE.md r7). After auto
+    decides sparse, the final plan must contain no InMemoryRelation."""
+    from similarity_analysis_big_data_spark.plans.similarity import title_best_abstract
+
+    # force the auto probe to run AND pick sparse by shrinking the dense
+    # vocabulary ceiling to zero for the duration of the call
+    from similarity_analysis_big_data_spark.plans import similarity as S
+
+    saved = S.DENSE_MAX_VOCAB
+    S.DENSE_MAX_VOCAB = 0
+    try:
+        df = title_best_abstract(spark, sf_oracle, strategy="auto")
+    finally:
+        S.DENSE_MAX_VOCAB = saved
+    plan = _plan_of(spark, df)
+    assert "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan
+    spark.catalog.clearCache()
+
+
 def test_topn_uses_take_ordered(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "global_topn_orders")
     assert "TakeOrderedAndProject" in plan  # no global sort materialized
