@@ -68,6 +68,10 @@ PRIORITY: tuple[str, ...] = (
     # -- stale no_oracle ambers (r2/r4) now oracle-backed: resample --
     "approx_distinct_parts",
     "hll_sketch_merge_users",
+    # -- new in r7: PII compliance family --
+    "pii_detection_stats",
+    "pii_redacted_rewrite",
+    "pii_multitype_risk",
     # -- r6 window retained behind the r7 lead --
     # -- the 32 never-sampled (r1..r5 union checked 2026-08-14) --
     "zscore_doclen_by_lang",
@@ -166,6 +170,7 @@ def _load_all() -> None:
         layout,
         lm,
         multimodal,
+        pii,
         relational,
         sampling,
         similarity,
