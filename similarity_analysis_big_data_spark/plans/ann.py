@@ -1742,3 +1742,155 @@ def ann_binary_sign_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal marginal relevance (MMR) diverse top-k [r7]
+
+MMR_QUERY_MOD = 100  # 1-in-100 vectors are MMR queries
+MMR_POOL = 12  # relevance-ranked candidate pool per query
+MMR_K = 5  # diverse picks per query
+# λ·rel − (1−λ)·redundancy, the Carbonell & Goldstein (1998) objective.
+# Literals appear as 0.7 / 0.3 on BOTH engines so the doubles agree bitwise.
+
+
+@register(
+    "mmr_diverse_topk",
+    oracle=f"""
+    WITH RECURSIVE
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id % {MMR_QUERY_MOD} = 0),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round({cosine_sql('q.qv', 'e.embedding')}, 6) AS rel
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= {MMR_POOL}
+    ),
+    sims AS (
+      SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+             round({cosine_sql('ea.embedding', 'eb.embedding')}, 6) AS sim
+      FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+      JOIN embeddings ea ON a.vec_id = ea.vec_id
+      JOIN embeddings eb ON b.vec_id = eb.vec_id
+    ),
+    sel AS (
+      SELECT query_id, 1 AS rnk, vec_id, rel, [vec_id] AS picked FROM (
+        SELECT query_id, vec_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, vec_id) AS rn
+        FROM cand) WHERE rn = 1
+      UNION ALL
+      SELECT s.query_id, s.rnk + 1, nxt.vec_id, nxt.rel,
+             list_append(s.picked, nxt.vec_id)
+      FROM sel s, LATERAL (
+        SELECT c.vec_id, c.rel
+        FROM cand c
+        WHERE c.query_id = s.query_id AND NOT list_contains(s.picked, c.vec_id)
+        ORDER BY round(0.7 * c.rel - 0.3 * (
+            SELECT max(m.sim) FROM sims m
+            WHERE m.query_id = s.query_id AND m.a_id = c.vec_id
+              AND list_contains(s.picked, m.b_id)), 6) DESC, c.vec_id
+        LIMIT 1
+      ) nxt
+      WHERE s.rnk < {MMR_K}
+    )
+    SELECT query_id, rnk, vec_id, rel FROM sel
+    """,
+    doc="[ext] MMR diverse top-k (Carbonell & Goldstein 1998): relevance "
+    f"pool of {MMR_POOL} per query, then {MMR_K} picks maximizing "
+    "0.7*rel - 0.3*max-similarity-to-already-picked — the rerank that "
+    "keeps a retrieval (or training-data selection) result set from "
+    "collapsing onto near-duplicates. Oracle is a recursive CTE running "
+    "the identical greedy iteration.",
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: candidate generation is the distributed part (broadcast
+    queries x corpus, exactly the brute-force top-k shape); the greedy
+    rounds run as K-1 joins over the POOLED relations — bounded at
+    |queries| x MMR_POOL rows, localCheckpoint'd once so the corpus scan
+    is not re-executed per round. Selection state never touches the
+    driver and every round is per-query parallel; K is a constant, so
+    the whole rerank is O(K) bounded-size jobs regardless of corpus
+    size. Ties and float parity: every comparison key is rounded to 6dp
+    before ordering, tiebreak ascending vec_id — same contract as the
+    ANN family."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") % MMR_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity("qv", "embedding"), 6).alias("rel"),
+        )
+    )
+    w_rel = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w_rel))
+        .filter(F.col("_rn") <= MMR_POOL)
+        .select("query_id", "vec_id", "rel")
+        .localCheckpoint(eager=True)
+    )
+    cv = cand.join(emb, "vec_id")
+    a = cv.select(
+        "query_id", F.col("vec_id").alias("a_id"), F.col("embedding").alias("_va")
+    )
+    b = cv.select(
+        "query_id", F.col("vec_id").alias("b_id"), F.col("embedding").alias("_vb")
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            F.round(cosine_similarity("_va", "_vb"), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    selected = (
+        cand.withColumn("_rn", F.row_number().over(w_rel))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.lit(1).alias("rnk"), "vec_id", "rel")
+    )
+    for step in range(2, MMR_K + 1):
+        remaining = cand.join(
+            selected.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+        )
+        ms = (
+            sims.join(
+                selected.select("query_id", F.col("vec_id").alias("b_id")),
+                ["query_id", "b_id"],
+            )
+            .groupBy("query_id", F.col("a_id").alias("vec_id"))
+            .agg(F.max("sim").alias("_maxsim"))
+        )
+        nxt = (
+            remaining.join(ms, ["query_id", "vec_id"], "left")
+            .withColumn(
+                "_mmr",
+                F.round(
+                    F.lit(0.7) * F.col("rel")
+                    - F.lit(0.3) * F.coalesce("_maxsim", F.lit(0.0)),
+                    6,
+                ),
+            )
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy("query_id").orderBy(F.desc("_mmr"), F.asc("vec_id"))
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select("query_id", F.lit(step).alias("rnk"), "vec_id", "rel")
+        )
+        selected = selected.unionByName(nxt)
+    return selected

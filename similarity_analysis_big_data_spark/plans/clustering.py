@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.vectors import cosine_sql
 from ..sources.readers import load_table
 from .registry import register
 
@@ -150,4 +151,82 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             cent = spark.createDataFrame(rows, "cid: long, cv: array<double>")
     return assigned.select(
         "vec_id", F.col("cid").alias("cluster"), F.col("d2").alias("dist2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset (farthest-point sampling) [r7]
+
+KCENTER_K = 8  # centers selected; the 2-approximation of Gonzalez (1985)
+
+
+@register(
+    "kcenter_coreset_sample",
+    oracle=f"""
+    WITH RECURSIVE sel AS (
+      SELECT 1 AS rnk, (SELECT min(vec_id) FROM embeddings) AS vec_id,
+             [(SELECT min(vec_id) FROM embeddings)] AS picked
+      UNION ALL
+      SELECT s.rnk + 1, nxt.vec_id, list_append(s.picked, nxt.vec_id)
+      FROM sel s, LATERAL (
+        SELECT e.vec_id
+        FROM embeddings e
+        WHERE NOT list_contains(s.picked, e.vec_id)
+        ORDER BY (SELECT min(round(1 - {{cos}}, 6))
+                  FROM embeddings cen
+                  WHERE list_contains(s.picked, cen.vec_id)) DESC,
+                 e.vec_id
+        LIMIT 1
+      ) nxt
+      WHERE s.rnk < {KCENTER_K}
+    )
+    SELECT rnk, vec_id FROM sel
+    """.format(cos=cosine_sql("e.embedding", "cen.embedding")),
+    doc="[ext] k-center greedy coreset (Gonzalez 1985 farthest-point "
+    f"sampling): {KCENTER_K} maximally-spread embedding exemplars — the "
+    "classic diversity-first data-selection pass (coreset seeding, "
+    "annotation budgeting, eval-set construction). Each round picks the "
+    "point farthest (cosine distance) from every already-chosen center; "
+    "oracle is a recursive CTE running the identical greedy iteration.",
+)
+def kcenter_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the classic distributed form — K rounds, each ONE corpus
+    scan computing min-distance-to-centers as a codegen'd expression over
+    center LITERALS (centers ship in the plan like the LSH hyperplane
+    matrix, no join, no shuffle) and reducing with TakeOrdered(1). Driver
+    state is K rows (id + vector) — bounded by construction, the same
+    posture as the CC quotient. Distances round to 6dp before comparison,
+    ties break ascending vec_id, so the pick sequence is engine-exact."""
+    from ..functions.vectors import cosine_similarity as _cos
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    first = emb.orderBy("vec_id").limit(1).collect()
+    if not first:
+        return spark.createDataFrame([], "rnk int, vec_id bigint")
+    centers = [(1, first[0]["vec_id"], list(first[0]["embedding"]))]
+    for rnk in range(2, KCENTER_K + 1):
+        picked_ids = [c[1] for c in centers]
+        dists = [
+            F.round(
+                F.lit(1.0)
+                - _cos(
+                    "embedding", F.array(*[F.lit(float(x)) for x in vec])
+                ),
+                6,
+            )
+            for _, _, vec in centers
+        ]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        nxt = (
+            emb.filter(~F.col("vec_id").isin(picked_ids))
+            .select("vec_id", "embedding", mind.alias("_mind"))
+            .orderBy(F.desc("_mind"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break
+        centers.append((rnk, nxt[0]["vec_id"], list(nxt[0]["embedding"])))
+    return spark.createDataFrame(
+        [(r, i) for r, i, _ in centers], "rnk int, vec_id bigint"
     )

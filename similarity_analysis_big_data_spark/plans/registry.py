@@ -68,10 +68,12 @@ PRIORITY: tuple[str, ...] = (
     # -- stale no_oracle ambers (r2/r4) now oracle-backed: resample --
     "approx_distinct_parts",
     "hll_sketch_merge_users",
-    # -- new in r7: PII compliance family --
+    # -- new in r7: PII compliance family + MMR diverse retrieval --
     "pii_detection_stats",
     "pii_redacted_rewrite",
     "pii_multitype_risk",
+    "mmr_diverse_topk",
+    "kcenter_coreset_sample",
     # -- r6 window retained behind the r7 lead --
     # -- the 32 never-sampled (r1..r5 union checked 2026-08-14) --
     "zscore_doclen_by_lang",
