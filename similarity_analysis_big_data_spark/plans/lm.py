@@ -1443,3 +1443,100 @@ def bpe_train_apply_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows,
         "round int, merge_pair string, pair_count long, n_symbols_after long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters [r7]
+
+CM_W = 256  # counters per hash row (ε = 2/w overestimate bound)
+CM_D = 4  # independent hash rows (failure prob δ = (1/2)^d per query)
+CM_MIN_COUNT = 40  # exact-count threshold defining the reported heavy set
+
+
+def _cm_bucket_sql(j: int, expr: str) -> str:
+    salted = f"'cm{j}:' || {expr}"
+    return f"({md5_long_sql(salted)} % {CM_W})"
+
+
+@register(
+    "countmin_heavy_ngrams",
+    oracle=_SQL_BIGRAMS
+    + f"""
+    , bg_counts AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bigs GROUP BY bg),
+    buckets AS (
+        SELECT bg, c2,
+               {_cm_bucket_sql(0, 'bg')} AS b0,
+               {_cm_bucket_sql(1, 'bg')} AS b1,
+               {_cm_bucket_sql(2, 'bg')} AS b2,
+               {_cm_bucket_sql(3, 'bg')} AS b3
+        FROM bg_counts
+    ),
+    c0 AS (SELECT b0 AS bucket, CAST(sum(c2) AS BIGINT) AS t FROM buckets GROUP BY b0),
+    c1 AS (SELECT b1 AS bucket, CAST(sum(c2) AS BIGINT) AS t FROM buckets GROUP BY b1),
+    c2t AS (SELECT b2 AS bucket, CAST(sum(c2) AS BIGINT) AS t FROM buckets GROUP BY b2),
+    c3 AS (SELECT b3 AS bucket, CAST(sum(c2) AS BIGINT) AS t FROM buckets GROUP BY b3)
+    SELECT h.bg AS pair, h.c2 AS exact_n,
+           least(c0.t, c1.t, c2t.t, c3.t) AS cm_est,
+           least(c0.t, c1.t, c2t.t, c3.t) - h.c2 AS cm_overshoot
+    FROM buckets h
+    JOIN c0 ON h.b0 = c0.bucket
+    JOIN c1 ON h.b1 = c1.bucket
+    JOIN c2t ON h.b2 = c2t.bucket
+    JOIN c3 ON h.b3 = c3.bucket
+    WHERE h.c2 >= {CM_MIN_COUNT}
+    """,
+    doc="[ext] count-min sketch heavy hitters: bigram frequencies folded "
+    f"into a {CM_D}x{CM_W} counter grid via the portable md5 hash family, "
+    "point-estimated as the min over rows — the fixed-memory frequency "
+    "sketch for streaming heavy-hitter detection. UNLIKE the HLL bound "
+    "audit, the whole sketch is deterministic on both engines, so the "
+    "counter grid AND every estimate hash-match DuckDB exactly "
+    "(cm_overshoot >= 0 is the CM overestimate guarantee made visible).",
+)
+def countmin_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the counter grid is CM_D x CM_W rows — constant size at any
+    corpus — built from the bigram-count relation with one hash agg per
+    row (a production stream folds increments instead; associativity is
+    what makes the sketch mergeable). Estimates join the heavy candidates
+    against the BROADCAST grid; the only corpus-sized work is the bigram
+    count itself."""
+    from ..functions.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokenize(F.lower("text")).alias("tokens"))
+    bigs = toks.select(
+        F.explode(
+            F.when(
+                F.size("tokens") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(tokens)-1), "
+                    "i -> concat(tokens[i-1], ' ', tokens[i]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg")
+    )
+    bg_counts = bigs.groupBy("bg").agg(F.count("*").cast("long").alias("c2"))
+    buckets = bg_counts.select(
+        "bg",
+        "c2",
+        *[
+            (md5_long(F.concat(F.lit(f"cm{j}:"), F.col("bg"))) % CM_W).alias(f"b{j}")
+            for j in range(CM_D)
+        ],
+    )
+    est = buckets.filter(F.col("c2") >= CM_MIN_COUNT)
+    for j in range(CM_D):
+        cj = (
+            buckets.groupBy(F.col(f"b{j}").alias("bucket"))
+            .agg(F.sum("c2").cast("long").alias(f"_t{j}"))
+        )
+        est = est.join(
+            F.broadcast(cj), est[f"b{j}"] == cj["bucket"]
+        ).drop("bucket")
+    cm = F.least(*[F.col(f"_t{j}") for j in range(CM_D)])
+    return est.select(
+        F.col("bg").alias("pair"),
+        F.col("c2").alias("exact_n"),
+        cm.alias("cm_est"),
+        (cm - F.col("c2")).alias("cm_overshoot"),
+    )

@@ -74,6 +74,7 @@ PRIORITY: tuple[str, ...] = (
     "pii_multitype_risk",
     "mmr_diverse_topk",
     "kcenter_coreset_sample",
+    "countmin_heavy_ngrams",
     # -- r6 window retained behind the r7 lead --
     # -- the 32 never-sampled (r1..r5 union checked 2026-08-14) --
     "zscore_doclen_by_lang",
