@@ -1,0 +1,117 @@
+"""Property tests for the r7 selection/sketch operators beyond oracle
+parity: greedy-structure invariants that must hold on ANY corpus, not
+just hash-equality on the fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def test_mmr_rank1_is_relevance_argmax_and_picks_distinct(spark, sf_smoke):
+    from similarity_analysis_big_data_spark.plans.ann import (
+        MMR_K,
+        MMR_QUERY_MOD,
+        mmr_diverse_topk,
+    )
+    from similarity_analysis_big_data_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from similarity_analysis_big_data_spark.sources.readers import load_table
+
+    out = mmr_diverse_topk(spark, sf_smoke).collect()
+    assert out, "smoke fixture must yield at least one query"
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        ids = [r["vec_id"] for r in rows]
+        assert len(ids) == len(set(ids)), f"duplicate picks for query {qid}"
+        assert sorted(r["rnk"] for r in rows) == list(range(1, len(rows) + 1))
+        assert len(rows) <= MMR_K
+        # rank 1 must be the pure-relevance arg-max (rel desc, id asc)
+        emb = load_table(spark, sf_smoke, "embeddings")
+        qv = emb.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("qv")
+        )
+        top = (
+            emb.crossJoin(F.broadcast(qv))
+            .filter(F.col("vec_id") != qid)
+            .select(
+                "vec_id",
+                F.round(cosine_similarity("qv", "embedding"), 6).alias("rel"),
+            )
+            .orderBy(F.desc("rel"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        r1 = next(r for r in rows if r["rnk"] == 1)
+        assert r1["vec_id"] == top["vec_id"]
+        assert abs(r1["rel"] - top["rel"]) < 1e-9
+
+
+def test_kcenter_greedy_matches_numpy_reference(spark, sf_smoke):
+    """The distributed pick sequence must equal a driver-side numpy
+    implementation of Gonzalez farthest-point sampling with the same
+    rounding and tiebreak."""
+    from similarity_analysis_big_data_spark.plans.clustering import (
+        KCENTER_K,
+        kcenter_coreset_sample,
+    )
+    from similarity_analysis_big_data_spark.sources.readers import load_table
+
+    rows = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, Xn = ids[order], Xn[order]
+
+    picks = [int(ids[0])]  # seed = min vec_id
+    mind = None
+    for _ in range(1, min(KCENTER_K, len(ids))):
+        d = np.round(1.0 - Xn @ Xn[np.searchsorted(ids, picks[-1])], 6)
+        mind = d if mind is None else np.minimum(mind, d)
+        masked = np.where(np.isin(ids, picks), -np.inf, mind)
+        best = np.max(masked)
+        picks.append(int(ids[np.where(masked == best)[0][0]]))
+
+    got = [
+        r["vec_id"]
+        for r in sorted(
+            kcenter_coreset_sample(spark, sf_smoke).collect(),
+            key=lambda r: r["rnk"],
+        )
+    ]
+    assert got == picks
+
+
+def test_countmin_overestimate_guarantee(spark, sf_smoke):
+    """cm_est >= exact count for EVERY reported n-gram — the structural
+    CM guarantee, independent of fixture hashes."""
+    from similarity_analysis_big_data_spark.plans.lm import countmin_heavy_ngrams
+
+    rows = countmin_heavy_ngrams(spark, sf_smoke).collect()
+    for r in rows:
+        assert r["cm_overshoot"] >= 0
+        assert r["cm_est"] == r["exact_n"] + r["cm_overshoot"]
+
+
+def test_load_table_memo_scoped_to_session_and_dir(spark, sf_smoke, sf_oracle):
+    from similarity_analysis_big_data_spark.sources.readers import load_table
+
+    a = load_table(spark, sf_smoke, "region")
+    b = load_table(spark, sf_smoke, "region")
+    c = load_table(spark, sf_oracle, "region")
+    assert a is b, "same (session, dir, table) must return the memoized plan"
+    assert a is not c, "different sf_dir must not share a memo entry"
+    # memo must not leak across sessions: the store lives on the session object
+    assert "_sabds_table_memo" in spark.__dict__
+
+
+def test_session_factory_disables_callsite_capture(spark):
+    assert (
+        spark.conf.get("spark.python.sql.dataFrameDebugging.enabled") == "false"
+    )
