@@ -115,3 +115,43 @@ def test_session_factory_disables_callsite_capture(spark):
     assert (
         spark.conf.get("spark.python.sql.dataFrameDebugging.enabled") == "false"
     )
+
+
+def test_pii_redaction_golden(spark, sf_smoke):
+    """Golden bytes for one known customer: the blob construction and the
+    three-pattern redaction are pinned exactly (not just via md5 parity)."""
+    from similarity_analysis_big_data_spark.plans.pii import (
+        contact_blobs,
+        pii_redacted_rewrite,
+    )
+    from similarity_analysis_big_data_spark.sources.readers import load_table
+
+    # custkey 0: 0%3==0 (email), 0%5<2 (phone), 0%7==0 (ip) — all three
+    cust0 = load_table(spark, sf_smoke, "customer").filter("c_custkey = 0")
+    nk = cust0.collect()[0]["c_nationkey"]
+    nname = (
+        load_table(spark, sf_smoke, "nation")
+        .filter(F.col("n_nationkey") == nk)
+        .collect()[0]["n_name"]
+    )
+    seg = cust0.collect()[0]["c_mktsegment"]
+    blob = contact_blobs(spark, sf_smoke).filter("doc_id = 0").collect()[0]["text"]
+    expected = (
+        f"acct Customer#000000000 segment {seg}"
+        f" email customer-000000000@{nname.lower().replace('_', '-')}.example"
+        " phone +1-555-0000"
+        " ip 10.0.0.0"
+    )
+    assert blob == expected
+
+    red = (
+        pii_redacted_rewrite(spark, sf_smoke).filter("doc_id = 0").collect()[0]
+    )
+    assert red["n_redactions"] == 3
+    import hashlib
+
+    redacted = (
+        f"acct Customer#000000000 segment {seg}"
+        " email <EMAIL> phone <PHONE> ip <IP>"
+    )
+    assert red["redacted_md5"] == hashlib.md5(redacted.encode()).hexdigest()
