@@ -1094,7 +1094,10 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branch, while caching the exploded-adjacent token relation is larger
     # than the source and spills. Measured at sf0.1 (idle host, min of 3,
     # persist monkeypatched off): 8.49 s without vs 9.49 s with — the
-    # persist never paid for itself. The iteration state inside
+    # persist never paid for itself. Re-checked r7 at the 8x replica with
+    # localCheckpoint(eager) on the shingle relation: 20.9-23.4 s plain vs
+    # 21.7-24.4 s checkpointed — still no win; the tokenize recompute stays
+    # cheaper than materializing 186k exploded rows at every scale tried. The iteration state inside
     # connected_components stays localCheckpoint-truncated (that one IS
     # load-bearing: it prevents exponential lineage re-execution).
     toksets = docs.select(
