@@ -230,3 +230,109 @@ def kcenter_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(r, i) for r, i, _ in centers], "rnk int, vec_id bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Submodular facility-location selection [r7]
+
+FACLOC_MOD = 10  # pool = 1-in-10 sample (ground set AND coverage set)
+FACLOC_K = 6  # greedy picks
+
+
+@register(
+    "facility_location_selection",
+    oracle=f"""
+    WITH RECURSIVE
+    pool AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % {FACLOC_MOD} = 0),
+    sims AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round({{cos}}, 6) AS sim
+      FROM pool a JOIN pool b ON true
+    ),
+    first_pick AS (
+      SELECT a_id AS vec_id FROM (
+        SELECT a_id, round(sum(sim), 6) AS gain FROM sims GROUP BY a_id
+      ) ORDER BY gain DESC, a_id LIMIT 1
+    ),
+    sel AS (
+      SELECT 1 AS rnk, (SELECT vec_id FROM first_pick) AS vec_id,
+             [(SELECT vec_id FROM first_pick)] AS picked
+      UNION ALL
+      SELECT s.rnk + 1, nxt.vec_id, list_append(s.picked, nxt.vec_id)
+      FROM sel s, LATERAL (
+        SELECT c.vec_id
+        FROM pool c
+        WHERE NOT list_contains(s.picked, c.vec_id)
+        ORDER BY round((
+            SELECT sum(greatest(
+                sc.sim,
+                coalesce((SELECT max(s2.sim) FROM sims s2
+                 WHERE s2.a_id = sc.b_id AND list_contains(s.picked, s2.b_id)), 0.0)
+            )) FROM sims sc WHERE sc.a_id = c.vec_id), 6) DESC, c.vec_id
+        LIMIT 1
+      ) nxt
+      WHERE s.rnk < {FACLOC_K}
+    )
+    SELECT rnk, vec_id FROM sel
+    """.format(cos=cosine_sql("a.embedding", "b.embedding")),
+    doc="[ext] submodular facility-location selection: greedy maximization "
+    "of Σ_p max_{s∈S} sim(p, s) over a pooled sample — the coverage-first "
+    "complement to MMR (relevance-diversity) and k-center (worst-case "
+    f"spread); {FACLOC_K} picks from a 1-in-{FACLOC_MOD} pool. The greedy "
+    "is the classic (1-1/e)-approximation for monotone submodular "
+    "objectives; oracle is a recursive CTE running the identical "
+    "iteration with 6dp-rounded gains and ascending-id ties.",
+)
+def facility_location_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the pool is a bounded sample by contract (facility location
+    is quadratic in its ground set — the pool relation and the pairwise
+    sim relation are |pool| and |pool|² rows, checkpointed once); each of
+    the K-1 greedy rounds is a pair of bounded joins (coverage update,
+    gain aggregate) plus a TakeOrdered(1) — selection state never touches
+    the driver, same posture as mmr_diverse_topk."""
+    from ..functions.vectors import cosine_similarity as _cos
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pool = emb.filter(F.col("vec_id") % FACLOC_MOD == 0)
+    a = pool.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("_va"))
+    b = pool.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("_vb"))
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .select("a_id", "b_id", F.round(_cos("_va", "_vb"), 6).alias("sim"))
+        .localCheckpoint(eager=True)
+    )
+    first = (
+        sims.groupBy("a_id")
+        .agg(F.round(F.sum("sim"), 6).alias("_gain"))
+        .orderBy(F.desc("_gain"), F.asc("a_id"))
+        .limit(1)
+        .select(F.lit(1).alias("rnk"), F.col("a_id").alias("vec_id"))
+    )
+    selected = first
+    for step in range(2, FACLOC_K + 1):
+        cov = (
+            sims.join(
+                selected.select(F.col("vec_id").alias("b_id")), "b_id"
+            )
+            .groupBy(F.col("a_id").alias("_p"))
+            .agg(F.max("sim").alias("_cov"))
+        )
+        gains = (
+            sims.join(
+                selected.select("vec_id"), sims.a_id == F.col("vec_id"), "left_anti"
+            )
+            .join(cov, sims.b_id == F.col("_p"))
+            .groupBy("a_id")
+            .agg(
+                F.round(
+                    F.sum(F.greatest(F.col("sim"), F.col("_cov"))), 6
+                ).alias("_gain")
+            )
+        )
+        nxt = (
+            gains.orderBy(F.desc("_gain"), F.asc("a_id"))
+            .limit(1)
+            .select(F.lit(step).alias("rnk"), F.col("a_id").alias("vec_id"))
+        )
+        selected = selected.unionByName(nxt)
+    return selected

@@ -75,6 +75,7 @@ PRIORITY: tuple[str, ...] = (
     "mmr_diverse_topk",
     "kcenter_coreset_sample",
     "countmin_heavy_ngrams",
+    "facility_location_selection",
     # -- r6 window retained behind the r7 lead --
     # -- the 32 never-sampled (r1..r5 union checked 2026-08-14) --
     "zscore_doclen_by_lang",
