@@ -76,6 +76,8 @@ PRIORITY: tuple[str, ...] = (
     "kcenter_coreset_sample",
     "countmin_heavy_ngrams",
     "facility_location_selection",
+    "ngram_novelty_vs_reference",
+    "dataset_card_summary",
     # -- r6 window retained behind the r7 lead --
     # -- the 32 never-sampled (r1..r5 union checked 2026-08-14) --
     "zscore_doclen_by_lang",

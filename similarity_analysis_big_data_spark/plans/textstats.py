@@ -980,3 +980,147 @@ def zipf_fit_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_slope(ln(c), ln(r))"), 6).alias("zipf_slope"),
         F.round(F.expr("regr_r2(ln(c), ln(r))"), 6).alias("fit_r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty vs a reference corpus + dataset card [r7]
+
+NOVELTY_N = 3  # token n-gram order
+
+
+@register(
+    "ngram_novelty_vs_reference",
+    oracle=_SQL_TOKS
+    + f"""
+    , grams AS (
+        SELECT doc_id, doc_id % 2 = 0 AS is_ref,
+               unnest(list_transform(range({NOVELTY_N}, len(tokens) + 1),
+                      i -> tokens[i - 2] || ' ' || tokens[i - 1] || ' ' || tokens[i])) AS g
+        FROM toks
+    ),
+    ref AS (SELECT DISTINCT g FROM grams WHERE is_ref),
+    test AS (
+        SELECT t.doc_id, t.g, r.g IS NULL AS novel
+        FROM grams t LEFT JOIN ref r ON t.g = r.g
+        WHERE NOT t.is_ref
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE novel) AS BIGINT) AS n_novel,
+           round(count(*) FILTER (WHERE novel) * 1.0 / count(*), 6) AS novelty_rate
+    FROM test GROUP BY doc_id
+    """,
+    doc=f"[ext] n-gram novelty screen (Lee et al. 2022 memorization "
+    f"metric): per held-out doc, the fraction of its token {NOVELTY_N}-grams "
+    "never seen in the reference half of the corpus — low novelty flags "
+    "docs a model would effectively memorize from the training side. "
+    "Complements decontaminate_against_eval (which removes overlap; this "
+    "MEASURES it per document).",
+)
+def ngram_novelty_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: reference grams reduce to a DISTINCT gram relation (gram
+    vocabulary, far smaller than the gram stream); the novelty check is
+    one left join on the gram key — shuffle on grams, the same key both
+    sides, AQE-splittable on hot grams. No per-doc state beyond the final
+    doc_id aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokenize(F.lower("text")).alias("tokens")
+    )
+    grams = toks.select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("is_ref"),
+        F.explode(
+            F.when(
+                F.size("tokens") >= NOVELTY_N,
+                F.expr(
+                    f"transform(sequence({NOVELTY_N}, size(tokens)), "
+                    "i -> concat(tokens[i-3], ' ', tokens[i-2], ' ', tokens[i-1]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    ref = grams.filter("is_ref").select("g").distinct()
+    test = grams.filter(~F.col("is_ref")).join(
+        ref.withColumn("_hit", F.lit(1)), "g", "left"
+    )
+    return test.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.count_if(F.col("_hit").isNull()).cast("long").alias("n_novel"),
+        F.round(
+            F.count_if(F.col("_hit").isNull()) / F.count("*"), 6
+        ).alias("novelty_rate"),
+    )
+
+
+@register(
+    "dataset_card_summary",
+    oracle=_SQL_TOKS
+    + """
+    , per_doc AS (
+        SELECT doc_id, lang, source, n_chars, text,
+               CAST(len(tokens) AS BIGINT) AS n_toks
+        FROM toks
+    ),
+    top_lang AS (
+        SELECT lang, count(*) AS c FROM per_doc GROUP BY lang
+        ORDER BY c DESC, lang LIMIT 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           round(avg(n_toks), 4) AS avg_doc_tokens,
+           CAST(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS BIGINT) AS p50_chars,
+           CAST(CAST(quantile_cont(n_chars, 0.95) AS DOUBLE) AS BIGINT) AS p95_chars,
+           round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6) AS exact_dup_rate,
+           round((SELECT c FROM top_lang) * 1.0 / count(*), 6) AS top_lang_share
+    FROM per_doc
+    """,
+    doc="[ext] dataset card: the one-row corpus summary a data release "
+    "ships with — volume (docs/tokens), composition (languages, sources, "
+    "top-language share), length profile (exact p50/p95 chars), and "
+    "exact-duplicate rate — every figure from ONE corpus scan plus "
+    "tiny aggregates.",
+)
+def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one scan computes per-doc (lang, source, n_chars, n_toks,
+    md5); the card is a global aggregate over that narrow relation (swap
+    exact percentile/countDistinct for approx_percentile/HLL at 100 TB —
+    the sketch twins already exist in the registry). The top-language
+    share enters as a 1-row broadcast aggregate, no second scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(tokenize(F.lower("text"))).cast("long").alias("n_toks"),
+        F.md5("text").alias("digest"),
+    )
+    top = (
+        per_doc.groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("lang"))
+        .limit(1)
+        .select(F.col("c").alias("_top_c"))
+    )
+    return (
+        per_doc.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_toks"), 4).alias("avg_doc_tokens"),
+            F.expr("percentile(n_chars, 0.5)").cast("bigint").alias("p50_chars"),
+            F.expr("percentile(n_chars, 0.95)").cast("bigint").alias("p95_chars"),
+            F.round(
+                F.lit(1.0) - F.countDistinct("digest") / F.count("*"), 6
+            ).alias("exact_dup_rate"),
+        )
+        .crossJoin(F.broadcast(top))
+        .select(
+            "*",
+            F.round(F.col("_top_c") / F.col("n_docs"), 6).alias("top_lang_share"),
+        )
+        .drop("_top_c")
+    )
