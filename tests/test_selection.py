@@ -155,3 +155,101 @@ def test_pii_redaction_golden(spark, sf_smoke):
         " email <EMAIL> phone <PHONE> ip <IP>"
     )
     assert red["redacted_md5"] == hashlib.md5(redacted.encode()).hexdigest()
+
+
+def test_facility_location_matches_numpy_reference(spark, sf_smoke):
+    """The distributed greedy must equal a driver-side numpy
+    implementation of facility-location selection with identical
+    rounding and tiebreaks — the full pick SEQUENCE, not just the set."""
+    from similarity_analysis_big_data_spark.plans.clustering import (
+        FACLOC_K,
+        FACLOC_MOD,
+        facility_location_selection,
+    )
+    from similarity_analysis_big_data_spark.sources.readers import load_table
+
+    rows = (
+        load_table(spark, sf_smoke, "embeddings")
+        .filter(F.col("vec_id") % FACLOC_MOD == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array(sorted(r["vec_id"] for r in rows))
+    X = np.array(
+        [list(r["embedding"]) for r in sorted(rows, key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = np.round(Xn @ Xn.T, 6)  # includes self-sims, like the operator
+
+    gains0 = np.round(S.sum(axis=1), 6)
+    first = int(np.argmax(gains0))  # argmax returns first max → id-asc tie
+    picks = [first]
+    cov = S[:, first].copy()
+    for _ in range(1, min(FACLOC_K, len(ids))):
+        gains = np.round(np.maximum(S, cov[:, None]).sum(axis=0), 6)
+        gains[picks] = -np.inf
+        nxt = int(np.argmax(gains))
+        picks.append(nxt)
+        cov = np.maximum(cov, S[:, nxt])
+
+    got = [
+        r["vec_id"]
+        for r in sorted(
+            facility_location_selection(spark, sf_smoke).collect(),
+            key=lambda r: r["rnk"],
+        )
+    ]
+    assert got == [int(ids[p]) for p in picks]
+
+
+def test_mmr_full_sequence_matches_numpy_reference(spark, sf_smoke):
+    """Every MMR pick (not just rank 1) must equal a driver-side numpy
+    run of the greedy with the same pool, rounding, and tiebreaks."""
+    from similarity_analysis_big_data_spark.plans.ann import (
+        MMR_K,
+        MMR_POOL,
+        MMR_QUERY_MOD,
+        mmr_diverse_topk,
+    )
+    from similarity_analysis_big_data_spark.sources.readers import load_table
+
+    rows = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array(sorted(r["vec_id"] for r in rows))
+    X = np.array(
+        [list(r["embedding"]) for r in sorted(rows, key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    expected = {}
+    for qpos, qid in enumerate(ids):
+        if qid % MMR_QUERY_MOD != 0:
+            continue
+        rel = np.round(Xn @ Xn[qpos], 6)
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != qid),
+            key=lambda i: (-rel[i], ids[i]),
+        )
+        pool = order[:MMR_POOL]
+        picks = [pool[0]]
+        for _ in range(1, min(MMR_K, len(pool))):
+            best, best_key = None, None
+            for c in pool:
+                if c in picks:
+                    continue
+                maxsim = max(np.round(float(Xn[c] @ Xn[s]), 6) for s in picks)
+                score = round(0.7 * float(rel[c]) - 0.3 * maxsim, 6)
+                key = (-score, ids[c])
+                if best is None or key < best_key:
+                    best, best_key = c, key
+            picks.append(best)
+        expected[int(qid)] = [int(ids[p]) for p in picks]
+
+    out = mmr_diverse_topk(spark, sf_smoke).collect()
+    got: dict = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rnk"])):
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert got == expected
