@@ -1823,21 +1823,50 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") % MMR_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    scored = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
+    # Pool stage = the brute-force top-k problem, so it uses the SAME
+    # adaptive physical strategy as ann_bruteforce_topk: broadcast-BLAS
+    # matmul while |Q|·d fits, interpreted-fold fallback beyond. The HOF
+    # form alone measured 18× at the 8× replica (queries AND corpus grow
+    # with data → quadratic scoring work, the r6 fixed-grid lesson again);
+    # the BLAS pool took the 8× point to ~linear. Both strategies share
+    # the round-before-rank / ascending-id contract, so the oracle and
+    # the greedy rounds below are strategy-blind.
+    d_guess = 64
+    cap = max(1, DENSE_MAX_BROADCAST_CELLS // d_guess)
+    q_rows = q.limit(cap + 1).collect()
+    d = len(q_rows[0]["qv"]) if q_rows else 0
+    if q_rows and len(q_rows) <= cap and len(q_rows) * d <= DENSE_MAX_BROADCAST_CELLS:
+        cand = dense_topk_neighbors(
+            q,
+            emb,
             "query_id",
+            "qv",
             "vec_id",
-            F.round(cosine_similarity("qv", "embedding"), 6).alias("rel"),
+            "embedding",
+            MMR_POOL,
+            round_to=6,
+            prefetched_queries=q_rows,
+        ).select(
+            "query_id",
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("cosine").alias("rel"),
         )
-    )
-    w_rel = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
-    cand = (
-        scored.withColumn("_rn", F.row_number().over(w_rel))
-        .filter(F.col("_rn") <= MMR_POOL)
-        .select("query_id", "vec_id", "rel")
-        .localCheckpoint(eager=True)
-    )
+    else:
+        scored = (
+            emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(cosine_similarity("qv", "embedding"), 6).alias("rel"),
+            )
+        )
+        w_rel = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+        cand = (
+            scored.withColumn("_rn", F.row_number().over(w_rel))
+            .filter(F.col("_rn") <= MMR_POOL)
+            .select("query_id", "vec_id", "rel")
+        )
+    cand = cand.localCheckpoint(eager=True)
     cv = cand.join(emb, "vec_id")
     a = cv.select(
         "query_id", F.col("vec_id").alias("a_id"), F.col("embedding").alias("_va")
@@ -1856,8 +1885,9 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    w_pick = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
     selected = (
-        cand.withColumn("_rn", F.row_number().over(w_rel))
+        cand.withColumn("_rn", F.row_number().over(w_pick))
         .filter(F.col("_rn") == 1)
         .select("query_id", F.lit(1).alias("rnk"), "vec_id", "rel")
     )

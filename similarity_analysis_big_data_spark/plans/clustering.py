@@ -235,7 +235,8 @@ def kcenter_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Submodular facility-location selection [r7]
 
-FACLOC_MOD = 10  # pool = 1-in-10 sample (ground set AND coverage set)
+FACLOC_MOD = 10  # pre-sample before the bounded pool cut
+FACLOC_POOL = 64  # FIXED pool size (ground set AND coverage set)
 FACLOC_K = 6  # greedy picks
 
 
@@ -243,7 +244,11 @@ FACLOC_K = 6  # greedy picks
     "facility_location_selection",
     oracle=f"""
     WITH RECURSIVE
-    pool AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % {FACLOC_MOD} = 0),
+    pool AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {FACLOC_MOD} = 0
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {FACLOC_POOL}
+    ),
     sims AS (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              round({{cos}}, 6) AS sim
@@ -284,16 +289,23 @@ FACLOC_K = 6  # greedy picks
     "iteration with 6dp-rounded gains and ascending-id ties.",
 )
 def facility_location_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: the pool is a bounded sample by contract (facility location
-    is quadratic in its ground set — the pool relation and the pairwise
-    sim relation are |pool| and |pool|² rows, checkpointed once); each of
-    the K-1 greedy rounds is a pair of bounded joins (coverage update,
+    """Scale: the pool is a FIXED-size md5-ordered sample (facility
+    location is quadratic in its ground set, so the ground set must not
+    grow with the corpus — the first version's %MOD-only pool measured
+    12.6× at the 8× replica because |pool|² sims grew 64×; the
+    TakeOrdered hash cut makes the sim relation a constant {FACLOC_POOL}²
+    rows at any scale and the corpus-sized work exactly one scan); each
+    of the K-1 greedy rounds is a pair of bounded joins (coverage update,
     gain aggregate) plus a TakeOrdered(1) — selection state never touches
     the driver, same posture as mmr_diverse_topk."""
     from ..functions.vectors import cosine_similarity as _cos
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pool = emb.filter(F.col("vec_id") % FACLOC_MOD == 0)
+    pool = (
+        emb.filter(F.col("vec_id") % FACLOC_MOD == 0)
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.asc("vec_id"))
+        .limit(FACLOC_POOL)
+    )
     a = pool.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("_va"))
     b = pool.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("_vb"))
     sims = (

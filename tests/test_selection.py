@@ -161,9 +161,12 @@ def test_facility_location_matches_numpy_reference(spark, sf_smoke):
     """The distributed greedy must equal a driver-side numpy
     implementation of facility-location selection with identical
     rounding and tiebreaks — the full pick SEQUENCE, not just the set."""
+    import hashlib
+
     from similarity_analysis_big_data_spark.plans.clustering import (
         FACLOC_K,
         FACLOC_MOD,
+        FACLOC_POOL,
         facility_location_selection,
     )
     from similarity_analysis_big_data_spark.sources.readers import load_table
@@ -174,6 +177,14 @@ def test_facility_location_matches_numpy_reference(spark, sf_smoke):
         .select("vec_id", "embedding")
         .collect()
     )
+    # mirror the operator's fixed-size md5-ordered pool cut
+    rows = sorted(
+        rows,
+        key=lambda r: (
+            hashlib.md5(str(r["vec_id"]).encode()).hexdigest(),
+            r["vec_id"],
+        ),
+    )[:FACLOC_POOL]
     ids = np.array(sorted(r["vec_id"] for r in rows))
     X = np.array(
         [list(r["embedding"]) for r in sorted(rows, key=lambda r: r["vec_id"])],
