@@ -39,8 +39,9 @@ DIMS = ("region", "nation")
 
 
 def _copy_sql(table: str, i: int, src: str) -> str:
-    # Alphabetic (fuses under \w+), base-26 so any copy index works:
-    # i=0→"qca", 25→"qcz", 26→"qcba", 701→"qczz", 702→"qcbaa".
+    # Alphabetic (fuses under \w+), positional base-26 (a=0) so any copy
+    # index works: i=0→"qca", 25→"qcz", 26→"qcba", 675→"qczz",
+    # 701→"qcbaz", 702→"qcbba".
     digits, n = "", i
     while True:
         n, r = divmod(n, 26)

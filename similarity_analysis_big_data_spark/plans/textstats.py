@@ -1071,8 +1071,8 @@ def ngram_novelty_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
            CAST(sum(n_toks) AS BIGINT) AS total_tokens,
            round(avg(n_toks), 4) AS avg_doc_tokens,
-           CAST(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS BIGINT) AS p50_chars,
-           CAST(CAST(quantile_cont(n_chars, 0.95) AS DOUBLE) AS BIGINT) AS p95_chars,
+           CAST(floor(quantile_cont(n_chars, 0.5)) AS BIGINT) AS p50_chars,
+           CAST(floor(quantile_cont(n_chars, 0.95)) AS BIGINT) AS p95_chars,
            round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6) AS exact_dup_rate,
            round((SELECT c FROM top_lang) * 1.0 / count(*), 6) AS top_lang_share
     FROM per_doc
@@ -1111,8 +1111,12 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").cast("long").alias("n_sources"),
             F.sum("n_toks").cast("long").alias("total_tokens"),
             F.round(F.avg("n_toks"), 4).alias("avg_doc_tokens"),
-            F.expr("percentile(n_chars, 0.5)").cast("bigint").alias("p50_chars"),
-            F.expr("percentile(n_chars, 0.95)").cast("bigint").alias("p95_chars"),
+            # floor() pinned on BOTH engines: DuckDB CAST(DOUBLE AS BIGINT)
+            # rounds half-to-even while Spark's cast truncates — a .5+
+            # fractional percentile would diverge without the explicit floor
+            # (n_chars >= 0, so floor == truncation here).
+            F.floor(F.expr("percentile(n_chars, 0.5)")).cast("bigint").alias("p50_chars"),
+            F.floor(F.expr("percentile(n_chars, 0.95)")).cast("bigint").alias("p95_chars"),
             F.round(
                 F.lit(1.0) - F.countDistinct("digest") / F.count("*"), 6
             ).alias("exact_dup_rate"),
