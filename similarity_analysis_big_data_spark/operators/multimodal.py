@@ -242,3 +242,63 @@ def sample_frames(payloads: DataFrame, frame_bytes: int = 16, every_n: int = 4) 
                 yield pd.DataFrame(rows)
 
     return payloads.mapInPandas(gen, schema=FRAMES_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id long, phash long"
+
+# dHash geometry: 8x8 GRAY8 grid, 7 horizontal comparisons per row.
+PHASH_ROWS = 8
+PHASH_COLS = 8
+PHASH_BITS = PHASH_ROWS * (PHASH_COLS - 1)  # 56 — positive in a signed long
+
+
+def perceptual_dhash(payloads: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over raw 8x8 GRAY8 bitmap payloads.
+
+    This is the image half of image near-dup dedup: decode the payload to
+    a pixel grid, then set bit ``r*7 + c`` iff ``px[r][c] > px[r][c+1]``
+    (the classic dHash — horizontal gradient signs survive re-encoding,
+    resizing and small pixel edits, so near-duplicate images land within
+    a small Hamming distance). 56 bits keeps the hash positive in a
+    signed 64-bit long on both Spark and DuckDB.
+
+    The decode here is REAL (a raw byte-per-pixel bitmap needs no codec
+    library — ``np.frombuffer`` is the decoder); payloads in a compressed
+    codec would swap in PIL/opencv behind the same mapInPandas crossing,
+    per the ``decode_image`` gate. Arrow-batched, one worker call per
+    batch; self-contained closure for the worker-import reason documented
+    on :func:`extract_features`.
+
+    Scale: map-only — one pass over the payload column, no shuffle; the
+    emitted (doc_id, phash) relation is 16 bytes/row no matter how large
+    the images are, which is the whole point of hashing before pairing.
+    """
+    rows, cols = PHASH_ROWS, PHASH_COLS
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for batch in batches:
+            if not len(batch):
+                continue
+            hashes = []
+            for payload in batch["payload"]:
+                raw = bytes(payload)
+                if len(raw) != rows * cols:
+                    raise ValueError(
+                        f"expected a raw {rows}x{cols} GRAY8 bitmap "
+                        f"({rows * cols} bytes); got {len(raw)}"
+                    )
+                px = _np.frombuffer(raw, dtype=_np.uint8).reshape(rows, cols)
+                ph = 0
+                for r in range(rows):
+                    for c in range(cols - 1):
+                        if px[r, c] > px[r, c + 1]:
+                            ph |= 1 << (r * (cols - 1) + c)
+                hashes.append(ph)
+            yield _pd.DataFrame(
+                {"doc_id": batch["doc_id"], "phash": _pd.Series(hashes, dtype="int64")}
+            )
+
+    return payloads.mapInPandas(gen, schema=PHASH_SCHEMA)

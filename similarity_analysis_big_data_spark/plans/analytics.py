@@ -1316,6 +1316,52 @@ def stream_twin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_twin_hourly_dedup",
+    oracle="""
+        SELECT DISTINCT user_id, event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_str
+        FROM events
+    """,
+    doc="[ext] STRUCTURED STREAMING twin #6: the watermark-ON-the-bucket "
+    "idempotency-dedup contract (dropDuplicates keyed on a derived "
+    "hour-truncated event-time column that itself carries the watermark, "
+    "so each (user, type, hour) state entry evicts once the watermark "
+    "passes that hour — the bounded-state fix from the r6 advisor "
+    "finding) emitted as the FULL per-key row set, not an aggregate: the "
+    "driver hash-checks the exact eviction-safe key set against the "
+    "batch DISTINCT oracle. tests/test_streaming.py pins the eviction "
+    "side (a late duplicate beyond the watermark neither re-emits nor "
+    "resurrects its dropped state entry).",
+)
+def stream_twin_hourly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: state is one (user, type, hour) entry per key INSIDE the
+    2-hour watermark horizon — O(active keys), not O(stream length) —
+    because the watermark is declared on the truncated bucket column
+    that is part of the dedup key (a watermark on raw ``ts`` with the
+    bucket outside the watermarked column set would grow state forever;
+    see streaming/dedup.py:dedup_hourly_key_stream). The readback emits
+    only key-determined columns, so which physical duplicate survived
+    (racy by design) cannot flip the hash."""
+    import uuid
+
+    from ..streaming.dedup import dedup_hourly_key_stream
+    from ..streaming.events import read_event_stream, run_to_memory
+
+    stream = dedup_hourly_key_stream(read_event_stream(spark, sf_dir))
+    out = run_to_memory(
+        stream,
+        f"stream_twin_hdd_{uuid.uuid4().hex[:8]}",
+        shuffle_partitions=8,
+        output_mode="append",
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("hour_bucket", "yyyy-MM-dd HH").alias("hour_str"),
+    )
+
+
+@register(
     "target_encode_priority_loo",
     oracle="""
         WITH g AS (

@@ -1013,7 +1013,9 @@ def _train_pq_codebooks(emb: DataFrame):
     # twin ann_pq_recall_at_k IS oracle-checked, and
     # tests/test_operators.py::test_trained_pq_beats_seed_codebooks pins
     # that training improves recall on the fixture.
-    doc=f"[ext] recall@{TOP_K} of PQ with TRAINED codebooks (per-subspace "
+    doc=f"twin: ann_pq_recall_at_k (oracle-checked seed-codebook form of "
+    f"the same encode/ADC plan; see COVERAGE.md rows-only table) — "
+    f"[ext] recall@{TOP_K} of PQ with TRAINED codebooks (per-subspace "
     f"Lloyd's on a deterministic ≤{PQ_TRAIN_CAP}-row sample) against exact "
     "brute force — the quality path over the oracle-checked seed-codebook "
     "index; rows-only by design.",
@@ -1801,6 +1803,7 @@ MMR_K = 5  # diverse picks per query
     )
     SELECT query_id, rnk, vec_id, rel FROM sel
     """,
+    headline=True,  # r8: displaced q5_region_volume so the bench tracks the r7 selection family
     doc="[ext] MMR diverse top-k (Carbonell & Goldstein 1998): relevance "
     f"pool of {MMR_POOL} per query, then {MMR_K} picks maximizing "
     "0.7*rel - 0.3*max-similarity-to-already-picked — the rerank that "

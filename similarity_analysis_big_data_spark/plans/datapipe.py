@@ -323,7 +323,10 @@ def embedding_covariance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # covariance input is oracle-checked (embedding_covariance_cells), and
     # tests/test_operators.py pins orthonormality, explained-variance
     # ordering, and equality with a driver-side numpy PCA at smoke scale.
-    doc="[ext] PCA: project embeddings onto the top-8 principal axes — "
+    doc="twin: pca_fixed_basis_projection (oracle-checked fixed-basis form "
+    "of the same projection plan) + embedding_covariance_cells "
+    "(oracle-checked covariance input; see COVERAGE.md rows-only table) — "
+    "[ext] PCA: project embeddings onto the top-8 principal axes — "
     "sufficient-stats pass, d x d eigh on the driver (sign-pinned for "
     "determinism), broadcast (d x k) projection matmul per Arrow batch. "
     "Rows-only driver check by design — BOTH halves are hash-checked "

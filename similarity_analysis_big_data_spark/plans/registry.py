@@ -52,84 +52,88 @@ def register(
 
 
 # Names surfaced FIRST in query_map()/oracle_sql_map(). The round driver
-# samples ~50 registry entries per round in presentation order; r1∪…∪r6
-# covered 259 of the 262 registered queries. Round-7 ordering leads with
-# the 3 queries committed after the r6 driver run (their first CORRECTNESS
-# window), then the 2 queries whose only driver evidence is a stale
-# `no_oracle` amber from r2/r4 — both gained DuckDB oracles since and
-# hash-match locally, so resampling converts the ambers to green. New or
-# plan-changed r7 queries queue directly behind. (Pure presentation order —
+# samples ~50 registry entries per round in presentation order; the
+# r1∪…∪r7 union has driver-checked every registered query at least once,
+# so round-8 ordering is a FRESHNESS rotation (r7 verdict item 1): the
+# new r8 queries lead (their first CORRECTNESS window), then the two
+# rows-only queries whose ledger rows should surface their oracle-checked
+# twins (r7 verdict item 6), then the 64 queries whose latest driver row
+# dates from r1/r2 — the ~13 whose implementing code was refactored since
+# their last row first, the rest oldest-first. (Pure presentation order —
 # every query is in the map either way.)
 PRIORITY: tuple[str, ...] = (
-    # -- the 3 never-driver-sampled (committed after the r6 driver run) --
-    "split_leakage_pairs",
-    "train_corpus_leakage_purged",
-    "dsir_importance_weights",
-    # -- stale no_oracle ambers (r2/r4) now oracle-backed: resample --
-    "approx_distinct_parts",
-    "hll_sketch_merge_users",
-    # -- new in r7: PII compliance family + MMR diverse retrieval --
-    "pii_detection_stats",
-    "pii_redacted_rewrite",
-    "pii_multitype_risk",
-    "mmr_diverse_topk",
-    "kcenter_coreset_sample",
-    "countmin_heavy_ngrams",
-    "facility_location_selection",
-    "ngram_novelty_vs_reference",
-    "dataset_card_summary",
-    # -- r6 window retained behind the r7 lead --
-    # -- the 32 never-sampled (r1..r5 union checked 2026-08-14) --
-    "zscore_doclen_by_lang",
-    "top_trigrams_per_lang",
-    "gopher_repetition_metrics",
-    "langid_confusion_matrix",
-    "user_event_chisq_anomaly",
-    "readability_scores",
-    "vocab_richness_by_source",
-    "langid_confidence_margin",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_late_lines_by_status",
-    "q15_top_revenue_supplier",
-    "q16_supplier_variety",
-    "q20_dominant_part_suppliers",
-    "geometric_mean_by_type",
-    "pca_fixed_basis_projection",
-    "trigram_backoff_scores",
-    "near_dup_best_quality_survivors",
-    "q19_disjunctive_join_revenue",
-    "incremental_near_dup_delta",
-    "ann_filtered_topk",
-    "event_lateness_watermark_profile",
-    "feature_hashed_tf",
-    "target_encode_priority_loo",
-    "attribution_decay_revenue",
-    "ann_binary_sign_recall_at_k",
-    "price_drift_psi",
-    "abtest_cuped_adjusted",
-    "gdpr_erasure_cascade",
-    "dup_rate_by_source",
-    "bpe_train_apply_unrolled",
-    "lsh_recall_by_jaccard_band",
-    # -- new or plan-changed in r6: sampled inside the same 50-slot window --
-    "stream_twin_sliding_counts",
-    "stream_twin_session_windows",
-    "stream_twin_interval_join",
-    "stream_twin_stateful_totals",
-    "exact_substring_spans",
-    "substring_dup_coverage",
-    "substring_dedup_rewrite",
-    "incremental_substring_delta",
-    "cross_source_dup_matrix",
-    "token_budget_after_dedup",
-    "zipf_fit_by_source",
-    "rrf_fusion_retrieval",
-    "ppjoin_exact_pairs",
-    "perplexity_bucket_filter",
-    "stream_twin_dedup",
-    "contrastive_pair_mining",
-    "weighted_jaccard_pairs",
+    # -- new in r8: first driver window --
+    "image_near_dup_survivors",
+    "stream_twin_hourly_dedup",
+    # -- rows-only pair: resample so the ledger rows carry the twin: docs --
+    "pca_project_embeddings",
+    "ann_pq_trained_recall_at_k",
+    # -- stale (latest row r1/r2) AND refactored since: resample first --
+    "semdedup_cell_survivors",
+    "minhash_lsh_candidates",
+    "minhash_dedup_verified",
+    "ann_ivf_topk",
+    "ann_ivf_recall_at_k",
+    "ann_ivf_multiprobe_topk",
+    "ann_bruteforce_topk",
+    "ann_hyperplane_lsh_buckets",
+    "corpus_curation_pipeline",
+    "kmeans_embedding_clusters",
+    "multimodal_binary_metadata",
+    "multimodal_fake_features",
+    "multimodal_frame_sample",
+    # -- remaining stale rows, oldest driver row first (r1, then r2) --
+    "approx_percentile_order_value",
+    "global_sorted_orders",
+    "global_topn_orders",
+    "grouping_sets_revenue",
+    "monthly_order_stats",
+    "percentile_order_value",
+    "point_lookup",
+    "projection_filter_scan",
+    "range_join_price_bracket",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_all",
+    "setop_union_distinct",
+    "string_functions_cleanup",
+    "top1_order_per_customer",
+    "topk_lineitems_per_order",
+    "unpivot_order_measures",
+    "window_rank_frame",
+    "anti_join_dormant_customers",
+    "bigram_surprisal_scores",
+    "bloom_runtime_filter_join",
+    "chunk_documents_stride",
+    "conditional_accuracy",
+    "cube_status_priority",
+    "decontaminate_against_eval",
+    "dedup_canonical_tokenset",
+    "dedup_exact_groups",
+    "distinct_parts_per_supplier",
+    "doc_rolling_fingerprint",
+    "embedding_int8_quantization",
+    "embedding_near_dup_pairs",
+    "fuzzy_levenshtein_pairs",
+    "global_count",
+    "hof_embedding_stats",
+    "incremental_agg_merge",
+    "inverted_index_postings",
+    "left_join_null_fill",
+    "ngram_jaccard_pairs",
+    "pack_docs_token_budget",
+    "pagerank_trade_nations",
+    "passage_dup_stats",
+    "q1_pricing_summary",
+    "q3_unshipped_revenue",
+    "q5_region_volume",
+    "rollup_revenue",
+    "semi_join_active_customers",
+    "simhash_hamming_pairs",
+    "source_cap_documents",
+    "unigram_surprisal_scores",
+    "weekly_cohort_retention",
+    "zorder_key_events",
 )
 
 

@@ -311,7 +311,8 @@ def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey
         GROUP BY n_name
     """,
-    headline=True,
+    # headline until r8: displaced for mmr_diverse_topk (r7 verdict item 4 —
+    # sub-0.5 s, join shape covered by q3 + the broadcast-join plan tests).
     doc="J1 multi-way join (TPC-H Q5 shape): fact ⋈ 5 dims with a same-nation theta condition.",
 )
 def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:

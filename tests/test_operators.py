@@ -805,3 +805,61 @@ def test_bucketed_running_max_with_null_values(spark):
         ),
     ).select(cols)
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_perceptual_dhash_known_bitmaps_and_partition_invariance(spark):
+    from similarity_analysis_big_data_spark.operators.multimodal import (
+        perceptual_dhash,
+    )
+
+    # Strictly increasing rows -> every px[r][c] > px[r][c+1] is False -> 0.
+    flat = bytes(range(64))
+    # Strictly decreasing rows -> all 56 comparison bits set.
+    desc = bytes(b for r in range(8) for b in range(63 - 8 * r, 55 - 8 * r, -1))
+    df = spark.createDataFrame(
+        [(0, bytearray(flat)), (1, bytearray(desc)), (2, bytearray(flat))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r["phash"] for r in perceptual_dhash(df).collect()}
+    assert rows[0] == 0
+    assert rows[1] == (1 << 56) - 1
+    assert rows[2] == rows[0]  # same payload -> same hash
+
+    many = {
+        r["doc_id"]: r["phash"]
+        for r in perceptual_dhash(df.repartition(3)).collect()
+    }
+    assert many == rows  # batch-shape independence
+
+
+def test_perceptual_dhash_rejects_non_bitmap_payloads(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from similarity_analysis_big_data_spark.operators.multimodal import (
+        perceptual_dhash,
+    )
+
+    bad = spark.createDataFrame(
+        [(0, bytearray(b"short"))], "doc_id long, payload binary"
+    )
+    with pytest.raises((PythonException, Py4JJavaError)):
+        perceptual_dhash(bad).collect()
+
+
+def test_image_near_dup_variant_within_hamming_two(spark, sf_smoke):
+    """The planted construction's contract: every non-canonical variant is
+    within Hamming distance 2 of its group's canonical image (one pixel
+    touches at most two horizontal dHash comparisons)."""
+    from similarity_analysis_big_data_spark.operators.multimodal import (
+        perceptual_dhash,
+    )
+    from similarity_analysis_big_data_spark.plans.multimodal import synthetic_images
+
+    sig = perceptual_dhash(synthetic_images(spark, sf_smoke))
+    by_id = {r["doc_id"]: r["phash"] for r in sig.collect()}
+    for doc_id, ph in by_id.items():
+        canon = (doc_id // 8) * 8
+        if doc_id == canon or canon not in by_id:
+            continue
+        assert bin(ph ^ by_id[canon]).count("1") <= 2

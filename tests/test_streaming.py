@@ -342,3 +342,84 @@ def test_stream_stream_left_outer_join_emits_expired_unmatched(spark, sf_smoke):
     must_emit = {cid for cid in unmatched if clicks[cid] < safe_cutoff}
     assert must_emit <= stream_nulls
     assert stream_nulls  # non-vacuous: some clicks do expire unmatched
+
+
+def test_hourly_dedup_watermark_evicts_state(spark, tmp_path):
+    """Pins the watermark-ON-the-bucket contract of dedup_hourly_key_stream
+    (stream twin #6): once the watermark passes an hour bucket, (1) that
+    bucket's state entries are dropped, (2) a late duplicate for the
+    dropped key is discarded as late data — it neither re-emits nor
+    resurrects the state entry."""
+    import glob
+    import os
+    import shutil
+
+    from similarity_analysis_big_data_spark.streaming.dedup import (
+        dedup_hourly_key_stream,
+    )
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+
+    def ts(hhmm: str):
+        return f"2024-01-01 {hhmm}:00"
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def land_file(rows, name):
+        staged = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staged)
+        os.makedirs(in_dir, exist_ok=True)
+        shutil.copy(glob.glob(f"{staged}/part-*.parquet")[0], f"{in_dir}/{name}")
+
+    import datetime as dt
+
+    def t(hhmm):
+        h, m = map(int, hhmm.split(":"))
+        return dt.datetime(2024, 1, 1, h, m)
+
+    def run_once():
+        stream = dedup_hourly_key_stream(
+            spark.readStream.schema(schema).format("parquet").load(in_dir)
+        )
+        q = (
+            stream.withColumn("hour_str", F.date_format("hour_bucket", "yyyy-MM-dd HH"))
+            .drop("hour_bucket")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q.lastProgress
+
+    # batch A: key (1, click) duplicated inside hour 00, plus an 06:00
+    # event that advances the watermark (2h delay) far past hour 00.
+    land_file(
+        [(1, t("00:10"), 1, "click"), (2, t("00:20"), 1, "click"), (3, t("06:00"), 2, "view")],
+        "a.parquet",
+    )
+    run_once()
+
+    # batch B: a LATE duplicate of the dropped hour-00 key, plus a fresh key.
+    land_file([(4, t("00:30"), 1, "click"), (5, t("06:30"), 3, "buy")], "b.parquet")
+    progress = run_once()
+
+    got = spark.read.parquet(out_dir)
+    keys = {(r["user_id"], r["event_type"], r["hour_str"]) for r in got.collect()}
+    assert got.count() == 3  # the late duplicate re-emitted nothing
+    assert keys == {
+        (1, "click", "2024-01-01 00"),
+        (2, "view", "2024-01-01 06"),
+        (3, "buy", "2024-01-01 06"),
+    }
+    # state holds only the keys inside the watermark horizon: hour 00's
+    # entry was evicted, and the late duplicate did not resurrect it.
+    state = progress["stateOperators"][0]
+    assert state["numRowsTotal"] == 2
+    assert state["numRowsDroppedByWatermark"] >= 1  # the late row was discarded
