@@ -1,0 +1,133 @@
+"""Full-registry scale sweep: the quadratic catcher, scripted.
+
+Three rounds in a row, hand-picked 8x-replica measurements caught operator
+parameters that silently tracked corpus size (fixed IVF grids r6, MMR's
+HOF-scored pool and facility location's %MOD pool r7) — each a quadratic
+that correctness tests can never see. This script institutionalizes that
+sweep (r7 verdict item 3): run EVERY registered query at a base scale and
+at a k-times replica (deploy/gen_scale_replica.py), record per-query
+wall-clock ratios, and flag anything whose time grows super-linearly.
+
+A clean linear operator shows ratio <= ~k (plus fixed per-job overhead,
+which DEFLATES the ratio); a quadratic shows ~k^2. The default flag line
+is ratio > 3 for a k=2 step, with a floor on the scaled-side time so the
++-25% single-run noise on sub-second queries (dominated by Spark's fixed
+~0.3-0.5 s/job latency) cannot fire it. Flagged queries are candidates,
+not verdicts: re-measure at 8x (the ratio separates noise from growth far
+better there) before concluding — and every flag must end the round either
+fixed or explained in SCALE.md.
+
+Usage:
+    python deploy/sweep_scale.py [--base DIR] [--scaled DIR] [--k K]
+                                 [--out SWEEP.json] [--flag-ratio R]
+                                 [--min-seconds S] [--only SUBSTR]
+
+The scaled replica is generated on demand if --scaled does not exist.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from similarity_analysis_big_data_spark.plans import registry  # noqa: E402
+from similarity_analysis_big_data_spark.session import get_session  # noqa: E402
+
+
+def _time_query(spark, fn, sf_dir: str) -> float:
+    spark.catalog.clearCache()
+    start = time.perf_counter()
+    # noop write = full materialization without a driver-side collect
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - start
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--scaled", default="/tmp/rep2x")
+    ap.add_argument("--k", type=int, default=2, help="replica factor of --scaled")
+    ap.add_argument("--out", default=None, help="JSON artifact path")
+    ap.add_argument("--flag-ratio", type=float, default=3.0)
+    ap.add_argument(
+        "--min-seconds",
+        type=float,
+        default=0.8,
+        help="scaled-side floor below which a high ratio is job-overhead noise",
+    )
+    ap.add_argument("--only", default=None, help="substring filter on query names")
+    args = ap.parse_args()
+
+    if not Path(args.scaled, "documents.parquet").exists():
+        subprocess.run(
+            [
+                sys.executable,
+                str(Path(__file__).with_name("gen_scale_replica.py")),
+                str(args.k),
+                args.scaled,
+                args.base,
+            ],
+            check=True,
+        )
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_session(app_name="sabds-sweep", master=f"local[{cpus}]")
+    # warm both directories' parquet footers + JVM/codegen once
+    for d in (args.base, args.scaled):
+        spark.read.parquet(f"{d}/lineitem.parquet").count()
+
+    names = [
+        n for n in sorted(registry.query_map()) if not args.only or args.only in n
+    ]
+    results: dict[str, dict[str, float]] = {}
+    flagged: list[str] = []
+    for i, name in enumerate(names):
+        fn = registry.QUERIES[name].fn
+        try:
+            t_base = _time_query(spark, fn, args.base)
+            t_scaled = _time_query(spark, fn, args.scaled)
+        except Exception as exc:  # keep sweeping; a crash is its own flag
+            results[name] = {"error": str(exc)[:200]}
+            flagged.append(name)
+            print(f"[{i + 1}/{len(names)}] {name}: ERROR {exc}", flush=True)
+            continue
+        ratio = round(t_scaled / t_base, 2) if t_base > 0 else float("inf")
+        results[name] = {
+            "base_s": round(t_base, 3),
+            "scaled_s": round(t_scaled, 3),
+            "ratio": ratio,
+        }
+        flag = ratio > args.flag_ratio and t_scaled >= args.min_seconds
+        if flag:
+            flagged.append(name)
+        print(
+            f"[{i + 1}/{len(names)}] {name}: {t_base:.2f}s -> {t_scaled:.2f}s "
+            f"(x{ratio}){' FLAG' if flag else ''}",
+            flush=True,
+        )
+
+    payload = {
+        "base": args.base,
+        "scaled": args.scaled,
+        "k": args.k,
+        "flag_ratio": args.flag_ratio,
+        "min_seconds": args.min_seconds,
+        "n_queries": len(names),
+        "flagged": flagged,
+        "queries": results,
+    }
+    if args.out:
+        Path(args.out).write_text(json.dumps(payload, indent=1) + "\n")
+    print(json.dumps({"n": len(names), "flagged": flagged}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
