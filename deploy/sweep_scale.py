@@ -78,10 +78,15 @@ def main() -> None:
         )
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_session(app_name="sabds-sweep", master=f"local[{cpus}]")
-    # warm both directories' parquet footers + JVM/codegen once
-    for d in (args.base, args.scaled):
-        spark.read.parquet(f"{d}/lineitem.parquet").count()
+
+    def fresh_session():
+        s = get_session(app_name="sabds-sweep", master=f"local[{cpus}]")
+        # warm both directories' parquet footers + JVM/codegen once
+        for d in (args.base, args.scaled):
+            s.read.parquet(f"{d}/lineitem.parquet").count()
+        return s
+
+    spark = fresh_session()
 
     names = [
         n for n in sorted(registry.query_map()) if not args.only or args.only in n
@@ -97,6 +102,29 @@ def main() -> None:
             results[name] = {"error": str(exc)[:200]}
             flagged.append(name)
             print(f"[{i + 1}/{len(names)}] {name}: ERROR {exc}", flush=True)
+            # an executor/driver OOM kills the whole local JVM, and every
+            # later query would then fail with Connection refused — detect
+            # the dead gateway and rebuild the session before moving on
+            try:
+                spark.range(1).count()
+            except Exception:
+                print("JVM gone — restarting session", flush=True)
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                from pyspark import SparkContext
+                from pyspark.sql import SparkSession
+
+                # clear every cached handle to the dead gateway so
+                # getOrCreate() builds a genuinely new JVM
+                SparkSession._instantiatedSession = None
+                SparkSession._activeSession = None
+                with SparkContext._lock:
+                    SparkContext._active_spark_context = None
+                    SparkContext._gateway = None
+                    SparkContext._jvm = None
+                spark = fresh_session()
             continue
         ratio = round(t_scaled / t_base, 2) if t_base > 0 else float("inf")
         results[name] = {
@@ -126,7 +154,10 @@ def main() -> None:
     if args.out:
         Path(args.out).write_text(json.dumps(payload, indent=1) + "\n")
     print(json.dumps({"n": len(names), "flagged": flagged}))
-    spark.stop()
+    try:
+        spark.stop()
+    except Exception:
+        pass  # a dead JVM at shutdown must not fail the sweep artifact
 
 
 if __name__ == "__main__":

@@ -28,6 +28,26 @@ TOP_K = 5
 N_CELLS = 8  # IVF cells (seed centroids = vec_id < N_CELLS)
 N_PLANES = 8  # hyperplane LSH signature bits
 
+# Fixed-size md5-ordered pool caps (r8 sweep): a %MOD sample SCALES WITH
+# THE CORPUS, so any all-pairs or query-x-corpus stage over it is a
+# quadratic in waiting — the same corpus-tracking-parameter lesson as r6's
+# fixed IVF grids and r7's MMR/facility pools, now caught by
+# deploy/sweep_scale.py instead of by hand. Caps are sized so the sf0.01
+# driver gate and the sf0.1 bench keep their exact pre-cap member sets
+# (sample sizes there are at or under the cap).
+EMB_SAMPLE_CAP = 400  # pairwise-stage vector samples (400 = the full sf0.1 %5 sample)
+EVAL_QUERY_CAP = 64  # recall/rerank evaluation query pools (40 at sf0.1)
+
+
+def _md5_pool(df: DataFrame, id_col: str, tag: str, cap: int) -> DataFrame:
+    """First ``cap`` rows by (md5(tag||id), id): a deterministic fixed-size
+    sample both engines order identically. Spark compiles the orderBy+limit
+    to TakeOrderedAndProject (per-partition top-cap, no global sort); the
+    oracle mirror is ``ORDER BY md5('tag:' || id), id LIMIT cap``."""
+    return df.orderBy(
+        F.md5(F.concat(F.lit(tag), F.col(id_col).cast("string"))), F.asc(id_col)
+    ).limit(cap)
+
 
 def _queries_and_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -256,17 +276,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_near_dup_pairs",
     oracle=f"""
-        WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+        WITH v AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id % 5 = 0
+                   ORDER BY md5('ep:' || vec_id), vec_id LIMIT {EMB_SAMPLE_CAP})
         SELECT a.vec_id AS id_l, b.vec_id AS id_r,
                round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
         FROM v a JOIN v b ON a.vec_id < b.vec_id
         WHERE {cosine_sql('a.embedding', 'b.embedding')} > 0.3
     """,
-    doc="[ext] embedding-cosine near-duplicate pairs (threshold tuned to the "
-    "fixture's near-orthogonal vectors; production pairs come from LSH/IVF buckets).",
+    doc="[ext] embedding-cosine near-duplicate pairs over a FIXED-SIZE "
+    f"deterministic sample (md5-ordered cut of the %5 mod sample, cap "
+    f"{EMB_SAMPLE_CAP} — a mod-only sample scales with the corpus and made "
+    "the all-pairs stage quadratic, x3.8 at the 2x replica; threshold "
+    "tuned to the fixture's near-orthogonal vectors; production pairs "
+    "come from LSH/IVF buckets).",
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    """Scale: the all-pairs stage is bounded by the cap, not the corpus —
+    the exactness-baseline pattern; the corpus-sized path is the banded
+    LSH / IVF-bucketed family."""
+    emb = _md5_pool(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0),
+        "vec_id",
+        "ep:",
+        EMB_SAMPLE_CAP,
+    )
     lhs = emb.select(
         F.col("vec_id").alias("id_l"), F.col("embedding").alias("emb_l")
     ).withColumn("norm_l", l2_norm("emb_l"))
@@ -1232,6 +1266,7 @@ RERANK_CAND = 20  # stage-1 candidates per query before full-dim rerank
             SELECT vec_id AS query_id, embedding AS qv,
                    embedding[1:{MRL_DIM}] AS qt
             FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+            ORDER BY md5('mq:' || vec_id), vec_id LIMIT {EVAL_QUERY_CAP}
         ),
         c AS (
             SELECT vec_id, embedding AS cv, embedding[1:{MRL_DIM}] AS ct
@@ -1271,10 +1306,16 @@ def ann_matryoshka_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: truncation is a zero-copy slice (no re-embedding, no extra
     scan); both rankings share the query broadcast, and recall joins two
     query-keyed top-k relations — query-sized, not corpus-sized. The
-    production win this measures: a {MRL_DIM}/64 prefix index is 4x
-    smaller and the full-dim vectors are only touched by rerank paths."""
+    EVALUATION query pool is a fixed-size md5-ordered cut (r8 sweep: the
+    mod-only pool tracked the corpus, making |Q| x |C| quadratic — x3.9 at
+    the 2x replica); a recall estimate over a bounded query sample is the
+    standard ANN-bench protocol anyway. The production win this measures:
+    a {MRL_DIM}/64 prefix index is 4x smaller and the full-dim vectors are
+    only touched by rerank paths."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = _md5_pool(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0), "vec_id", "mq:", EVAL_QUERY_CAP
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.slice("embedding", 1, MRL_DIM).alias("qt"),
@@ -1508,7 +1549,8 @@ COS_HIST_MOD = 5  # sampled pair stage, as embedding_near_dup_pairs
     "cosine_histogram_sampled",
     oracle=f"""
         WITH v AS (SELECT vec_id, embedding FROM embeddings
-                   WHERE vec_id % {COS_HIST_MOD} = 0),
+                   WHERE vec_id % {COS_HIST_MOD} = 0
+                   ORDER BY md5('ch:' || vec_id), vec_id LIMIT {EMB_SAMPLE_CAP}),
         pairs AS (
             SELECT round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos
             FROM v a JOIN v b ON a.vec_id < b.vec_id
@@ -1523,13 +1565,19 @@ COS_HIST_MOD = 5  # sampled pair stage, as embedding_near_dup_pairs
     "widths fit the embedding space before tuning them.",
 )
 def cosine_histogram_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: the all-pairs stage runs on the SAMPLE (mod-keyed,
-    size-bounded — the same exactness-baseline pattern as
-    embedding_near_dup_pairs); the histogram itself is a 20-row agg.
-    Production geometry checks keep the sample a few thousand vectors
-    regardless of corpus size."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") % COS_HIST_MOD == 0
+    """Scale: the all-pairs stage runs on the SAMPLE — now genuinely
+    size-bounded (md5-ordered cut, cap EMB_SAMPLE_CAP): the r8 sweep
+    showed the previous mod-only sample tracked corpus size (x4.0 at the
+    2x replica), exactly the few-thousand-vectors-regardless-of-corpus
+    contract this docstring had claimed without enforcing. The histogram
+    itself is a 20-row agg."""
+    emb = _md5_pool(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % COS_HIST_MOD == 0
+        ),
+        "vec_id",
+        "ch:",
+        EMB_SAMPLE_CAP,
     )
     lhs = emb.select(F.col("vec_id").alias("id_l"), F.col("embedding").alias("e_l"))
     rhs = emb.select(F.col("vec_id").alias("id_r"), F.col("embedding").alias("e_r"))

@@ -1127,12 +1127,23 @@ FUZZY_BUCKET = 16
 FUZZY_MAX_EDIT = 20
 
 
+FUZZY_BLOCK_CAP = 16  # per-block probe cap — the r8 sweep's quadratic killer
+
+
 @register(
     "fuzzy_levenshtein_pairs",
     oracle=f"""
-        WITH d AS (
+        WITH d0 AS (
             SELECT doc_id, text, lang, n_chars // {FUZZY_BUCKET} AS bkt
             FROM documents
+        ),
+        d AS (
+            SELECT doc_id, text, lang, bkt FROM (
+                SELECT d0.*, row_number() OVER (
+                    PARTITION BY lang, bkt
+                    ORDER BY md5('fz:' || doc_id), doc_id) AS rn
+                FROM d0
+            ) WHERE rn <= {FUZZY_BLOCK_CAP}
         )
         SELECT a.doc_id AS id_l, b.doc_id AS id_r,
                CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
@@ -1141,17 +1152,33 @@ FUZZY_MAX_EDIT = 20
         WHERE levenshtein(a.text, b.text) <= {FUZZY_MAX_EDIT}
     """,
     doc="[ext] fuzzy dedup: blocked Levenshtein pairs — same language, "
-    f"same {FUZZY_BUCKET}-char length bucket, edit distance ≤ {FUZZY_MAX_EDIT}. "
+    f"same {FUZZY_BUCKET}-char length bucket, edit distance ≤ {FUZZY_MAX_EDIT}, "
+    f"each block capped to its first {FUZZY_BLOCK_CAP} members in md5 order "
+    "(the hot-block lever, same knob as the substring family's bucket cap). "
     "The edit-distance metric itself is identical on both engines.",
 )
 def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: the (lang, length-bucket) equi-join keeps the quadratic
-    levenshtein off the hot path — candidates are per-block, and blocks are
-    bounded by the corpus's length histogram. At 100 TB the block key
-    becomes the shuffle key; a hot block (boilerplate-length docs) is the
-    salting case operators/skew.py covers."""
-    d = load_table(spark, sf_dir, "documents").select(
+    levenshtein off the corpus; the per-block md5-ordered cap keeps it off
+    the BLOCK — block population tracks corpus size (sf0.1 max block 81,
+    2x replica 125), so uncapped within-block all-pairs is a quadratic in
+    waiting: the r8 1x/2x sweep measured it at 104 s -> 404 s (x3.9) and
+    the cap cut it to ~linear (see SCALE.md). Capped members are a
+    deterministic per-block sample both engines compute identically; at
+    the driver gate scale (max block 13 < cap) the capped and uncapped
+    answers coincide. At 100 TB, project to (keys, md5) before the
+    row_number exchange and rejoin text after — the _ivf_assign template —
+    so block text never rides the rank shuffle."""
+    d0 = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", (F.col("n_chars") / FUZZY_BUCKET).cast("long").alias("bkt")
+    )
+    w = W.partitionBy("lang", "bkt").orderBy(
+        F.md5(F.concat(F.lit("fz:"), F.col("doc_id").cast("string"))), F.asc("doc_id")
+    )
+    d = (
+        d0.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= FUZZY_BLOCK_CAP)
+        .drop("rn")
     )
     lhs = d.select(
         F.col("doc_id").alias("id_l"), F.col("text").alias("text_l"), "lang", "bkt"
@@ -1402,16 +1429,29 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRIGRAM_COS_MIN = 0.6
+TRIGRAM_BLOCK_CAP = 256  # per-block probe cap (r8 sweep: 8 blocks, block-quadratic)
 
 
 @register(
     "part_name_trigram_pairs",
     oracle=f"""
-        WITH grams AS (
-            SELECT p_partkey, substr(p_name, 1, 1) AS blk,
+        WITH p0 AS (
+            SELECT p_partkey, p_name, substr(p_name, 1, 1) AS blk
+            FROM part WHERE len(p_name) >= 3
+        ),
+        p AS (
+            SELECT p_partkey, p_name, blk FROM (
+                SELECT p0.*, row_number() OVER (
+                    PARTITION BY blk
+                    ORDER BY md5('tg:' || p_partkey), p_partkey) AS rn
+                FROM p0
+            ) WHERE rn <= {TRIGRAM_BLOCK_CAP}
+        ),
+        grams AS (
+            SELECT p_partkey, blk,
                    unnest(list_transform(range(1, len(p_name) - 1),
                                          i -> substr(p_name, i, 3))) AS g
-            FROM part WHERE len(p_name) >= 3
+            FROM p
         ),
         profiles AS (
             SELECT p_partkey, blk, g, CAST(count(*) AS DOUBLE) AS c
@@ -1438,18 +1478,38 @@ TRIGRAM_COS_MIN = 0.6
     """,
     doc=f"[ext] fuzzy string matching beyond edit distance: character-"
     f"trigram profile cosine >= {TRIGRAM_COS_MIN} between part names, "
-    "blocked on the first character — the order-insensitive name-"
-    "similarity that catches word swaps Levenshtein prices at full cost.",
+    "blocked on the first character with each block capped to its first "
+    f"{TRIGRAM_BLOCK_CAP} members in md5 order — the order-insensitive "
+    "name-similarity that catches word swaps Levenshtein prices at full "
+    "cost.",
 )
 def part_name_trigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: the same sparse-join shape as the TF-IDF cosine — pairs
-    sharing no (block, trigram) never materialize; profiles are
-    name-length-bounded so the gram join is linear in matching grams.
-    The block key bounds candidates; hot blocks are the salting case."""
-    part = load_table(spark, sf_dir, "part").filter(F.length("p_name") >= 3)
+    sharing no (block, trigram) never materialize. But TPC-H part names
+    draw from a tiny color vocabulary: only 8 first-letter blocks exist
+    and EVERY same-block pair shares grams, so the \"sparse\" join is
+    block-quadratic and block population tracks the corpus (2,500/block
+    at sf0.1; the r8 1x/2x sweep OOMed the 4g sweep heap at 2x). The
+    md5-ordered per-block cap bounds the pair stage for good — cosine for
+    surviving pairs stays exact (norms come from each member's own full
+    profile), the capped member set is the same deterministic sample on
+    both engines, and at 100 TB the cap is the lever you size to the
+    block histogram (same knob as the substring family's bucket cap)."""
+    w = W.partitionBy("blk").orderBy(
+        F.md5(F.concat(F.lit("tg:"), F.col("p_partkey").cast("string"))),
+        F.asc("p_partkey"),
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.length("p_name") >= 3)
+        .withColumn("blk", F.substring("p_name", 1, 1))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TRIGRAM_BLOCK_CAP)
+        .drop("rn")
+    )
     grams = part.select(
         "p_partkey",
-        F.substring("p_name", 1, 1).alias("blk"),
+        "blk",
         F.explode(
             F.expr("transform(sequence(1, length(p_name)-2), i -> substring(p_name, i, 3))")
         ).alias("g"),
