@@ -1857,7 +1857,11 @@ MMR_K = 5  # diverse picks per query
     )
     SELECT query_id, rnk, vec_id, rel FROM sel
     """,
-    headline=True,  # r8: displaced q5_region_volume so the bench tracks the r7 selection family
+    # Not a headliner: the K greedy rounds are K driver-visible jobs
+    # (~0.4 s each at sf0.1 — 5.2 s total, measured r8), which would blow
+    # the <=16 s displace-don't-accumulate budget; the r7-family headline
+    # slot went to the map-only pii_redacted_rewrite instead (verdict
+    # item 4 offered either).
     doc="[ext] MMR diverse top-k (Carbonell & Goldstein 1998): relevance "
     f"pool of {MMR_POOL} per query, then {MMR_K} picks maximizing "
     "0.7*rel - 0.3*max-similarity-to-already-picked — the rerank that "
