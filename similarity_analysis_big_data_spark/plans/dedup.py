@@ -1546,11 +1546,23 @@ def part_name_trigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "entity_name_clusters",
     oracle=f"""
-        WITH RECURSIVE grams AS (
-            SELECT p_partkey, substr(p_name, 1, 1) AS blk,
+        WITH RECURSIVE p0 AS (
+            SELECT p_partkey, p_name, substr(p_name, 1, 1) AS blk
+            FROM part WHERE len(p_name) >= 3
+        ),
+        p AS (
+            SELECT p_partkey, p_name, blk FROM (
+                SELECT p0.*, row_number() OVER (
+                    PARTITION BY blk
+                    ORDER BY md5('tg:' || p_partkey), p_partkey) AS rn
+                FROM p0
+            ) WHERE rn <= {TRIGRAM_BLOCK_CAP}
+        ),
+        grams AS (
+            SELECT p_partkey, blk,
                    unnest(list_transform(range(1, len(p_name) - 1),
                                          i -> substr(p_name, i, 3))) AS g
-            FROM part WHERE len(p_name) >= 3
+            FROM p
         ),
         profiles AS (
             SELECT p_partkey, blk, g, CAST(count(*) AS DOUBLE) AS c
@@ -1594,7 +1606,9 @@ def part_name_trigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           USING (entity_id)
     """,
     doc="[ext] entity resolution end to end: trigram-cosine name matching "
-    f"(>= {TRIGRAM_COS_MIN}, first-letter blocking) -> connected "
+    f"(>= {TRIGRAM_COS_MIN}, first-letter blocking, per-block cap "
+    f"{TRIGRAM_BLOCK_CAP} — shares part_name_trigram_pairs' capped pair "
+    "stage) -> connected "
     "components -> stable entity ids (min member key) with cluster "
     "sizes — the record-linkage pipeline that collapses name variants "
     "into one entity. Oracle states the transitive closure as a "
