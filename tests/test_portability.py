@@ -35,6 +35,7 @@ for name in ("hourly_event_rollup", "asof_join_purchase_click",
              "window_lag_delta", "json_props_stats",
              "window_running_user_spend", "multimodal_fake_features",
              "scd2_user_state_history", "asof_join_cogroup",
+             "image_near_dup_survivors",  # r8 mapInPandas pHash worker closure
              "title_best_abstract"):  # dense strategy: mapInPandas + driver numpy
     df = qs[name](spark, {sf!r})
     pdf = df.toPandas()
