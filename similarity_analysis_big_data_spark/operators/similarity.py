@@ -298,6 +298,13 @@ def dense_topk_neighbors(
         if prefetched_queries is not None
         else queries.select(query_id, query_vec).collect()
     )
+    if not q_rows:
+        # empty query set: the (0 x d) matrix has no well-defined d for the
+        # BLAS block — return the empty top-k relation directly (callers
+        # without the adaptive |Q| probe hit this on empty tables)
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id} long, neighbor_id long, cosine double, rnk long"
+        )
     q_ids = np.asarray([r[query_id] for r in q_rows], dtype=np.int64)
     Q = np.asarray([r[query_vec] for r in q_rows], dtype=np.float64)
     qn = np.linalg.norm(Q, axis=1)

@@ -1309,9 +1309,13 @@ def ann_matryoshka_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     EVALUATION query pool is a fixed-size md5-ordered cut (r8 sweep: the
     mod-only pool tracked the corpus, making |Q| x |C| quadratic — x3.9 at
     the 2x replica); a recall estimate over a bounded query sample is the
-    standard ANN-bench protocol anyway. The production win this measures:
-    a {MRL_DIM}/64 prefix index is 4x smaller and the full-dim vectors are
-    only touched by rerank paths."""
+    standard ANN-bench protocol anyway. Both rankings run on the
+    broadcast-BLAS scorer (the MMR-pool precedent: pool <= EVAL_QUERY_CAP
+    x d always fits the broadcast bound, and dense/HOF share the
+    round-before-rank ascending-id contract, so the oracle is
+    strategy-blind). The production win this measures: a {MRL_DIM}/64
+    prefix index is 4x smaller and the full-dim vectors are only touched
+    by rerank paths."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _md5_pool(
         emb.filter(F.col("vec_id") % QUERY_MOD == 0), "vec_id", "mq:", EVAL_QUERY_CAP
@@ -1320,29 +1324,19 @@ def ann_matryoshka_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qv"),
         F.slice("embedding", 1, MRL_DIM).alias("qt"),
     )
-    c = emb.select(
-        "vec_id",
-        F.col("embedding").alias("cv"),
-        F.slice("embedding", 1, MRL_DIM).alias("ct"),
-    )
+    # one driver collect serves both rankings' query broadcasts
+    q_rows = q.collect()
+    c_trunc = emb.select("vec_id", F.slice("embedding", 1, MRL_DIM).alias("ct"))
 
-    def topk(qcol: str, ccol: str) -> DataFrame:
-        scored = (
-            c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                "vec_id",
-                F.round(cosine_similarity(qcol, ccol), 6).alias("cos"),
-            )
-        )
-        w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-        return scored.withColumn("rnk", F.row_number().over(w)).filter(
-            F.col("rnk") <= TOP_K
-        )
-
-    full = topk("qv", "cv").select("query_id", "vec_id")
-    trunc = topk("qt", "ct").select(
-        F.col("query_id").alias("t_qid"), F.col("vec_id").alias("t_vid")
+    full = dense_topk_neighbors(
+        q, emb, "query_id", "qv", "vec_id", "embedding", TOP_K,
+        prefetched_queries=q_rows,
+    ).select("query_id", F.col("neighbor_id").alias("vec_id"))
+    trunc = dense_topk_neighbors(
+        q, c_trunc, "query_id", "qt", "vec_id", "ct", TOP_K,
+        prefetched_queries=q_rows,
+    ).select(
+        F.col("query_id").alias("t_qid"), F.col("neighbor_id").alias("t_vid")
     )
     return (
         full.join(
@@ -1402,7 +1396,10 @@ def ann_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-keyed WindowGroupLimit on a candidate-sized relation. Query
     pool is the same fixed-size md5-ordered cut as
     ann_matryoshka_recall_at_k (r8 sweep: x3.1 at 2x with the mod-only
-    pool)."""
+    pool), and stage 1 runs on the broadcast-BLAS scorer — the pool is
+    <= EVAL_QUERY_CAP x MRL_DIM cells, always inside the broadcast bound,
+    and dense/HOF share the round-before-rank ascending-id contract, so
+    the oracle is strategy-blind (the ann_bruteforce/MMR precedent)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _md5_pool(
         emb.filter(F.col("vec_id") % QUERY_MOD == 0), "vec_id", "mq:", EVAL_QUERY_CAP
@@ -1411,25 +1408,25 @@ def ann_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qv"),
         F.slice("embedding", 1, MRL_DIM).alias("qt"),
     )
-    c = emb.select(
+    c_trunc = emb.select("vec_id", F.slice("embedding", 1, MRL_DIM).alias("ct"))
+    stage1 = dense_topk_neighbors(
+        q, c_trunc, "query_id", "qt", "vec_id", "ct", RERANK_CAND
+    ).select("query_id", F.col("neighbor_id").alias("vec_id"))
+    # rerank joins the candidate-sized relation (|Q| x RERANK_CAND rows)
+    # back to the full-dim vectors: the candidate side broadcasts into the
+    # corpus scan (hinted — its mapInPandas lineage hides the size from
+    # the optimizer), so the corpus never shuffles
+    cand = emb.select("vec_id", F.col("embedding").alias("cv")).join(
+        F.broadcast(
+            stage1.join(F.broadcast(q.select("query_id", "qv")), "query_id")
+        ),
         "vec_id",
-        F.col("embedding").alias("cv"),
-        F.slice("embedding", 1, MRL_DIM).alias("ct"),
-    )
-    w1 = W.partitionBy("query_id").orderBy(
-        F.desc(F.round(cosine_similarity("qt", "ct"), 6)), F.asc("vec_id")
-    )
-    stage1 = (
-        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .withColumn("rnk", F.row_number().over(w1))
-        .filter(F.col("rnk") <= RERANK_CAND)
-        .select("query_id", "vec_id", "qv", "cv")
     )
     w2 = W.partitionBy("query_id").orderBy(
         F.desc(F.round(cosine_similarity("qv", "cv"), 6)), F.asc("vec_id")
     )
     return (
-        stage1.withColumn("cosine", F.round(cosine_similarity("qv", "cv"), 6))
+        cand.withColumn("cosine", F.round(cosine_similarity("qv", "cv"), 6))
         .withColumn("rnk", F.row_number().over(w2).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rnk")
