@@ -61,6 +61,15 @@ def register(
 # dates from r1/r2 — the ~13 whose implementing code was refactored since
 # their last row first, the rest oldest-first. (Pure presentation order —
 # every query is in the map either way.)
+#
+# r9 rotation note: after the r8 driver run, lead with (a) whatever of the
+# 64-stale tail below fell outside the ~50-row window, and (b) the queries
+# whose SEMANTICS changed in r8 without an r8 driver row — the sweep-cap
+# family (ann_matryoshka_recall_at_k, ann_rerank_two_stage,
+# cosine_histogram_sampled, entity_name_clusters — embedding_near_dup_pairs
+# and fuzzy_levenshtein_pairs are already in the window below) and the
+# floor-pinned dataset_card_summary — all green in the local parity suite
+# but the driver ledger should re-witness them.
 PRIORITY: tuple[str, ...] = (
     # -- new in r8: first driver window --
     "image_near_dup_survivors",
