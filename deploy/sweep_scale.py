@@ -41,6 +41,19 @@ from similarity_analysis_big_data_spark.plans import registry  # noqa: E402
 from similarity_analysis_big_data_spark.session import get_session  # noqa: E402
 
 
+# Queries whose >threshold ratio is EXPLAINED in SCALE.md's sweep ledger
+# (not growth): they still appear in the artifact with their numbers, but
+# are reported under `explained` instead of `flagged` so a round's "new
+# flags" signal stays clean. Add a name here ONLY with a SCALE.md entry
+# that carries an 8x (or better) point proving convergence.
+EXPLAINED: dict[str, str] = {
+    "fuzzy_levenshtein_pairs": "capped-block pair count saturates (~31k); "
+    "2x ratio is the one-time saturation step — 8x/2x measured x1.26",
+    "approx_distinct_parts": "mixed exact+HLL agg partial-buffer threshold; "
+    "2x->8x measured x1.7 for 4x data (sub-linear continuation)",
+}
+
+
 def _time_query(spark, fn, sf_dir: str) -> float:
     spark.catalog.clearCache()
     start = time.perf_counter()
@@ -93,6 +106,7 @@ def main() -> None:
     ]
     results: dict[str, dict[str, float]] = {}
     flagged: list[str] = []
+    explained: list[str] = []
     for i, name in enumerate(names):
         fn = registry.QUERIES[name].fn
         try:
@@ -132,12 +146,17 @@ def main() -> None:
             "scaled_s": round(t_scaled, 3),
             "ratio": ratio,
         }
-        flag = ratio > args.flag_ratio and t_scaled >= args.min_seconds
-        if flag:
+        over = ratio > args.flag_ratio and t_scaled >= args.min_seconds
+        tag = ""
+        if over and name in EXPLAINED:
+            explained.append(name)
+            tag = " EXPLAINED"
+        elif over:
             flagged.append(name)
+            tag = " FLAG"
         print(
             f"[{i + 1}/{len(names)}] {name}: {t_base:.2f}s -> {t_scaled:.2f}s "
-            f"(x{ratio}){' FLAG' if flag else ''}",
+            f"(x{ratio}){tag}",
             flush=True,
         )
 
@@ -149,11 +168,12 @@ def main() -> None:
         "min_seconds": args.min_seconds,
         "n_queries": len(names),
         "flagged": flagged,
+        "explained": {n: EXPLAINED[n] for n in explained},
         "queries": results,
     }
     if args.out:
         Path(args.out).write_text(json.dumps(payload, indent=1) + "\n")
-    print(json.dumps({"n": len(names), "flagged": flagged}))
+    print(json.dumps({"n": len(names), "flagged": flagged, "explained": explained}))
     try:
         spark.stop()
     except Exception:
