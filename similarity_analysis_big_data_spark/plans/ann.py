@@ -1324,7 +1324,8 @@ def ann_matryoshka_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qv"),
         F.slice("embedding", 1, MRL_DIM).alias("qt"),
     )
-    # one driver collect serves both rankings' query broadcasts
+    # bounded collect (<= EVAL_QUERY_CAP rows by the _md5_pool limit):
+    # one driver action serves both rankings' query broadcasts
     q_rows = q.collect()
     c_trunc = emb.select("vec_id", F.slice("embedding", 1, MRL_DIM).alias("ct"))
 
