@@ -223,7 +223,7 @@ def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
     tri = e1.join(e2, "y").join(e3, ["x", "z"])
     return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
-        und.agg(F.count("*").alias("n_edges"))
+        F.broadcast(und.agg(F.count("*").alias("n_edges")))
     )
 
 

@@ -311,8 +311,9 @@ def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey
         GROUP BY n_name
     """,
-    # headline until r8: displaced for mmr_diverse_topk (r7 verdict item 4 —
-    # sub-0.5 s, join shape covered by q3 + the broadcast-join plan tests).
+    # headline until r8: displaced for pii_redacted_rewrite (r7 verdict item 4;
+    # mmr_diverse_topk blew the ≤16 s budget — see plans/ann.py) — q5 is
+    # sub-0.5 s and its join shape is covered by q3 + the broadcast-join plan tests.
     doc="J1 multi-way join (TPC-H Q5 shape): fact ⋈ 5 dims with a same-nation theta condition.",
 )
 def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
