@@ -25,6 +25,7 @@ Usage: python deploy/gen_scale_replica.py <k> <out_dir> [src_sf_dir]
 
 from __future__ import annotations
 
+import json
 import string
 import sys
 from pathlib import Path
@@ -120,6 +121,13 @@ def build(k: int, out_dir: str, src: str = "/root/testdata/sf0.1") -> None:
         con.execute(f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
         n = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n}", flush=True)
+    # Stamp the replica factor so consumers (sweep_scale.py) can detect a
+    # stale directory built with a different k or source and refuse to
+    # reuse it — a 2x replica silently reused for a --k 8 sweep would
+    # make every ratio (and every flag) wrong.
+    (out / "replica_meta.json").write_text(
+        json.dumps({"k": k, "src": str(src), "stride": STRIDE}) + "\n"
+    )
 
 
 if __name__ == "__main__":

@@ -78,7 +78,22 @@ def main() -> None:
     ap.add_argument("--only", default=None, help="substring filter on query names")
     args = ap.parse_args()
 
-    if not Path(args.scaled, "documents.parquet").exists():
+    # Reuse an existing replica dir only when its stamped factor matches
+    # --k and --base; a stale dir (e.g. a 2x replica at the default path
+    # reused with --k 8) would yield silently wrong ratios and flags.
+    meta_path = Path(args.scaled, "replica_meta.json")
+    reusable = False
+    if Path(args.scaled, "documents.parquet").exists():
+        if meta_path.exists():
+            meta = json.loads(meta_path.read_text())
+            reusable = meta.get("k") == args.k and meta.get("src") == args.base
+        if not reusable:
+            raise SystemExit(
+                f"--scaled {args.scaled} exists but its replica_meta.json is "
+                f"missing or does not match --k {args.k} / --base {args.base}; "
+                "delete the directory (or point --scaled elsewhere) and rerun"
+            )
+    if not reusable:
         subprocess.run(
             [
                 sys.executable,
@@ -131,14 +146,23 @@ def main() -> None:
                 from pyspark.sql import SparkSession
 
                 # clear every cached handle to the dead gateway so
-                # getOrCreate() builds a genuinely new JVM
-                SparkSession._instantiatedSession = None
-                SparkSession._activeSession = None
-                with SparkContext._lock:
-                    SparkContext._active_spark_context = None
-                    SparkContext._gateway = None
-                    SparkContext._jvm = None
-                spark = fresh_session()
+                # getOrCreate() builds a genuinely new JVM. These are
+                # pyspark private internals — if a pyspark upgrade renames
+                # any of them, degrade to "restart failed, abort sweep"
+                # instead of an AttributeError mid-recovery.
+                try:
+                    SparkSession._instantiatedSession = None
+                    SparkSession._activeSession = None
+                    with SparkContext._lock:
+                        SparkContext._active_spark_context = None
+                        SparkContext._gateway = None
+                        SparkContext._jvm = None
+                    spark = fresh_session()
+                except Exception as restart_exc:
+                    raise SystemExit(
+                        "JVM restart failed (pyspark internals changed?): "
+                        f"{restart_exc}; aborting sweep"
+                    ) from restart_exc
             continue
         ratio = round(t_scaled / t_base, 2) if t_base > 0 else float("inf")
         results[name] = {

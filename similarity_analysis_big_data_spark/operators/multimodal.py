@@ -279,24 +279,26 @@ def perceptual_dhash(payloads: DataFrame) -> DataFrame:
         import numpy as _np
         import pandas as _pd
 
+        # bit r*7+c carries weight 2^(r*7+c); precompute the 56 weights so
+        # the whole batch packs with one matmul instead of a per-pixel loop
+        weights = (1 << _np.arange(rows * (cols - 1), dtype=_np.int64)).astype(
+            _np.int64
+        )
         for batch in batches:
             if not len(batch):
                 continue
-            hashes = []
-            for payload in batch["payload"]:
-                raw = bytes(payload)
+            raws = [bytes(p) for p in batch["payload"]]
+            for raw in raws:
                 if len(raw) != rows * cols:
                     raise ValueError(
                         f"expected a raw {rows}x{cols} GRAY8 bitmap "
                         f"({rows * cols} bytes); got {len(raw)}"
                     )
-                px = _np.frombuffer(raw, dtype=_np.uint8).reshape(rows, cols)
-                ph = 0
-                for r in range(rows):
-                    for c in range(cols - 1):
-                        if px[r, c] > px[r, c + 1]:
-                            ph |= 1 << (r * (cols - 1) + c)
-                hashes.append(ph)
+            px = _np.frombuffer(b"".join(raws), dtype=_np.uint8).reshape(
+                len(raws), rows, cols
+            )
+            bits = (px[:, :, :-1] > px[:, :, 1:]).reshape(len(raws), -1)
+            hashes = bits.astype(_np.int64) @ weights
             yield _pd.DataFrame(
                 {"doc_id": batch["doc_id"], "phash": _pd.Series(hashes, dtype="int64")}
             )
