@@ -281,3 +281,188 @@ def image_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dropped = pairs.select(F.col("id_r").alias("doc_id")).distinct()
     return sig.join(dropped, "doc_id", "left_anti").select("doc_id", "phash")
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup dedup (r8 verdict item 4): the remaining LLM-pipeline
+# modality — composed entirely from existing machinery: sample_frames
+# (operators/multimodal.py) -> per-frame perceptual_dhash -> banded
+# Hamming pairing where ANY sampled-frame pair within h<=2 links two
+# videos -> lowest-id survivor anti-join.
+# ---------------------------------------------------------------------------
+#
+# Synthetic videos, same oracle-expressible construction as the images
+# above: a video is _VID_FRAMES concatenated 8x8 GRAY8 bitmaps; docs in
+# the same group of 8 share the base frames, and each non-canonical
+# variant (doc_id % 8 != 0) perturbs exactly ONE pixel (v, cs) in EVERY
+# frame — with a different md5-derived byte per frame — so every sampled
+# variant frame sits at dHash Hamming <= 2 from its canonical twin (one
+# pixel touches two horizontal comparisons) and the pairing stage must
+# exercise the Hamming tolerance on every planted pair, not ride a
+# hamming-0 untouched frame.
+
+_VID_FRAMES = 4  # frames per video — FIXED, never corpus-tracking
+_VID_EVERY_N = 2  # sample_frames stride: frames 0 and 2 are sampled
+
+
+def synthetic_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One raw payload of ``_VID_FRAMES`` concatenated 8x8 GRAY8 bitmaps
+    per document: row r of frame f of doc_id's group video is the first
+    8 bytes of md5('vid:<group>:<f>:<r>'); variants splice byte f of
+    md5('doc:<doc_id>') at pixel (doc_id % 8, group % 8) of every frame.
+    Pure Catalyst binary math — the bytes ARE the payload column."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.expr(f"doc_id div {_IMG_GROUP}").alias("g"),
+        (F.col("doc_id") % _IMG_GROUP).alias("v"),
+        F.expr(f"(doc_id div {_IMG_GROUP}) % {_IMG_COLS}").alias("cs"),
+        F.md5(F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))).alias("hd"),
+    )
+    frame_exprs = []
+    for f in range(_VID_FRAMES):
+        # byte f of the doc digest: a different splice byte per frame
+        pbyte = F.unhex(F.substring("hd", 2 * f + 1, 2))
+        d = d.withColumn(f"pb{f}", pbyte)
+        for r in range(_IMG_ROWS):
+            d = d.withColumn(
+                f"f{f}r{r}",
+                F.unhex(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("vid:"),
+                                F.col("g").cast("string"),
+                                F.lit(f":{f}:{r}"),
+                            )
+                        ),
+                        1,
+                        2 * _IMG_COLS,
+                    )
+                ),
+            )
+            frame_exprs.append(
+                F.expr(
+                    f"CASE WHEN v = {r} AND v <> 0 THEN "
+                    f"concat(substring(f{f}r{r}, 1, cs), pb{f}, "
+                    f"substring(f{f}r{r}, cs + 2, {_IMG_COLS - 1} - cs)) "
+                    f"ELSE f{f}r{r} END"
+                )
+            )
+    return d.select("doc_id", F.concat(*frame_exprs).alias("payload"))
+
+
+def _hex_byte_at(h: str, iexpr: str) -> str:
+    """DuckDB: byte at EXPRESSION index ``iexpr`` of hex digest ``h``."""
+    hi = f"strpos('0123456789abcdef', substr({h}, 2 * ({iexpr}) + 1, 1)) - 1"
+    lo = f"strpos('0123456789abcdef', substr({h}, 2 * ({iexpr}) + 2, 1)) - 1"
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+def _vid_oracle() -> str:
+    """The identical frame construction as generated DuckDB SQL, one row
+    per (doc, sampled frame), brute-force any-frame Hamming pairing."""
+    sampled = ", ".join(f"({f})" for f in range(0, _VID_FRAMES, _VID_EVERY_N))
+    px_cols = ",\n               ".join(
+        f"CASE WHEN v = {r} AND v <> 0 AND cs = {c} "
+        f"THEN {_hex_byte_at('hd', 'f')} "
+        f"ELSE {_img_hex_byte(f'h{r}', c)} END AS p{r}_{c}"
+        for r in range(_IMG_ROWS)
+        for c in range(_IMG_COLS)
+    )
+    h_cols = ",\n               ".join(
+        f"md5('vid:' || g || ':' || f || ':{r}') AS h{r}" for r in range(_IMG_ROWS)
+    )
+    phash = " + ".join(
+        f"CASE WHEN p{r}_{c} > p{r}_{c + 1} THEN {1 << (r * (_IMG_COLS - 1) + c)} ELSE 0 END"
+        for r in range(_IMG_ROWS)
+        for c in range(_IMG_COLS - 1)
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, doc_id // {_IMG_GROUP} AS g, doc_id % {_IMG_GROUP} AS v,
+               (doc_id // {_IMG_GROUP}) % {_IMG_COLS} AS cs,
+               md5('doc:' || doc_id) AS hd
+        FROM documents
+    ),
+    hx AS (
+        SELECT doc_id, v, cs, hd, f,
+               {h_cols}
+        FROM d CROSS JOIN (VALUES {sampled}) AS fr(f)
+    ),
+    px AS (
+        SELECT doc_id, f,
+               {px_cols}
+        FROM hx
+    ),
+    ph AS (
+        SELECT doc_id, f, CAST({phash} AS BIGINT) AS phash FROM px
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+        FROM ph l JOIN ph r
+          ON l.doc_id < r.doc_id
+         AND bit_count(xor(l.phash, r.phash)) <= 2
+    )
+    SELECT p.doc_id, p.phash AS phash0
+    FROM ph p
+    WHERE p.f = 0
+      AND p.doc_id NOT IN (SELECT id_r FROM pairs)
+    """
+
+
+@register(
+    "video_near_dup_survivors",
+    oracle=_vid_oracle(),
+    doc="[ext] VIDEO near-dup dedup — completes the multimodal dedup "
+    "family: multi-frame binary payloads flow through the row-EXPANDING "
+    "frame sampler (every 2nd 64-byte frame), each sampled frame gets "
+    "the 56-bit perceptual dHash, banded Hamming pairing over ALL frames "
+    "links two videos when ANY cross-video frame pair sits within h<=2, "
+    "and the survivor anti-join keeps each cluster's lowest-id video. "
+    "Oracle = the same frame/dHash math in pure SQL with brute-force "
+    "any-frame pairing.",
+)
+def video_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: frame sampling + pHash are ONE map-only pass (payload bytes
+    never shuffle; every_n=2 halves the hashed frames, the standard
+    recall/cost lever); pairing runs on the (frame_id, phash) relation —
+    16 B/row x sampled frames — through the same pigeonhole band
+    equi-join as the image/text paths (3 bands of ~19 bits at h<=2), so
+    candidates are planted structure plus ~m^2/2^19 noise for m sampled
+    frames. Frame ids pack as doc_id * _VID_FRAMES + frame_idx, so the
+    band join needs no composite keys; videos pair via least/greatest on
+    the decoded ids. Group size and frame count are FIXED (never
+    corpus-tracking): the pair relation grows linearly."""
+    from ..operators.dedup import simhash_banded_pairs
+    from ..operators.multimodal import perceptual_dhash, sample_frames
+
+    frames = sample_frames(
+        synthetic_videos(spark, sf_dir),
+        frame_bytes=_IMG_ROWS * _IMG_COLS,
+        every_n=_VID_EVERY_N,
+    )
+    fid = (F.col("doc_id") * _VID_FRAMES + F.col("frame_idx")).alias("doc_id")
+    sig = perceptual_dhash(frames.select(fid, F.col("frame").alias("payload")))
+    pairs = simhash_banded_pairs(
+        sig.withColumnRenamed("phash", "simhash"),
+        "doc_id",
+        max_hamming=2,
+        bits=56,
+    )
+    # frame-id pair -> video-id pair; fid_l < fid_r implies vid_l <= vid_r,
+    # so dropping equal ids leaves ordered video pairs
+    vids = (
+        pairs.select(
+            F.expr(f"id_l div {_VID_FRAMES}").alias("vid_l"),
+            F.expr(f"id_r div {_VID_FRAMES}").alias("vid_r"),
+        )
+        .filter(F.col("vid_l") < F.col("vid_r"))
+        .select(F.col("vid_r").alias("doc_id"))
+        .distinct()
+    )
+    phash0 = sig.filter(F.col("doc_id") % _VID_FRAMES == 0).select(
+        F.expr(f"doc_id div {_VID_FRAMES}").alias("doc_id"),
+        F.col("phash").alias("phash0"),
+    )
+    return phash0.join(vids, "doc_id", "left_anti").select("doc_id", "phash0")

@@ -53,78 +53,32 @@ def register(
 
 # Names surfaced FIRST in query_map()/oracle_sql_map(). The round driver
 # samples ~50 registry entries per round in presentation order; the
-# r1∪…∪r7 union has driver-checked every registered query at least once,
-# so round-8 ordering is a FRESHNESS rotation (r7 verdict item 1): the
-# new r8 queries lead (their first CORRECTNESS window), then the two
-# rows-only queries whose ledger rows should surface their oracle-checked
-# twins (r7 verdict item 6), then the 64 queries whose latest driver row
-# dates from r1/r2 — the ~13 whose implementing code was refactored since
-# their last row first, the rest oldest-first. (Pure presentation order —
-# every query is in the map either way.)
-#
-# r9 rotation note: after the r8 driver run, lead with (a) whatever of the
-# 64-stale tail below fell outside the ~50-row window, and (b) the queries
-# whose SEMANTICS changed in r8 without an r8 driver row — the sweep-cap
-# family (ann_matryoshka_recall_at_k, ann_rerank_two_stage,
-# cosine_histogram_sampled, entity_name_clusters — embedding_near_dup_pairs
-# and fuzzy_levenshtein_pairs are already in the window below) and the
-# floor-pinned dataset_card_summary — all green in the local parity suite
-# but the driver ledger should re-witness them.
+# r1∪…∪r8 union has driver-checked all 273 pre-r9 queries at least once
+# and zero hashes have ever failed, so round-9 ordering closes the
+# freshness ledger: (1) the new r9 query (its first CORRECTNESS window);
+# (2) the SEVEN queries whose semantics changed in r8 without an r8
+# driver row — the sweep-cap family (ann_matryoshka_recall_at_k,
+# ann_rerank_two_stage, cosine_histogram_sampled, entity_name_clusters,
+# part_name_trigram_pairs) and the floor-pinned pair
+# (ngram_novelty_vs_reference, dataset_card_summary) — all green in the
+# local parity suite, but the driver ledger must re-witness the new
+# answers; (3) the 18 queries whose latest driver row still dates from
+# r2; (4) the oldest of the r3 rows, filling the ~50-row window. After
+# this round no registered query's latest driver row predates its
+# current code, and the oldest row anywhere is r3. (Pure presentation
+# order — every query is in the map either way.)
 PRIORITY: tuple[str, ...] = (
-    # -- new in r8: first driver window --
-    "image_near_dup_survivors",
-    "stream_twin_hourly_dedup",
-    # -- rows-only pair: resample so the ledger rows carry the twin: docs --
-    "pca_project_embeddings",
-    "ann_pq_trained_recall_at_k",
-    # -- stale (latest row r1/r2) AND refactored since: resample first --
-    "semdedup_cell_survivors",
-    "minhash_lsh_candidates",
-    "minhash_dedup_verified",
-    "ann_ivf_topk",
-    "ann_ivf_recall_at_k",
-    "ann_ivf_multiprobe_topk",
-    "ann_bruteforce_topk",
-    "ann_hyperplane_lsh_buckets",
-    "corpus_curation_pipeline",
-    "kmeans_embedding_clusters",
-    "multimodal_binary_metadata",
-    "multimodal_fake_features",
-    "multimodal_frame_sample",
-    # -- remaining stale rows, oldest driver row first (r1, then r2) --
-    "approx_percentile_order_value",
-    "global_sorted_orders",
-    "global_topn_orders",
-    "grouping_sets_revenue",
-    "monthly_order_stats",
-    "percentile_order_value",
-    "point_lookup",
-    "projection_filter_scan",
-    "range_join_price_bracket",
-    "setop_except",
-    "setop_intersect",
-    "setop_union_all",
-    "setop_union_distinct",
-    "string_functions_cleanup",
-    "top1_order_per_customer",
-    "topk_lineitems_per_order",
-    "unpivot_order_measures",
-    "window_rank_frame",
-    "anti_join_dormant_customers",
-    "bigram_surprisal_scores",
-    "bloom_runtime_filter_join",
-    "chunk_documents_stride",
-    "conditional_accuracy",
-    "cube_status_priority",
-    "decontaminate_against_eval",
-    "dedup_canonical_tokenset",
-    "dedup_exact_groups",
-    "distinct_parts_per_supplier",
-    "doc_rolling_fingerprint",
-    "embedding_int8_quantization",
-    "embedding_near_dup_pairs",
-    "fuzzy_levenshtein_pairs",
-    "global_count",
+    # -- new in r9: first driver window --
+    "video_near_dup_survivors",
+    # -- semantics changed in r8 (sweep caps / floor pinning): re-witness --
+    "ann_matryoshka_recall_at_k",
+    "ann_rerank_two_stage",
+    "cosine_histogram_sampled",
+    "entity_name_clusters",
+    "part_name_trigram_pairs",
+    "ngram_novelty_vs_reference",
+    "dataset_card_summary",
+    # -- latest driver row r2: the last of the old-stale tail --
     "hof_embedding_stats",
     "incremental_agg_merge",
     "inverted_index_postings",
@@ -143,6 +97,31 @@ PRIORITY: tuple[str, ...] = (
     "unigram_surprisal_scores",
     "weekly_cohort_retention",
     "zorder_key_events",
+    # -- latest driver row r3, oldest-first: fill the window --
+    "aggregate_function_battery",
+    "ann_ivfpq_topk",
+    "ann_pq_adc_topk",
+    "array_function_battery",
+    "asof_join_cogroup",
+    "asof_join_purchase_click",
+    "datetime_function_battery",
+    "dedup_paragraphs_reassemble",
+    "doc_containment_pairs",
+    "doc_tfidf_normalized",
+    "hourly_event_rollup",
+    "incremental_dedup_delta",
+    "json_props_stats",
+    "knn_graph_edges",
+    "markov_event_transitions",
+    "math_function_battery",
+    "merge_upsert_customer_state",
+    "mixture_temperature_resample",
+    "mutual_knn_pairs",
+    "null_safe_join_segments",
+    "point_in_time_state_join",
+    "q17_small_quantity_revenue",
+    "q21_blocking_suppliers",
+    "q2_min_cost_supplier",
 )
 
 

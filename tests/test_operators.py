@@ -863,3 +863,45 @@ def test_image_near_dup_variant_within_hamming_two(spark, sf_smoke):
         if doc_id == canon or canon not in by_id:
             continue
         assert bin(ph ^ by_id[canon]).count("1") <= 2
+
+
+def test_video_near_dup_every_sampled_frame_within_hamming_two(spark, sf_smoke):
+    """The video construction's contract: EVERY sampled frame of a variant
+    sits within Hamming 2 of the canonical video's same-index frame (the
+    one-pixel-per-frame perturbation touches at most two horizontal dHash
+    comparisons) — so the any-frame pairing can't ride a hamming-0
+    untouched frame; each planted pair exercises the tolerance."""
+    from similarity_analysis_big_data_spark.operators.multimodal import (
+        perceptual_dhash,
+        sample_frames,
+    )
+    from similarity_analysis_big_data_spark.plans.multimodal import (
+        _VID_EVERY_N,
+        _VID_FRAMES,
+        synthetic_videos,
+    )
+
+    frames = sample_frames(
+        synthetic_videos(spark, sf_smoke), frame_bytes=64, every_n=_VID_EVERY_N
+    )
+    sig = perceptual_dhash(
+        frames.selectExpr(
+            f"doc_id * {_VID_FRAMES} + frame_idx AS doc_id", "frame AS payload"
+        )
+    )
+    by_fid = {r["doc_id"]: r["phash"] for r in sig.collect()}
+    sampled = range(0, _VID_FRAMES, _VID_EVERY_N)
+    checked = 0
+    for fid, ph in by_fid.items():
+        doc_id, fidx = divmod(fid, _VID_FRAMES)
+        canon = (doc_id // 8) * 8
+        canon_fid = canon * _VID_FRAMES + fidx
+        if doc_id == canon or canon_fid not in by_fid:
+            continue
+        assert fidx in sampled
+        # the spliced byte may coincide with the original or flip no
+        # comparison sign, so 0 is legal; >2 never is
+        d = bin(ph ^ by_fid[canon_fid]).count("1")
+        assert d <= 2, f"frame {fidx} of {doc_id}: hamming {d}"
+        checked += 1
+    assert checked > 0

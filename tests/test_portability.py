@@ -36,6 +36,7 @@ for name in ("hourly_event_rollup", "asof_join_purchase_click",
              "window_running_user_spend", "multimodal_fake_features",
              "scd2_user_state_history", "asof_join_cogroup",
              "image_near_dup_survivors",  # r8 mapInPandas pHash worker closure
+             "video_near_dup_survivors",  # r9 frame sampler + pHash closures
              "title_best_abstract"):  # dense strategy: mapInPandas + driver numpy
     df = qs[name](spark, {sf!r})
     pdf = df.toPandas()
