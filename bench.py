@@ -63,6 +63,27 @@ def main() -> None:
         "sf": sf,
     }
 
+    # Host-state forensics (extra keys; the one-line contract is unchanged):
+    # the r8 driver artifact read +12% vs an idle-host run of the SAME code
+    # (the documented ±20-30% busy-host signature — the bench ran minutes
+    # after big replica-sweep JVMs exited). Recording load average and the
+    # JVM's own GC accounting inside the artifact makes that diagnosis
+    # readable from the artifact instead of argued after the fact.
+    try:
+        payload["host"] = {
+            "loadavg_1m": round(os.getloadavg()[0], 2),
+            "gc_time_sec": round(
+                sum(
+                    b.getCollectionTime()
+                    for b in spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+                )
+                / 1000.0,
+                2,
+            ),
+        }
+    except Exception:
+        pass  # forensics must never fail the bench artifact
+
     # Optional self-assessment: SPARK_GRAFT_BENCH_ORACLE=1 also times each
     # headliner's DuckDB oracle on the same parquet and reports the
     # spark/duckdb ratio per query — the locally computable version of the
