@@ -196,11 +196,10 @@ def _img_hex_byte(h: str, i: int) -> str:
     return f"(({hi}) * 16 + ({lo}))"
 
 
-def _img_oracle() -> str:
-    """The identical bitmap + dHash construction as generated DuckDB SQL:
-    brute-force O(n^2) Hamming pairing (bit_count(xor(..)) — fine at the
-    oracle's 500-doc scale) against which the banded Spark plan's pair
-    set and survivor anti-join are hash-checked."""
+def _img_ph_ctes(where: str = "") -> str:
+    """The image bitmap + dHash construction as reusable DuckDB CTE bodies
+    (``d``/``hx``/``px``/``ph`` — no leading WITH so callers can splice it
+    after other fragments); ``where`` optionally restricts the doc set."""
     px_cols = ",\n               ".join(
         f"CASE WHEN v = {r} AND v <> 0 AND cs = {c} "
         f"THEN {_img_hex_byte('hd', 0)} "
@@ -216,11 +215,10 @@ def _img_oracle() -> str:
         for r in range(_IMG_ROWS)
         for c in range(_IMG_COLS - 1)
     )
-    return f"""
-    WITH d AS (
+    return f"""d AS (
         SELECT doc_id, doc_id // {_IMG_GROUP} AS g, doc_id % {_IMG_GROUP} AS v,
                (doc_id // {_IMG_GROUP}) % {_IMG_COLS} AS cs
-        FROM documents
+        FROM documents {where}
     ),
     hx AS (
         SELECT doc_id, v, cs,
@@ -235,7 +233,16 @@ def _img_oracle() -> str:
     ),
     ph AS (
         SELECT doc_id, CAST({phash} AS BIGINT) AS phash FROM px
-    ),
+    )"""
+
+
+def _img_oracle() -> str:
+    """The identical bitmap + dHash construction as generated DuckDB SQL:
+    brute-force O(n^2) Hamming pairing (bit_count(xor(..)) — fine at the
+    oracle's 500-doc scale) against which the banded Spark plan's pair
+    set and survivor anti-join are hash-checked."""
+    return f"""
+    WITH {_img_ph_ctes()},
     pairs AS (
         SELECT l.doc_id AS id_l, r.doc_id AS id_r
         FROM ph l JOIN ph r
@@ -466,3 +473,108 @@ def video_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("phash").alias("phash0"),
     )
     return phash0.join(vids, "doc_id", "left_anti").select("doc_id", "phash0")
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal dedup policy matrix: when a corpus carries BOTH a text and an
+# image per document (the LAION/caption-dataset shape), the curation
+# decision isn't one pair set — it's the agreement structure between the
+# per-modality pair sets. This query joins the text near-dup pairs
+# (MinHash-LSH -> exact-Jaccard verify, the plans/dedup.py spine) with the
+# image near-dup pairs (dHash banded Hamming, above) over the SAME 1-in-5
+# doc sample and rolls the union up by detection basis — the telemetry a
+# curator reads before choosing an AND (conservative) vs OR (aggressive)
+# cross-modal survivor policy.
+# ---------------------------------------------------------------------------
+
+
+def _consensus_oracle() -> str:
+    from .dedup import _SQL_BANDS, _SQL_MH, _SQL_SAMPLE_SHINGLES, SAMPLE_MOD
+
+    return (
+        _SQL_SAMPLE_SHINGLES
+        + _SQL_MH
+        + _SQL_BANDS
+        + """
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+        FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS n_common
+        FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    tx AS (
+        SELECT i.id_l, i.id_r
+        FROM inter i
+        JOIN cand c ON c.id_l = i.id_l AND c.id_r = i.id_r
+        JOIN sizes sl ON sl.doc_id = i.id_l
+        JOIN sizes sr ON sr.doc_id = i.id_r
+        WHERE CAST(i.n_common AS DOUBLE) / (sl.set_size + sr.set_size - i.n_common) >= 0.5
+    ),
+    """
+        + _img_ph_ctes(where=f"WHERE doc_id % {SAMPLE_MOD} = 0")
+        + """,
+    img AS (
+        SELECT l.doc_id AS id_l, r.doc_id AS id_r
+        FROM ph l JOIN ph r
+          ON l.doc_id < r.doc_id
+         AND bit_count(xor(l.phash, r.phash)) <= 2
+    )
+    SELECT CASE WHEN t.id_l IS NOT NULL AND i.id_l IS NOT NULL THEN 'both'
+                WHEN t.id_l IS NOT NULL THEN 'text_only'
+                ELSE 'image_only' END AS dup_basis,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT coalesce(t.id_r, i.id_r)) AS BIGINT) AS n_docs_dropped
+    FROM tx t FULL OUTER JOIN img i ON t.id_l = i.id_l AND t.id_r = i.id_r
+    GROUP BY 1
+    """
+    )
+
+
+@register(
+    "multimodal_dedup_policy_matrix",
+    oracle=_consensus_oracle(),
+    doc="[ext] cross-modal dedup policy matrix — the agreement telemetry "
+    "between the TEXT near-dup pair set (MinHash-LSH -> exact-Jaccard "
+    ">= 0.5 verify) and the IMAGE near-dup pair set (56-bit dHash, banded "
+    "Hamming h<=2) over the same doc sample: per detection basis "
+    "(both / text_only / image_only), how many pairs fired and how many "
+    "docs a lowest-id survivor policy would drop. The read a curator "
+    "needs before choosing AND- vs OR-consensus cross-modal dedup.",
+)
+def multimodal_dedup_policy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: both inputs are the already-linear pair relations (bucketed
+    LSH and banded Hamming — never all-pairs), and the consensus is a
+    full-outer equi-join ON THE PAIR KEYS, so it shuffles pair rows, not
+    corpus rows; the rollup is a 3-row aggregate. At 100 TB the two pair
+    sets co-partition on (id_l, id_r) and the join is shuffle-local."""
+    from ..operators.dedup import simhash_banded_pairs
+    from ..operators.multimodal import perceptual_dhash
+    from .dedup import SAMPLE_MOD, minhash_dedup_verified
+
+    tx = minhash_dedup_verified(spark, sf_dir).select(
+        "id_l", "id_r", F.lit(True).alias("is_text")
+    )
+    sig = perceptual_dhash(synthetic_images(spark, sf_dir)).filter(
+        F.col("doc_id") % SAMPLE_MOD == 0
+    )
+    img = simhash_banded_pairs(
+        sig.withColumnRenamed("phash", "simhash"), "doc_id", max_hamming=2, bits=56
+    ).select("id_l", "id_r", F.lit(True).alias("is_img"))
+    cells = tx.join(img, ["id_l", "id_r"], "full_outer")
+    basis = (
+        F.when(F.col("is_text").isNotNull() & F.col("is_img").isNotNull(), "both")
+        .when(F.col("is_text").isNotNull(), "text_only")
+        .otherwise("image_only")
+    )
+    return (
+        cells.groupBy(basis.alias("dup_basis"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("id_r").alias("n_docs_dropped"),
+        )
+    )
