@@ -578,3 +578,157 @@ def multimodal_dedup_policy_matrix(spark: SparkSession, sf_dir: str) -> DataFram
             F.countDistinct("id_r").alias("n_docs_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint alignment (Wang 2003, the Shazam construction): the
+# THIRD multimodal matching contract, genuinely different from the image/
+# video Hamming pairing — per-window robust hashes match EXACTLY, and two
+# clips link only when >= _AUD_MIN_ALIGNED window matches agree on ONE
+# temporal offset (the offset-delta histogram vote). Random hash
+# collisions scatter across offsets and never accumulate a consistent
+# delta, which is why exact-hash + alignment voting needs no Hamming
+# tolerance at all.
+#
+# Synthetic clips: each group of 8 docs shares an 8-window "master track"
+# (window wm = 64 md5-derived bytes standing in for a spectral frame —
+# the FFT is the stubbed decode, same gate as the image codec; the
+# windowing, hashing and alignment machinery is real). Clip doc_id takes
+# the 6-window slice starting at shift (doc_id % 8) % 3, so intra-group
+# pairs overlap in 6 - |s_l - s_r| >= 4 windows at the single consistent
+# delta s_r - s_l — planted alignments the vote must recover.
+# ---------------------------------------------------------------------------
+
+_AUD_WINDOWS = 6  # windows per clip — FIXED, never corpus-tracking
+_AUD_SHIFTS = 3  # distinct slice starts within a group's master track
+_AUD_MIN_ALIGNED = 3  # votes needed on one offset to link two clips
+
+
+def synthetic_audio_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One 384-byte payload per document: 6 windows x 64 bytes, window f
+    of clip doc_id = master window f + (doc_id % 8) % 3 of group
+    doc_id div 8, each master window the concat of 4 md5 digests
+    md5('aud:<g>:<wm>:<j>'). Pure Catalyst binary math."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.expr(f"doc_id div {_IMG_GROUP}").alias("g"),
+        ((F.col("doc_id") % _IMG_GROUP) % _AUD_SHIFTS).alias("s"),
+    )
+    window_exprs = []
+    for f in range(_AUD_WINDOWS):
+        wm = (F.col("s") + F.lit(f)).cast("string")
+        window_exprs.extend(
+            F.unhex(
+                F.md5(
+                    F.concat(
+                        F.lit("aud:"),
+                        F.col("g").cast("string"),
+                        F.lit(":"),
+                        wm,
+                        F.lit(f":{j}"),
+                    )
+                )
+            )
+            for j in range(4)
+        )
+    return d.select("doc_id", F.concat(*window_exprs).alias("payload"))
+
+
+def _aud_oracle() -> str:
+    """The identical window construction in DuckDB SQL: per-(doc, window)
+    dHash over the 64 reassembled bytes, exact-equality matching, offset
+    histogram with the >= _AUD_MIN_ALIGNED consistency vote."""
+    frames = ", ".join(f"({f})" for f in range(_AUD_WINDOWS))
+    h_cols = ",\n               ".join(
+        f"md5('aud:' || g || ':' || wm || ':{j}') AS h{j}" for j in range(4)
+    )
+    px_cols = ",\n               ".join(
+        f"{_img_hex_byte(f'h{(r * _IMG_COLS + c) // 16}', (r * _IMG_COLS + c) % 16)} AS p{r}_{c}"
+        for r in range(_IMG_ROWS)
+        for c in range(_IMG_COLS)
+    )
+    phash = " + ".join(
+        f"CASE WHEN p{r}_{c} > p{r}_{c + 1} THEN {1 << (r * (_IMG_COLS - 1) + c)} ELSE 0 END"
+        for r in range(_IMG_ROWS)
+        for c in range(_IMG_COLS - 1)
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, doc_id // {_IMG_GROUP} AS g,
+               (doc_id % {_IMG_GROUP}) % {_AUD_SHIFTS} AS s
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, g, f, f + s AS wm
+        FROM d CROSS JOIN (VALUES {frames}) AS fr(f)
+    ),
+    hx AS (
+        SELECT doc_id, f,
+               {h_cols}
+        FROM w
+    ),
+    px AS (
+        SELECT doc_id, f,
+               {px_cols}
+        FROM hx
+    ),
+    ph AS (
+        SELECT doc_id, f, CAST({phash} AS BIGINT) AS phash FROM px
+    )
+    SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+           CAST(l.f - r.f AS BIGINT) AS t_offset,
+           CAST(count(*) AS BIGINT) AS n_aligned
+    FROM ph l JOIN ph r ON l.phash = r.phash AND l.doc_id < r.doc_id
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= {_AUD_MIN_ALIGNED}
+    """
+
+
+@register(
+    "audio_fingerprint_align_pairs",
+    oracle=_aud_oracle(),
+    doc="[ext] AUDIO fingerprint matching (Wang 2003 constellation "
+    "alignment): per-window 56-bit robust hashes over frame-sampled clip "
+    "payloads match by EXACT equality, and two clips pair only when >= 3 "
+    "window matches agree on one temporal offset — the offset-delta "
+    "histogram vote that makes random collisions harmless without any "
+    "Hamming tolerance. Emits (id_l, id_r, offset, n_aligned) per "
+    "consistently-aligned clip pair.",
+)
+def audio_fingerprint_align_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: window hashing is the same single map-only pass as the
+    image/video paths (clip bytes never shuffle; 16 B per window moves);
+    matching is an equi-join ON THE 56-BIT HASH VALUE — candidates are
+    planted structure plus ~m^2/2^56 noise, strictly tighter than the
+    banded-Hamming geometry because alignment voting tolerates zero hash
+    error; the vote is one groupBy on (pair, offset) over match rows.
+    Window count and group size are FIXED — pair work grows linearly."""
+    from ..operators.multimodal import perceptual_dhash, sample_frames
+
+    frames = sample_frames(
+        synthetic_audio_clips(spark, sf_dir),
+        frame_bytes=_IMG_ROWS * _IMG_COLS,
+        every_n=1,
+    )
+    fid = (F.col("doc_id") * _AUD_WINDOWS + F.col("frame_idx")).alias("doc_id")
+    sig = perceptual_dhash(frames.select(fid, F.col("frame").alias("payload")))
+    w = sig.select(
+        F.expr(f"doc_id div {_AUD_WINDOWS}").alias("vid"),
+        (F.col("doc_id") % _AUD_WINDOWS).alias("f"),
+        "phash",
+    )
+    lhs = w.select(
+        F.col("vid").alias("id_l"), F.col("f").alias("f_l"), "phash"
+    )
+    rhs = w.select(
+        F.col("vid").alias("id_r"), F.col("f").alias("f_r"), "phash"
+    )
+    matches = lhs.join(rhs, "phash").filter(F.col("id_l") < F.col("id_r"))
+    return (
+        matches.groupBy(
+            "id_l", "id_r", (F.col("f_l") - F.col("f_r")).cast("long").alias("t_offset")
+        )
+        .agg(F.count("*").alias("n_aligned"))
+        .filter(F.col("n_aligned") >= _AUD_MIN_ALIGNED)
+    )

@@ -71,6 +71,7 @@ PRIORITY: tuple[str, ...] = (
     # -- new in r9: first driver window --
     "video_near_dup_survivors",
     "multimodal_dedup_policy_matrix",
+    "audio_fingerprint_align_pairs",
     # -- semantics changed in r8 (sweep caps / floor pinning): re-witness --
     "ann_matryoshka_recall_at_k",
     "ann_rerank_two_stage",
@@ -121,7 +122,6 @@ PRIORITY: tuple[str, ...] = (
     "null_safe_join_segments",
     "point_in_time_state_join",
     "q17_small_quantity_revenue",
-    "q21_blocking_suppliers",
 )
 
 

@@ -905,3 +905,43 @@ def test_video_near_dup_every_sampled_frame_within_hamming_two(spark, sf_smoke):
         assert d <= 2, f"frame {fidx} of {doc_id}: hamming {d}"
         checked += 1
     assert checked > 0
+
+
+def test_audio_alignment_recovers_planted_shift_structure(spark, sf_smoke):
+    """The constellation contract: every intra-group clip pair must align
+    at exactly the planted offset s_r - s_l with 6 - |offset| agreeing
+    windows (clips are 6-window slices of the group's master track at
+    shifts (doc_id % 8) % 3), and no cross-group pair may survive the
+    >= 3 consistent-offset vote."""
+    from similarity_analysis_big_data_spark.plans.multimodal import (
+        audio_fingerprint_align_pairs,
+    )
+
+    rows = audio_fingerprint_align_pairs(spark, sf_smoke).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["id_l"] // 8 == r["id_r"] // 8, "cross-group pair survived the vote"
+        s_l, s_r = (r["id_l"] % 8) % 3, (r["id_r"] % 8) % 3
+        assert r["t_offset"] == s_r - s_l
+        assert r["n_aligned"] == 6 - abs(r["t_offset"])
+        seen.add((r["id_l"], r["id_r"]))
+    # completeness: every intra-group ordered pair in the FIXTURE must be
+    # present (all overlaps are >= 4 >= the vote threshold)
+    from similarity_analysis_big_data_spark.sources.readers import load_table
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_smoke, "documents").select("doc_id").collect()
+    ]
+    by_g = {}
+    for i in ids:
+        by_g.setdefault(i // 8, []).append(i)
+    expected = {
+        (a, b)
+        for members in by_g.values()
+        for a in members
+        for b in members
+        if a < b
+    }
+    assert seen == expected
