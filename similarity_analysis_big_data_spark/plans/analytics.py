@@ -1479,3 +1479,55 @@ def attribution_decay_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("attributed_revenue"),
         )
     )
+
+
+@register(
+    "stream_twin_static_enrichment",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.event_type,
+               round(e.value, 4) AS value,
+               coalesce(c.c_mktsegment, 'UNKNOWN') AS segment
+        FROM events e
+        LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="[ext] STRUCTURED STREAMING twin #7: the STREAM-STATIC broadcast "
+    "enrichment join (fact stream hash-joined per micro-batch against a "
+    "small static dimension — the canonical fact ⋈ dim shape, stateless, "
+    "append-mode, no watermark required) run through the real stream "
+    "path (file-source stream, availableNow trigger, memory sink) and "
+    "hash-checked row-for-row against the batch LEFT JOIN oracle. "
+    "Extends the driver-visible streaming set past the five stateful "
+    "families to the stateless-join family: every event's enriched row "
+    "must come out exactly once with the right dimension attribute.",
+)
+def stream_twin_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: stateless — zero streaming state; each micro-batch re-plans
+    a broadcast hash join against the dim (which is how slowly-changing
+    dims pick up updates between batches). The dim side is |customers|
+    projected to two columns; a dim too big to broadcast swaps in the
+    bloom_runtime_filter_join strategy without touching the stream side.
+    Row identity (event_id) pins exactly-once delivery through the sink."""
+    import uuid
+
+    from ..streaming.events import enriched_event_stream, read_event_stream, run_to_memory
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    stream = enriched_event_stream(read_event_stream(spark, sf_dir), dim)
+    out = run_to_memory(
+        stream,
+        f"stream_twin_enrich_{uuid.uuid4().hex[:8]}",
+        shuffle_partitions=8,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.coalesce("segment", F.lit("UNKNOWN")).alias("segment"),
+    )

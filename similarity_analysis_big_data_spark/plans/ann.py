@@ -1546,6 +1546,64 @@ def ann_ivf_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRR_ORACLE = f"""
+    WITH exact AS (SELECT * FROM ({_Q['ann_bruteforce_topk'].oracle}) x),
+         approx AS (SELECT * FROM ({_Q['ann_ivf_topk'].oracle}) y),
+         nn AS (SELECT query_id, neighbor_id FROM exact WHERE rnk = 1)
+    SELECT n.query_id,
+           CAST(coalesce(a.rnk, 0) AS BIGINT) AS nn_rank,
+           round(CASE WHEN a.rnk IS NULL THEN 0.0
+                      ELSE 1.0 / a.rnk END, 6) AS reciprocal_rank
+    FROM nn n
+    LEFT JOIN approx a
+      ON a.query_id = n.query_id AND a.neighbor_id = n.neighbor_id
+"""
+
+
+@register(
+    "ann_ivf_mrr_of_nn",
+    oracle=_MRR_ORACLE,
+    doc="[ext] ANN evaluation, position-sensitive: per-query reciprocal "
+    "rank of the TRUE nearest neighbor (brute-force rank 1) inside the "
+    "IVF ranking — MRR, the third leg of the standard retrieval-eval "
+    "triad (recall@k counts hits, nDCG grades the whole list, MRR asks "
+    "'how far down is THE answer'). nn_rank=0 / rr=0.0 when the index "
+    "missed the true NN entirely. Oracle composes the two component "
+    "queries' own registered oracle texts.",
+)
+def ann_ivf_mrr_of_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same component plans as recall@k/nDCG (corpus unshuffled:
+    broadcast queries / cell-keyed join); the final join matches |Q|
+    single-NN rows against |Q|·k approx rows — evaluation-pool-sized,
+    corpus-independent. Rank-1 of the brute-force list is deterministic
+    on both engines (cosine rounded BEFORE ranking, ascending-id
+    tie-break), so 'the true NN' is engine-independent."""
+    nn = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .filter(F.col("rnk") == 1)
+        .select("query_id", "neighbor_id")
+    )
+    approx = ann_ivf_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor_id"), "rnk"
+    )
+    j = nn.join(
+        approx,
+        (nn.query_id == approx.query_id)
+        & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+        "left",
+    )
+    return j.select(
+        nn.query_id,
+        F.coalesce(F.col("rnk"), F.lit(0)).cast("long").alias("nn_rank"),
+        F.round(
+            F.when(F.col("rnk").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / F.col("rnk")
+            ),
+            6,
+        ).alias("reciprocal_rank"),
+    )
+
+
 COS_HIST_MOD = 5  # sampled pair stage, as embedding_near_dup_pairs
 
 

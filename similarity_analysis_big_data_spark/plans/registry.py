@@ -72,6 +72,10 @@ PRIORITY: tuple[str, ...] = (
     "video_near_dup_survivors",
     "multimodal_dedup_policy_matrix",
     "audio_fingerprint_align_pairs",
+    "stream_twin_static_enrichment",
+    "ann_ivf_mrr_of_nn",
+    "benford_first_digit_audit",
+    "tokenizer_fertility_by_lang",
     # -- semantics changed in r8 (sweep caps / floor pinning): re-witness --
     "ann_matryoshka_recall_at_k",
     "ann_rerank_two_stage",

@@ -893,3 +893,64 @@ def abtest_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("y_adj"), 6).alias("mean_cuped"),
         F.round(F.var_samp("y_adj") / F.var_samp("y"), 6).alias("variance_ratio"),
     )
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle="""
+        WITH d AS (
+            SELECT substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS digit
+            FROM orders
+        ),
+        counts AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        tot AS (SELECT sum(n) AS t FROM counts)
+        SELECT digit, n,
+               round(CAST(n AS DOUBLE) / t, 6) AS obs_freq,
+               round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+                   AS benford_freq,
+               round((CAST(n AS DOUBLE) / t
+                      - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                     * (CAST(n AS DOUBLE) / t
+                        - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                     / log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * t, 6)
+                   AS chisq_term
+        FROM counts, tot
+    """,
+    doc="[ext] Benford first-digit audit on order totals: observed "
+    "first-significant-digit frequencies vs Benford's law expectation "
+    "log10(1 + 1/d), with the per-digit chi-square contribution — the "
+    "classic fraud/synthetic-data screen for any monetary or count "
+    "column (a generated or tampered column deviates where organic "
+    "multi-magnitude data follows the law). The digit is extracted from "
+    "the integer CENTS string (round(price*100) then cast), never from "
+    "float division by a power of ten — the power-of-ten boundary is "
+    "exactly where cross-engine float division would flip the digit.",
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one hash aggregate collapses the fact table to <= 9 digit
+    rows (partial aggregation map-side, so the shuffle carries 9 rows per
+    task); the grand total joins back as a 1-row broadcast aggregate —
+    the global_count pattern. Nothing downstream of the first agg scales
+    with the data."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"), 1, 1
+    )
+    counts = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("t"))
+    obs = F.col("n").cast("double") / F.col("t")
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("obs_freq"),
+        F.round(expected, 6).alias("benford_freq"),
+        F.round((obs - expected) * (obs - expected) / expected * F.col("t"), 6).alias(
+            "chisq_term"
+        ),
+    )

@@ -1128,3 +1128,55 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_top_c")
     )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(strlen(text)) AS BIGINT) AS utf8_bytes,
+               CAST(sum(len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))) AS BIGINT) AS bpe_tokens,
+               CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS ws_words,
+               round(CAST(sum(strlen(text)) AS DOUBLE)
+                     / sum(len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))), 4) AS bytes_per_token,
+               round(CAST(sum(len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))) AS DOUBLE)
+                     / sum(len(string_split_regex(trim(text), '\\s+'))), 4) AS fertility
+        FROM documents GROUP BY lang
+    """,
+    doc="[ext] tokenizer-efficiency accounting per language: UTF-8 BYTES "
+    "per BPE-ish token (compression — the cost-per-token lever when the "
+    "training budget is byte-priced) and tokens per whitespace word "
+    "(fertility — the standard tokenizer-equity metric: a language with "
+    "2x fertility pays 2x context length for the same sentence). "
+    "Byte-level via octet_length/strlen, NOT n_chars — multi-byte "
+    "scripts are exactly where the two diverge and fertility matters.",
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: map-only per-doc token counting (Catalyst regexp, no UDF)
+    into a partial+final hash agg keyed by lang — one shuffle of
+    |langs|-sized partials; the ratio arithmetic runs on the |langs|-row
+    result. The same single-scan shape as token_count_stats; no second
+    pass for the ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0))
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    agg = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length("text")).alias("utf8_bytes"),
+        F.sum(bpe).alias("bpe_tokens"),
+        F.sum(ws).alias("ws_words"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "utf8_bytes",
+        "bpe_tokens",
+        "ws_words",
+        F.round(
+            F.col("utf8_bytes").cast("double") / F.col("bpe_tokens"), 4
+        ).alias("bytes_per_token"),
+        F.round(F.col("bpe_tokens").cast("double") / F.col("ws_words"), 4).alias(
+            "fertility"
+        ),
+    )

@@ -850,3 +850,58 @@ def test_binary_sign_topk_uses_window_group_limit(spark, sf_oracle):
     df = QUERIES["ann_binary_sign_recall_at_k"].fn(spark, sf_oracle)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_benford_digit_extraction_at_power_of_ten_boundaries(spark, tmp_path_factory):
+    """The Benford digit comes from the integer-CENTS string, so prices
+    sitting exactly at a power of ten (where float division by 10^k is
+    one ULP from flipping 1000 -> 999.999...) still yield the right
+    first digit, bit-for-bit on any engine."""
+    sf_dir = tmp_path_factory.mktemp("benford")
+    prices = [1000.00, 999.99, 100.00, 101.01, 99999.99, 857.71, 10.00]
+    spark.createDataFrame(
+        [(p,) for p in prices], "o_totalprice double"
+    ).write.parquet(str(sf_dir / "orders.parquet"))
+    out = QUERIES["benford_first_digit_audit"].fn(spark, str(sf_dir))
+    rows = {r["digit"]: r for r in out.collect()}
+    assert {d: r["n"] for d, r in rows.items()} == {"1": 4, "8": 1, "9": 2}
+    assert abs(sum(r["obs_freq"] for r in rows.values()) - 1.0) < 1e-6
+    # chi-square terms are non-negative and finite
+    assert all(r["chisq_term"] >= 0.0 for r in rows.values())
+
+
+def test_tokenizer_fertility_counts_utf8_bytes_not_chars(spark, tmp_path_factory):
+    """Multi-byte text is exactly where bytes-per-token and n_chars
+    diverge; the fertility query must count UTF-8 BYTES."""
+    sf_dir = tmp_path_factory.mktemp("fert")
+    docs = [
+        (0, "héllo wörld", "de", "web", 11),  # 2 two-byte chars -> 13 bytes
+        (1, "plain ascii text", "en", "web", 16),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(sf_dir / "documents.parquet"))
+    out = QUERIES["tokenizer_fertility_by_lang"].fn(spark, str(sf_dir))
+    rows = {r["lang"]: r for r in out.collect()}
+    assert rows["de"]["utf8_bytes"] == 13  # not 11 chars
+    assert rows["en"]["utf8_bytes"] == 16
+    # "héllo wörld" -> BPE tokens over lowered text: h,éllo?? no: pattern is
+    # [a-z]+|[0-9]+|[^a-z0-9\s] so é and ö are single non-alnum tokens:
+    # h, é, llo, w, ö, rld = 6 tokens over 2 whitespace words -> fertility 3.0
+    assert rows["de"]["bpe_tokens"] == 6
+    assert rows["de"]["fertility"] == 3.0
+
+
+def test_ann_mrr_rank_bounds(spark, sf_oracle):
+    """nn_rank is 0 (miss) or within [1, TOP_K]; a hit at rank r yields
+    reciprocal_rank == round(1/r, 6)."""
+    from similarity_analysis_big_data_spark.plans.ann import TOP_K
+
+    rows = QUERIES["ann_ivf_mrr_of_nn"].fn(spark, sf_oracle).collect()
+    assert rows, "evaluation pool must be non-empty"
+    for r in rows:
+        assert 0 <= r["nn_rank"] <= TOP_K
+        if r["nn_rank"] == 0:
+            assert r["reciprocal_rank"] == 0.0
+        else:
+            assert abs(r["reciprocal_rank"] - round(1.0 / r["nn_rank"], 6)) < 1e-9
