@@ -1604,6 +1604,159 @@ def ann_ivf_mrr_of_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURVE_PROBES = (1, 2, 4)  # nprobe operating points (max bounds the candidate set)
+
+_CURVE_ORACLE = f"""
+    WITH cent AS (
+        SELECT vec_id AS cell_id, embedding AS cell_vec
+        FROM embeddings WHERE vec_id < {N_CELLS}
+    ),
+    ranked_cells AS (
+        SELECT e.vec_id, e.embedding, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round({cosine_sql('e.embedding', 'c.cell_vec')}, 6) DESC,
+                            c.cell_id) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell_id FROM ranked_cells WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, embedding AS query_vec, cell_id,
+               rn AS probe_rn
+        FROM ranked_cells
+        WHERE vec_id % {QUERY_MOD} = 0 AND rn <= {max(CURVE_PROBES)}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, p.probe_rn,
+               round({cosine_sql('p.query_vec', 'a.embedding')}, 6) AS cosine
+        FROM probes p JOIN assigned a
+          ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+    ),
+    nps AS (SELECT unnest([{', '.join(str(p) for p in CURVE_PROBES)}]) AS nprobe),
+    topk AS (
+        SELECT nprobe, query_id, neighbor_id
+        FROM (SELECT np.nprobe, s.query_id, s.neighbor_id,
+                     row_number() OVER (PARTITION BY np.nprobe, s.query_id
+                                        ORDER BY s.cosine DESC, s.neighbor_id)
+                         AS rnk
+              FROM scored s JOIN nps np ON s.probe_rn <= np.nprobe)
+        WHERE rnk <= {TOP_K}
+    ),
+    exact AS (SELECT query_id, neighbor_id
+              FROM ({_Q['ann_bruteforce_topk'].oracle}) x),
+    perq AS (
+        SELECT np.nprobe, e.query_id, count(t.neighbor_id) AS n_hits
+        FROM exact e CROSS JOIN nps np
+        LEFT JOIN topk t
+          ON t.nprobe = np.nprobe AND t.query_id = e.query_id
+         AND t.neighbor_id = e.neighbor_id
+        GROUP BY np.nprobe, e.query_id
+    )
+    SELECT CAST(nprobe AS BIGINT) AS nprobe,
+           count(*) AS n_queries,
+           round(avg(CAST(n_hits AS DOUBLE) / {TOP_K}), 6) AS mean_recall_at_k
+    FROM perq GROUP BY nprobe
+"""
+
+
+@register(
+    "ann_nprobe_recall_curve",
+    oracle=_CURVE_ORACLE,
+    doc=f"[ext] IVF operating curve: mean recall@{TOP_K} at nprobe = "
+    f"{CURVE_PROBES} from ONE candidate-scoring pass — the tuning "
+    "artifact that picks nprobe for a recall target before committing a "
+    "cluster to the index (recall rises with nprobe, cost rises "
+    "linearly; the curve says where the knee is). Candidates are scored "
+    "once at the max nprobe, tagged with their cell's probe rank, and "
+    "each operating point's top-k is a rank over the probe_rn<=nprobe "
+    "subset — no per-point rescan.",
+)
+def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the scoring pass is the multiprobe plan at nprobe=max (the
+    corpus never shuffles; probes broadcast), so the curve costs ONE
+    index search, not len(CURVE_PROBES) of them. Everything after the
+    score — the nprobe explode (x3 on a |Q|-candidates relation), the
+    per-point rank, the recall join — runs on evaluation-pool-sized
+    relations, corpus-independent. Each corpus vector lives in exactly
+    one cell and a query's probe list has distinct cells, so a
+    (query, neighbor) candidate appears once with a well-defined
+    probe_rn; low-nprobe top-k sets are exact subsets of the scored
+    relation, identical to rescanning at that nprobe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.desc(F.round(cosine_similarity("embedding", "cell_vec"), 6)),
+        F.asc("cell_id"),
+    )
+    ranked = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "rn", F.row_number().over(w_assign)
+    )
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "cell_id"
+    )
+    probes = (
+        ranked.filter(
+            (F.col("vec_id") % QUERY_MOD == 0) & (F.col("rn") <= max(CURVE_PROBES))
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            "cell_id",
+            F.col("rn").alias("probe_rn"),
+        )
+        .withColumn("q_norm", l2_norm("query_vec"))
+    )
+    corpus = assigned.withColumn("n_norm", l2_norm("embedding"))
+    cosine = F.when(
+        (F.col("q_norm") > 0) & (F.col("n_norm") > 0),
+        dot("query_vec", "embedding") / (F.col("q_norm") * F.col("n_norm")),
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "probe_rn",
+            F.round(cosine, 6).alias("cosine"),
+        )
+    )
+    nps = F.explode(F.array(*[F.lit(p) for p in CURVE_PROBES])).alias("nprobe")
+    fanned = scored.select("*", nps).filter(F.col("probe_rn") <= F.col("nprobe"))
+    w_rank = W.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    topk = (
+        fanned.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("nprobe", "query_id", F.col("neighbor_id").alias("a_neighbor_id"))
+    )
+    exact = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    np_df = spark.createDataFrame([(p,) for p in CURVE_PROBES], "nprobe int")
+    grid = exact.crossJoin(F.broadcast(np_df))
+    perq = (
+        grid.join(
+            topk,
+            (grid.nprobe == topk.nprobe)
+            & (grid.query_id == topk.query_id)
+            & (grid.neighbor_id == F.col("a_neighbor_id")),
+            "left",
+        )
+        .groupBy(grid.nprobe, grid.query_id)
+        .agg(F.count("a_neighbor_id").alias("n_hits"))
+    )
+    return perq.groupBy("nprobe").agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.avg(F.col("n_hits").cast("double") / TOP_K), 6).alias(
+            "mean_recall_at_k"
+        ),
+    ).select(F.col("nprobe").cast("long").alias("nprobe"), "n_queries", "mean_recall_at_k")
+
+
 COS_HIST_MOD = 5  # sampled pair stage, as embedding_near_dup_pairs
 
 

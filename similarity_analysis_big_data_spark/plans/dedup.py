@@ -1329,6 +1329,82 @@ def dedup_paragraphs_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_intradoc_repeats_rewrite",
+    oracle=r"""
+        WITH sent AS (
+            SELECT doc_id,
+                   trim(unnest(regexp_split_to_array(text, '[.!?]+'))) AS s,
+                   unnest(range(1, len(regexp_split_to_array(text, '[.!?]+')) + 1))
+                       AS pos
+            FROM documents
+        ),
+        nonempty AS (
+            SELECT doc_id, s, pos FROM sent WHERE s <> ''
+        ),
+        firsts AS (
+            SELECT doc_id, s, pos,
+                   row_number() OVER (PARTITION BY doc_id, lower(s)
+                                      ORDER BY pos) AS occ
+            FROM nonempty
+        )
+        SELECT doc_id,
+               count(*) AS n_sentences,
+               CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               coalesce(string_agg(CASE WHEN occ = 1 THEN s END, '. '
+                                   ORDER BY pos), '') AS cleaned_text
+        FROM firsts
+        GROUP BY doc_id
+    """,
+    doc="[ext] INTRA-document repetition removal (the Gopher/C4 rewrite "
+    "step gopher_repetition_metrics only measures): within each document, "
+    "every repeat of an already-seen sentence (case-folded) is cut and "
+    "the document reassembled from first occurrences in original order — "
+    "the generation-loop / boilerplate-stutter cleaner. The complement "
+    "of dedup_paragraphs_reassemble (which cuts sentences shared ACROSS "
+    "documents): this one never looks outside the row's own document.",
+)
+def dedup_intradoc_repeats_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: embarrassingly parallel by construction — both windows and
+    the final agg are keyed by doc_id, so after the posexplode everything
+    is one doc_id shuffle (the occurrence window and the reassembly agg
+    ride the same partitioning); no cross-document relation ever forms.
+    At 100 TB this is the ideal operator shape: map, one co-partitioned
+    window+agg, map."""
+    docs = load_table(spark, sf_dir, "documents")
+    sent = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", r"[.!?]+")).alias("pos", "s_raw"),
+        )
+        .select("doc_id", "pos", F.trim("s_raw").alias("s"))
+        .filter(F.col("s") != "")
+    )
+    w_occ = W.partitionBy("doc_id", F.lower("s")).orderBy("pos")
+    firsts = sent.withColumn("occ", F.row_number().over(w_occ))
+    return firsts.groupBy("doc_id").agg(
+        F.count("*").alias("n_sentences"),
+        F.sum(F.when(F.col("occ") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("occ") == 1, F.struct("pos", "s")
+                            ).otherwise(F.lit(None))
+                        )
+                    ),
+                    lambda x: x.s,
+                ),
+                ". ",
+            ),
+            F.lit(""),
+        ).alias("cleaned_text"),
+    )
+
+
 _N_PERMS = len(MINHASH_PARAMS)
 
 _SQL_EST_ACC = (

@@ -76,6 +76,8 @@ PRIORITY: tuple[str, ...] = (
     "ann_ivf_mrr_of_nn",
     "benford_first_digit_audit",
     "tokenizer_fertility_by_lang",
+    "ann_nprobe_recall_curve",
+    "dedup_intradoc_repeats_rewrite",
     # -- semantics changed in r8 (sweep caps / floor pinning): re-witness --
     "ann_matryoshka_recall_at_k",
     "ann_rerank_two_stage",

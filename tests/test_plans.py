@@ -905,3 +905,61 @@ def test_ann_mrr_rank_bounds(spark, sf_oracle):
             assert r["reciprocal_rank"] == 0.0
         else:
             assert abs(r["reciprocal_rank"] - round(1.0 / r["nn_rank"], 6)) < 1e-9
+
+
+def test_intradoc_repeats_rewrite_keeps_first_occurrence(spark, tmp_path_factory):
+    """A stuttered document keeps one copy of each sentence in original
+    order; cross-document sharing is NOT a removal reason here (the
+    complement of dedup_paragraphs_reassemble)."""
+    sf_dir = tmp_path_factory.mktemp("intradoc")
+    docs = [
+        (0, "alpha beta. gamma! Alpha beta. delta? alpha beta.", "en", "web", 49),
+        (1, "alpha beta. unique tail.", "en", "web", 24),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(sf_dir / "documents.parquet"))
+    out = QUERIES["dedup_intradoc_repeats_rewrite"].fn(spark, str(sf_dir))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 0: 5 sentences, "alpha beta" repeats (case-folded) -> 3 kept
+    assert rows[0]["n_sentences"] == 5 and rows[0]["n_kept"] == 3
+    assert rows[0]["cleaned_text"] == "alpha beta. gamma. delta"
+    # doc 1 shares "alpha beta" with doc 0 but has no INTERNAL repeat:
+    # nothing is removed
+    assert rows[1]["n_kept"] == 2
+    assert rows[1]["cleaned_text"] == "alpha beta. unique tail"
+
+
+def test_nprobe_curve_monotone_and_matches_components(spark, sf_oracle):
+    """Recall is non-decreasing in nprobe (a lower-nprobe candidate set is
+    a subset of a higher one on the same fixed-cell grid), and the
+    nprobe=N_PROBE point equals the recall of the registered multiprobe
+    query computed against brute force — the curve is the same machinery
+    as ann_ivf_multiprobe_topk, not a reimplementation drifting on its
+    own. (ann_ivf_recall_at_k is NOT comparable: ann_ivf_topk uses the
+    sqrt-scaled grid, the multiprobe family the fixed N_CELLS grid.)"""
+    from similarity_analysis_big_data_spark.plans.ann import N_PROBE, TOP_K
+
+    rows = {
+        r["nprobe"]: r
+        for r in QUERIES["ann_nprobe_recall_curve"].fn(spark, sf_oracle).collect()
+    }
+    assert sorted(rows) == [1, 2, 4]
+    assert all(0.0 <= rows[p]["mean_recall_at_k"] <= 1.0 for p in rows)
+    assert (
+        rows[1]["mean_recall_at_k"]
+        <= rows[2]["mean_recall_at_k"]
+        <= rows[4]["mean_recall_at_k"]
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["ann_bruteforce_topk"].fn(spark, sf_oracle).collect()
+    }
+    approx = QUERIES["ann_ivf_multiprobe_topk"].fn(spark, sf_oracle).collect()
+    queries = {q for q, _ in exact}
+    hits = {q: 0 for q in queries}
+    for r in approx:
+        if (r["query_id"], r["neighbor_id"]) in exact:
+            hits[r["query_id"]] += 1
+    mean_mp = round(sum(hits.values()) / (len(queries) * TOP_K), 6)
+    assert abs(rows[N_PROBE]["mean_recall_at_k"] - mean_mp) < 1e-6
