@@ -75,7 +75,11 @@ def main() -> None:
         default=0.8,
         help="scaled-side floor below which a high ratio is job-overhead noise",
     )
-    ap.add_argument("--only", default=None, help="substring filter on query names")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="substring filter on query names (comma-separated = any-of)",
+    )
     args = ap.parse_args()
 
     # Reuse an existing replica dir only when its stamped factor matches
@@ -116,8 +120,11 @@ def main() -> None:
 
     spark = fresh_session()
 
+    only = [s for s in (args.only or "").split(",") if s]
     names = [
-        n for n in sorted(registry.query_map()) if not args.only or args.only in n
+        n
+        for n in sorted(registry.query_map())
+        if not only or any(s in n for s in only)
     ]
     results: dict[str, dict[str, float]] = {}
     flagged: list[str] = []
