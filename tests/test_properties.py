@@ -534,3 +534,65 @@ def test_flat_ddl_parser_roundtrips_simple_strings(fields):
     assert parsed.simpleString() == f"struct<{','.join(f'{n}:{t}' for n, t in fields)}>"
     assert isinstance(parsed, StructType)
     assert all(isinstance(f, StructField) for f in parsed.fields)
+
+
+import re as _re
+
+sentence_strategy = st.lists(
+    st.sampled_from(["aa bb", "aa", "bb cc", "Aa Bb", "cc", "dd aa"]),
+    min_size=0,
+    max_size=8,
+)
+separator_strategy = st.lists(
+    st.sampled_from([". ", "! ", "? ", ".", "!? "]), min_size=8, max_size=8
+)
+
+
+def _ref_intradoc(text: str) -> tuple[int, int, str]:
+    """Independent pure-Python model of dedup_intradoc_repeats_rewrite."""
+    parts = [p.strip(" ") for p in _re.split(r"[.!?]+", text)]
+    parts = [p for p in parts if p != ""]
+    seen: set[str] = set()
+    kept = []
+    for p in parts:
+        if p.lower() not in seen:
+            seen.add(p.lower())
+            kept.append(p)
+    return len(parts), len(kept), ". ".join(kept)
+
+
+@given(st.lists(st.tuples(sentence_strategy, separator_strategy), min_size=1, max_size=3))
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_intradoc_rewrite_matches_python_reference(docs):
+    """Case-folded first-occurrence keeping over arbitrary stutter
+    patterns (repeats, case-variant repeats, empty docs, leading/trailing
+    separators) agrees with an independent Python model."""
+    import tempfile
+    import uuid
+
+    from similarity_analysis_big_data_spark.plans import registry
+
+    registry._load_all()
+    QUERIES = registry.QUERIES
+    spark = _SPARK["s"]
+    rows = []
+    for i, (sents, seps) in enumerate(docs):
+        text = "".join(s + sep for s, sep in zip(sents, seps))
+        rows.append((i, text, "en", "web", len(text)))
+    sf_dir = tempfile.mkdtemp(prefix=f"intradoc_{uuid.uuid4().hex[:6]}_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_sentences"], r["n_kept"], r["cleaned_text"])
+        for r in QUERIES["dedup_intradoc_repeats_rewrite"].fn(spark, sf_dir).collect()
+    }
+    for i, (sents, seps) in enumerate(docs):
+        text = "".join(s + sep for s, sep in zip(sents, seps))
+        n_parts, n_kept, cleaned = _ref_intradoc(text)
+        if n_parts == 0:
+            # a doc with no nonempty sentence contributes no exploded rows
+            # and drops out of the groupBy — absent from the result
+            assert i not in got
+        else:
+            assert got[i] == (n_parts, n_kept, cleaned), (i, text)
