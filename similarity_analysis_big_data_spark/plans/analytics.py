@@ -1531,3 +1531,98 @@ def stream_twin_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("value", 4).alias("value"),
         F.coalesce("segment", F.lit("UNKNOWN")).alias("segment"),
     )
+
+
+@register(
+    "cusum_changepoint_daily_revenue",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS rev_cents
+            FROM orders GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(rev_cents) AS BIGINT) AS total_cents
+            FROM daily
+        ),
+        series AS (
+            SELECT d, rev_cents,
+                   CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+                   CAST(sum(rev_cents) OVER (ORDER BY d
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+            FROM daily
+        ),
+        scored AS (
+            SELECT s.d, s.rev_cents, s.t,
+                   t2.n_days * s.cum_cents - s.t * t2.total_cents
+                       AS cusum_scaled,
+                   t2.n_days, t2.total_cents
+            FROM series s CROSS JOIN tot t2
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS day,
+               rev_cents,
+               cusum_scaled,
+               round(CAST(cusum_scaled AS DOUBLE)
+                     / (CAST(n_days AS DOUBLE) * 100.0), 2) AS cusum_dollars,
+               CASE WHEN abs(cusum_scaled) = max(abs(cusum_scaled)) OVER ()
+                    THEN 1 ELSE 0 END AS is_changepoint
+        FROM scored
+    """,
+    doc="[ext] CUSUM changepoint detection on daily revenue: the running "
+    "cumulative deviation from the series mean, whose extremum marks the "
+    "most likely mean-shift point — the monitoring primitive behind "
+    "'when did the metric change level'. EXACT integer arithmetic "
+    "throughout: the statistic is computed in cents scaled by n_days "
+    "(S'_t = n·cumsum_t − t·total, a BIGINT), so cross-engine float "
+    "summation order cannot perturb the extremum; the dollar-valued "
+    "column is derived from the exact integers by one division at the "
+    "end. At ~1000x this data the scaled statistic approaches int64 "
+    "range — swap to DECIMAL(38,0) there (decimal_exact_totals is the "
+    "precedent).",
+)
+def cusum_changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the only corpus-sized operation is the daily aggregate; the
+    cumsum window and the extremum flag run on the days-of-history-sized
+    series (thousands of rows), where a single-partition window is the
+    correct plan, and the (n_days, total) pair joins in as a 1-row
+    broadcast aggregate. Multi-series deployments partition every window
+    by the series key and nothing else changes."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(cents).cast("long").alias("rev_cents")
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("rev_cents").cast("long").alias("total_cents"),
+    )
+    w_cum = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_t = W.orderBy("d")
+    series = daily.select(
+        "d",
+        "rev_cents",
+        F.row_number().over(w_t).cast("long").alias("t"),
+        F.sum("rev_cents").over(w_cum).cast("long").alias("cum_cents"),
+    )
+    scored = series.crossJoin(F.broadcast(tot)).withColumn(
+        "cusum_scaled",
+        F.col("n_days") * F.col("cum_cents") - F.col("t") * F.col("total_cents"),
+    )
+    w_all = W.partitionBy()
+    return scored.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "rev_cents",
+        "cusum_scaled",
+        F.round(
+            F.col("cusum_scaled").cast("double")
+            / (F.col("n_days").cast("double") * F.lit(100.0)),
+            2,
+        ).alias("cusum_dollars"),
+        F.when(
+            F.abs("cusum_scaled") == F.max(F.abs("cusum_scaled")).over(w_all), 1
+        )
+        .otherwise(0)
+        .alias("is_changepoint"),
+    )

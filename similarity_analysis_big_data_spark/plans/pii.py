@@ -218,3 +218,68 @@ def pii_multitype_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         has_ip.alias("has_ip"),
         n_types.alias("_n"),
     ).filter(F.col("_n") >= 2).drop("_n")
+
+
+K_ANON_THRESHOLD = 5  # the classic k for "small group = re-identifiable"
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+        WITH qi AS (
+            SELECT c_nationkey,
+                   c_mktsegment,
+                   CAST(floor(CAST(CAST(round(c_acctbal * 100, 0) AS BIGINT)
+                                   AS DOUBLE) / 100000) AS BIGINT) AS bal_bucket
+            FROM customer
+        ),
+        groups AS (
+            SELECT c_nationkey, c_mktsegment, bal_bucket, count(*) AS n
+            FROM qi GROUP BY 1, 2, 3
+        )
+        SELECT CAST(min(n) AS BIGINT) AS k_anonymity,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN n < {K_ANON_THRESHOLD} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_groups_below_k,
+               CAST(sum(CASE WHEN n < {K_ANON_THRESHOLD} THEN n ELSE 0 END)
+                    AS BIGINT) AS n_rows_at_risk,
+               round(CAST(sum(CASE WHEN n < {K_ANON_THRESHOLD} THEN n ELSE 0 END)
+                          AS DOUBLE) / sum(n), 6) AS at_risk_frac
+        FROM groups
+    """,
+    doc=f"[ext] k-anonymity audit over the quasi-identifier combination "
+    "(nation, market segment, account-balance bucket): the governance "
+    "measure of re-identification risk BEFORE a release — k_anonymity is "
+    "the smallest group any record hides in, and at_risk_frac is the "
+    f"share of records in groups smaller than k={K_ANON_THRESHOLD}. The "
+    "balance bucket floors EXACT integer cents (never float division of "
+    "the raw balance — bucket boundaries are exactly where engines "
+    "disagree by one ULP). Complements the PII detectors: those find "
+    "direct identifiers, this measures indirect linkability.",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one hash aggregate collapses the table to its QI-group
+    relation (map-side partials), and the audit row is a second tiny
+    aggregate over groups — the global_count shape. At 100 TB the group
+    relation is |QI-combinations|-sized (bounded by the attribute
+    domains), never row-sized."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    bucket = F.floor(cents.cast("double") / 100000).cast("long")
+    groups = (
+        cust.select("c_nationkey", "c_mktsegment", bucket.alias("bal_bucket"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    below = F.when(F.col("n") < K_ANON_THRESHOLD, F.col("n")).otherwise(F.lit(0))
+    return groups.agg(
+        F.min("n").alias("k_anonymity"),
+        F.count("*").alias("n_groups"),
+        F.sum(
+            F.when(F.col("n") < K_ANON_THRESHOLD, 1).otherwise(0)
+        ).alias("n_groups_below_k"),
+        F.sum(below).alias("n_rows_at_risk"),
+        F.round(
+            F.sum(below).cast("double") / F.sum("n"), 6
+        ).alias("at_risk_frac"),
+    )

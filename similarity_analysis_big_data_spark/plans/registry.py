@@ -79,6 +79,8 @@ PRIORITY: tuple[str, ...] = (
     "tokenizer_fertility_by_lang",
     "ann_nprobe_recall_curve",
     "dedup_intradoc_repeats_rewrite",
+    "k_anonymity_audit",
+    "cusum_changepoint_daily_revenue",
     # -- semantics changed in r8 (sweep caps / floor pinning): re-witness --
     "ann_matryoshka_recall_at_k",
     "ann_rerank_two_stage",

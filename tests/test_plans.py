@@ -963,3 +963,57 @@ def test_nprobe_curve_monotone_and_matches_components(spark, sf_oracle):
             hits[r["query_id"]] += 1
     mean_mp = round(sum(hits.values()) / (len(queries) * TOP_K), 6)
     assert abs(rows[N_PROBE]["mean_recall_at_k"] - mean_mp) < 1e-6
+
+
+def test_cusum_flags_planted_mean_shift(spark, tmp_path_factory):
+    """A level shift planted at day 10 of 20 must put the CUSUM extremum
+    (the changepoint flag) exactly at the last pre-shift day, and the
+    exact-integer statistic must be reconstructable from the data."""
+    import datetime
+
+    sf_dir = tmp_path_factory.mktemp("cusum")
+    rows = []
+    k = 0
+    for day in range(20):
+        level = 100.00 if day < 10 else 200.00
+        for _ in range(3):  # several orders per day
+            rows.append((k, datetime.date(2024, 1, 1 + day), level))
+            k += 1
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    ).write.parquet(str(sf_dir / "orders.parquet"))
+    out = QUERIES["cusum_changepoint_daily_revenue"].fn(spark, str(sf_dir))
+    rows_out = {r["day"]: r for r in out.collect()}
+    assert len(rows_out) == 20
+    flagged = [d for d, r in rows_out.items() if r["is_changepoint"] == 1]
+    assert flagged == ["2024-01-10"]  # last pre-shift day (t=10 of 20)
+    # exact-integer reconstruction: S'_t = n*cumsum - t*total, in cents
+    total = sum(r["rev_cents"] for r in rows_out.values())
+    assert rows_out["2024-01-10"]["cusum_scaled"] == 20 * (10 * 30000) - 10 * total
+
+
+def test_k_anonymity_counts_small_groups(spark, tmp_path_factory):
+    """Crafted quasi-identifier groups of sizes 1, 2, and 6: k=1, two of
+    three groups below k=5, 3 of 9 rows at risk."""
+    sf_dir = tmp_path_factory.mktemp("kanon")
+    rows = []
+    cid = 0
+    for nation, seg, bal, n in [
+        (1, "AUTO", 1500.00, 1),
+        (2, "AUTO", 1500.00, 2),
+        (1, "HOUSE", 2500.00, 6),
+    ]:
+        for _ in range(n):
+            rows.append((cid, f"c{cid}", nation, bal, seg))
+            cid += 1
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(sf_dir / "customer.parquet"))
+    r = QUERIES["k_anonymity_audit"].fn(spark, str(sf_dir)).collect()[0]
+    assert r["k_anonymity"] == 1
+    assert r["n_groups"] == 3
+    assert r["n_groups_below_k"] == 2
+    assert r["n_rows_at_risk"] == 3
+    assert abs(r["at_risk_frac"] - round(3 / 9, 6)) < 1e-9
