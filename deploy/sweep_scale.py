@@ -120,7 +120,7 @@ def main() -> None:
 
     spark = fresh_session()
 
-    only = [s for s in (args.only or "").split(",") if s]
+    only = [s.strip() for s in (args.only or "").split(",") if s.strip()]
     names = [
         n
         for n in sorted(registry.query_map())

@@ -1390,10 +1390,11 @@ def dedup_intradoc_repeats_rewrite(spark: SparkSession, sf_dir: str) -> DataFram
             F.array_join(
                 F.transform(
                     F.array_sort(
+                        # when() without otherwise yields NULL for occ>1
+                        # rows, and collect_list skips NULLs — that skip
+                        # IS the repeat filter
                         F.collect_list(
-                            F.when(
-                                F.col("occ") == 1, F.struct("pos", "s")
-                            ).otherwise(F.lit(None))
+                            F.when(F.col("occ") == 1, F.struct("pos", "s"))
                         )
                     ),
                     lambda x: x.s,

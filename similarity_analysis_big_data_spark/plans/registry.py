@@ -55,8 +55,9 @@ def register(
 # samples ~50 registry entries per round in presentation order; the
 # r1∪…∪r8 union has driver-checked all 273 pre-r9 queries at least once
 # and zero hashes have ever failed, so round-9 ordering closes the
-# freshness ledger: (1) the nine queries new in r9 (their first
-# CORRECTNESS window);
+# freshness ledger: (1) the eleven queries new in r9 (their first
+# CORRECTNESS window — with them the mandatory head is 36 rows, still
+# inside the ~50-row sample);
 # (2) the SEVEN queries whose semantics changed in r8 without an r8
 # driver row — the sweep-cap family (ann_matryoshka_recall_at_k,
 # ann_rerank_two_stage, cosine_histogram_sampled, entity_name_clusters,

@@ -29,8 +29,30 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 STOPWORDS_EN = ["the", "a", "of", "and", "is", "to", "in", "it"]
 
+# Whitespace spelled out explicitly instead of \s: Java's \s includes
+# U+000B (vertical tab) but DuckDB's RE2 \s does not, so any shared
+# pattern written with \s silently disagrees across the two engines on
+# VT-containing text. The explicit class is RE2's exact \s set and means
+# the same thing to Java, so both engines read the identical set.
+WS_CHARS = " \\t\\n\\f\\r"
+WS_SPLIT = f"[{WS_CHARS}]+"
+
 # BPE-ish token pattern: letter runs, digit runs, or single non-space symbol
-BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+BPE_PATTERN = f"[a-z]+|[0-9]+|[^a-z0-9{WS_CHARS}]"
+
+# Shared token-count expressions — ONE definition each, used by
+# token_count_stats AND tokenizer_fertility_by_lang on both engines, so
+# the tokenization can never silently diverge between the two queries.
+WS_COUNT_SQL = f"len(string_split_regex(trim(text), '{WS_SPLIT}'))"
+BPE_COUNT_SQL = f"len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))"
+
+
+def _ws_token_count():
+    return F.size(F.split(F.trim(F.col("text")), WS_SPLIT))
+
+
+def _bpe_token_count():
+    return F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0))
 
 
 def _marker_score(tokens_col, markers: list[str]):
@@ -103,7 +125,7 @@ _QUALITY_FEATURES_SELECT = f"""
                       / len(tokens)
                  ELSE 0.0 END, 6) AS stopword_ratio,
            round(CASE WHEN length(text) > 0
-                 THEN CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+                 THEN CAST(length(regexp_replace(text, '[\\w{WS_CHARS}]', '', 'g')) AS DOUBLE) / length(text)
                  ELSE 0.0 END, 6) AS punct_ratio
     FROM toks
     """
@@ -149,7 +171,9 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.when(
                 F.length("text") > 0,
-                F.length(F.regexp_replace("text", r"[\w\s]", "")).cast("double")
+                F.length(
+                    F.regexp_replace("text", f"[\\w{WS_CHARS}]", "")
+                ).cast("double")
                 / F.length("text"),
             ).otherwise(0.0),
             6,
@@ -162,8 +186,8 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT source,
                count(*) AS n_docs,
-               CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
-               CAST(sum(len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))) AS BIGINT) AS bpe_tokens,
+               CAST(sum({WS_COUNT_SQL}) AS BIGINT) AS ws_tokens,
+               CAST(sum({BPE_COUNT_SQL}) AS BIGINT) AS bpe_tokens,
                round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
         FROM documents GROUP BY source
     """,
@@ -172,8 +196,8 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ws_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    bpe_tokens = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0))
+    ws_tokens = _ws_token_count()
+    bpe_tokens = _bpe_token_count()
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(ws_tokens).alias("ws_tokens"),
@@ -1136,12 +1160,12 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang,
                count(*) AS n_docs,
                CAST(sum(strlen(text)) AS BIGINT) AS utf8_bytes,
-               CAST(sum(len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))) AS BIGINT) AS bpe_tokens,
-               CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS ws_words,
+               CAST(sum({BPE_COUNT_SQL}) AS BIGINT) AS bpe_tokens,
+               CAST(sum({WS_COUNT_SQL}) AS BIGINT) AS ws_words,
                round(CAST(sum(strlen(text)) AS DOUBLE)
-                     / sum(len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))), 4) AS bytes_per_token,
-               round(CAST(sum(len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))) AS DOUBLE)
-                     / sum(len(string_split_regex(trim(text), '\\s+'))), 4) AS fertility
+                     / sum({BPE_COUNT_SQL}), 4) AS bytes_per_token,
+               round(CAST(sum({BPE_COUNT_SQL}) AS DOUBLE)
+                     / sum({WS_COUNT_SQL}), 4) AS fertility
         FROM documents GROUP BY lang
     """,
     doc="[ext] tokenizer-efficiency accounting per language: UTF-8 BYTES "
@@ -1159,8 +1183,8 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     result. The same single-scan shape as token_count_stats; no second
     pass for the ratios."""
     docs = load_table(spark, sf_dir, "documents")
-    bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0))
-    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpe = _bpe_token_count()
+    ws = _ws_token_count()
     agg = docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.octet_length("text")).alias("utf8_bytes"),

@@ -1017,3 +1017,38 @@ def test_k_anonymity_counts_small_groups(spark, tmp_path_factory):
     assert r["n_groups_below_k"] == 2
     assert r["n_rows_at_risk"] == 3
     assert abs(r["at_risk_frac"] - round(3 / 9, 6)) < 1e-9
+
+
+def test_token_counts_agree_with_duckdb_on_vertical_tab(spark, tmp_path_factory):
+    """Java's \\s includes U+000B but RE2's does not; the shared token
+    patterns spell the whitespace class out explicitly, so VT-containing
+    text must produce IDENTICAL counts on both engines (the one input
+    class where the old \\s-based patterns silently diverged)."""
+    import duckdb
+
+    sf_dir = tmp_path_factory.mktemp("vt")
+    docs = [
+        (0, "a\x0bb c", "en", "web", 5),  # VT between a and b
+        (1, "plain text", "en", "web", 10),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(sf_dir / "documents.parquet"))
+    got = {
+        r["lang"]: r
+        for r in QUERIES["tokenizer_fertility_by_lang"].fn(spark, str(sf_dir)).collect()
+    }
+    con = duckdb.connect()
+    # Spark writes a directory of part files; glob them for DuckDB
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"parquet_scan('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(QUERIES["tokenizer_fertility_by_lang"].oracle).fetchdf()
+    row = want[want["lang"] == "en"].iloc[0]
+    assert got["en"]["ws_words"] == int(row["ws_words"])
+    assert got["en"]["bpe_tokens"] == int(row["bpe_tokens"])
+    # and the agreed-on reading: VT is NOT whitespace (RE2 semantics), so
+    # "a\x0bb c" is 2 ws words and tokens a, <VT>, b, c
+    assert got["en"]["ws_words"] == 2 + 2
+    assert got["en"]["bpe_tokens"] == 4 + 2
