@@ -1529,7 +1529,7 @@ def stream_twin_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id",
         "event_type",
         F.round("value", 4).alias("value"),
-        F.coalesce("segment", F.lit("UNKNOWN")).alias("segment"),
+        "segment",  # null-filled inside enriched_event_stream (single source)
     )
 
 

@@ -190,8 +190,15 @@ def enriched_event_stream(events: DataFrame, users: DataFrame) -> DataFrame:
     the (small, broadcast) static dimension — the canonical fact-stream ⋈
     dim-table shape. Stateless, so append-mode with no watermark
     requirement; the static side is re-resolved per batch, which is what
-    makes slowly-changing dims pick up updates between batches."""
+    makes slowly-changing dims pick up updates between batches. The
+    dim-miss null fill lives HERE — the streamed rows carry the final
+    enriched value, so sinks/consumers never re-derive it."""
     dim = F.broadcast(users)
     return events.join(dim, "user_id", "left").select(
-        "event_id", "ts", "user_id", "event_type", "value", "segment"
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.coalesce("segment", F.lit("UNKNOWN")).alias("segment"),
     )
