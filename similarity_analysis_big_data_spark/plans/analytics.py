@@ -1566,7 +1566,8 @@ def stream_twin_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
                cusum_scaled,
                round(CAST(cusum_scaled AS DOUBLE)
                      / (CAST(n_days AS DOUBLE) * 100.0), 2) AS cusum_dollars,
-               CASE WHEN abs(cusum_scaled) = max(abs(cusum_scaled)) OVER ()
+               CASE WHEN row_number() OVER (ORDER BY abs(cusum_scaled) DESC,
+                                            d ASC) = 1
                     THEN 1 ELSE 0 END AS is_changepoint
         FROM scored
     """,
@@ -1578,9 +1579,11 @@ def stream_twin_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
     "(S'_t = n·cumsum_t − t·total, a BIGINT), so cross-engine float "
     "summation order cannot perturb the extremum; the dollar-valued "
     "column is derived from the exact integers by one division at the "
-    "end. At ~1000x this data the scaled statistic approaches int64 "
-    "range — swap to DECIMAL(38,0) there (decimal_exact_totals is the "
-    "precedent).",
+    "end. Exactly ONE row is flagged: ties on |S'| (possible in "
+    "symmetric series) break to the EARLIEST day via row_number over "
+    "(|S'| desc, day asc) on both engines. At ~1000x this data the "
+    "scaled statistic approaches int64 range — swap to DECIMAL(38,0) "
+    "there (decimal_exact_totals is the precedent).",
 )
 def cusum_changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: the only corpus-sized operation is the daily aggregate; the
@@ -1610,7 +1613,9 @@ def cusum_changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         "cusum_scaled",
         F.col("n_days") * F.col("cum_cents") - F.col("t") * F.col("total_cents"),
     )
-    w_all = W.partitionBy()
+    # ties on |S'| break to the earliest day, so 'the changepoint' is
+    # always singular (a symmetric series would otherwise flag several)
+    w_rank = W.orderBy(F.abs("cusum_scaled").desc(), F.col("d").asc())
     return scored.select(
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         "rev_cents",
@@ -1620,9 +1625,7 @@ def cusum_changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFra
             / (F.col("n_days").cast("double") * F.lit(100.0)),
             2,
         ).alias("cusum_dollars"),
-        F.when(
-            F.abs("cusum_scaled") == F.max(F.abs("cusum_scaled")).over(w_all), 1
-        )
+        F.when(F.row_number().over(w_rank) == 1, 1)
         .otherwise(0)
         .alias("is_changepoint"),
     )

@@ -53,77 +53,27 @@ def register(
 
 # Names surfaced FIRST in query_map()/oracle_sql_map(). The round driver
 # samples ~50 registry entries per round in presentation order; the
-# r1∪…∪r8 union has driver-checked all 273 pre-r9 queries at least once
-# and zero hashes have ever failed, so round-9 ordering closes the
-# freshness ledger: (1) the eleven queries new in r9 (their first
-# CORRECTNESS window — with them the mandatory head is 36 rows, still
-# inside the ~50-row sample);
-# (2) the SEVEN queries whose semantics changed in r8 without an r8
-# driver row — the sweep-cap family (ann_matryoshka_recall_at_k,
-# ann_rerank_two_stage, cosine_histogram_sampled, entity_name_clusters,
-# part_name_trigram_pairs) and the floor-pinned pair
-# (ngram_novelty_vs_reference, dataset_card_summary) — all green in the
-# local parity suite, but the driver ledger must re-witness the new
-# answers; (3) the 18 queries whose latest driver row still dates from
-# r2; (4) the oldest of the r3 rows, filling the ~50-row window. After
-# this round no registered query's latest driver row predates its
-# current code, and the oldest row anywhere is r3. (Pure presentation
-# order — every query is in the map either way.)
+# r1∪…∪r9 union has driver-checked ALL 284 registered queries at least
+# once with zero hash failures ever, so round-10 ordering is pure
+# freshness rotation plus re-witnessing this round's semantic changes:
+# (1) the FOUR queries whose answers change in r10 — the CUSUM
+# changepoint (tie-break to earliest day is now deterministic), the
+# Benford audit (abs() + digits-1..9 guard), tokenizer fertility
+# (NULL-not-Infinity ratio guards), and the audio fingerprint alignment
+# (integer-DCT spectral payload replaces the md5-byte frames) — all
+# green in the local parity suite, but the driver ledger must
+# re-witness the new answers; (2) the 28 queries whose latest driver
+# row dates from r3 (the oldest rows anywhere); (3) the alphabetically
+# first 18 of the 44 r4-latest rows, filling the ~50-row window. After
+# this round no latest row predates r4, and r11 finishes the r4 tail.
+# (Pure presentation order — every query is in the map either way.)
 PRIORITY: tuple[str, ...] = (
-    # -- new in r9: first driver window --
-    "video_near_dup_survivors",
-    "multimodal_dedup_policy_matrix",
-    "audio_fingerprint_align_pairs",
-    "stream_twin_static_enrichment",
-    "ann_ivf_mrr_of_nn",
+    # -- semantics changed in r10: re-witness first --
+    "cusum_changepoint_daily_revenue",
     "benford_first_digit_audit",
     "tokenizer_fertility_by_lang",
-    "ann_nprobe_recall_curve",
-    "dedup_intradoc_repeats_rewrite",
-    "k_anonymity_audit",
-    "cusum_changepoint_daily_revenue",
-    # -- semantics changed in r8 (sweep caps / floor pinning): re-witness --
-    "ann_matryoshka_recall_at_k",
-    "ann_rerank_two_stage",
-    "cosine_histogram_sampled",
-    "entity_name_clusters",
-    "part_name_trigram_pairs",
-    "ngram_novelty_vs_reference",
-    "dataset_card_summary",
-    # -- latest driver row r2: the last of the old-stale tail --
-    "hof_embedding_stats",
-    "incremental_agg_merge",
-    "inverted_index_postings",
-    "left_join_null_fill",
-    "ngram_jaccard_pairs",
-    "pack_docs_token_budget",
-    "pagerank_trade_nations",
-    "passage_dup_stats",
-    "q1_pricing_summary",
-    "q3_unshipped_revenue",
-    "q5_region_volume",
-    "rollup_revenue",
-    "semi_join_active_customers",
-    "simhash_hamming_pairs",
-    "source_cap_documents",
-    "unigram_surprisal_scores",
-    "weekly_cohort_retention",
-    "zorder_key_events",
-    # -- latest driver row r3, oldest-first: fill the window --
-    "aggregate_function_battery",
-    "ann_ivfpq_topk",
-    "ann_pq_adc_topk",
-    "array_function_battery",
-    "asof_join_cogroup",
-    "asof_join_purchase_click",
-    "datetime_function_battery",
-    "dedup_paragraphs_reassemble",
-    "doc_containment_pairs",
-    "doc_tfidf_normalized",
-    "hourly_event_rollup",
-    "incremental_dedup_delta",
-    "json_props_stats",
-    "knn_graph_edges",
+    "audio_fingerprint_align_pairs",
+    # -- latest driver row r3: the oldest of the ledger --
     "markov_event_transitions",
     "math_function_battery",
     "merge_upsert_customer_state",
@@ -132,6 +82,45 @@ PRIORITY: tuple[str, ...] = (
     "null_safe_join_segments",
     "point_in_time_state_join",
     "q17_small_quantity_revenue",
+    "q21_blocking_suppliers",
+    "q2_min_cost_supplier",
+    "q4_late_order_priority",
+    "quality_logreg_gate",
+    "recursive_cte_trade_reachability",
+    "regexp_function_battery",
+    "salted_heavy_hitter_terms",
+    "scd2_user_state_history",
+    "snapshot_diff_orders",
+    "stable_doc_reindex",
+    "string_function_battery",
+    "supplier_part_list",
+    "title_retrieval_accuracy",
+    "triangle_count_trade",
+    "try_function_battery",
+    "variant_props_profile",
+    "window_lag_delta",
+    "window_range_7day_spend",
+    "window_running_user_spend",
+    "window_value_functions",
+    # -- latest driver row r4, alphabetical: fill the window --
+    "abc_revenue_classification",
+    "ann_ivf_ndcg_at_k",
+    "ann_pq_recall_at_k",
+    "association_rules_parts",
+    "bm25_top_docs",
+    "boolean_and_retrieval",
+    "bpe_merge_pairs",
+    "cold_start_part_recommendations",
+    "conversion_latency_percentiles",
+    "copurchase_part_pairs",
+    "customer_spend_gini",
+    "daily_revenue_deseasonalized",
+    "decimal_exact_totals",
+    "doclen_decile_profile",
+    "embedding_covariance_cells",
+    "embedding_dim_variance",
+    "explode_variants_battery",
+    "hourly_series_interpolated",
 )
 
 

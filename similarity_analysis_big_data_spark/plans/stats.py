@@ -899,11 +899,12 @@ def abtest_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "benford_first_digit_audit",
     oracle="""
         WITH d AS (
-            SELECT substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+            SELECT substr(CAST(CAST(round(abs(o_totalprice) * 100, 0) AS BIGINT)
                                AS VARCHAR), 1, 1) AS digit
             FROM orders
         ),
-        counts AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        counts AS (SELECT digit, count(*) AS n FROM d
+                   WHERE digit BETWEEN '1' AND '9' GROUP BY digit),
         tot AS (SELECT sum(n) AS t FROM counts)
         SELECT digit, n,
                round(CAST(n AS DOUBLE) / t, 6) AS obs_freq,
@@ -923,9 +924,12 @@ def abtest_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "classic fraud/synthetic-data screen for any monetary or count "
     "column (a generated or tampered column deviates where organic "
     "multi-magnitude data follows the law). The digit is extracted from "
-    "the integer CENTS string (round(price*100) then cast), never from "
-    "float division by a power of ten — the power-of-ten boundary is "
-    "exactly where cross-engine float division would flip the digit.",
+    "the integer CENTS string of the ABSOLUTE value (round(|price|*100) "
+    "then cast), never from float division by a power of ten — the "
+    "power-of-ten boundary is exactly where cross-engine float division "
+    "would flip the digit — and only digits 1-9 enter the audit, so a "
+    "zero or negative total can never smuggle a '0' or '-' row into the "
+    "frequency table (Benford's law is defined over 1..9).",
 )
 def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: one hash aggregate collapses the fact table to <= 9 digit
@@ -935,10 +939,13 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the data."""
     orders = load_table(spark, sf_dir, "orders")
     digit = F.substring(
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"), 1, 1
+        F.round(F.abs(F.col("o_totalprice")) * 100, 0).cast("long").cast("string"),
+        1,
+        1,
     )
     counts = (
         orders.select(digit.alias("digit"))
+        .filter(F.col("digit").between("1", "9"))
         .groupBy("digit")
         .agg(F.count("*").alias("n"))
     )

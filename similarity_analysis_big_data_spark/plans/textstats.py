@@ -1162,10 +1162,14 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(strlen(text)) AS BIGINT) AS utf8_bytes,
                CAST(sum({BPE_COUNT_SQL}) AS BIGINT) AS bpe_tokens,
                CAST(sum({WS_COUNT_SQL}) AS BIGINT) AS ws_words,
-               round(CAST(sum(strlen(text)) AS DOUBLE)
-                     / sum({BPE_COUNT_SQL}), 4) AS bytes_per_token,
-               round(CAST(sum({BPE_COUNT_SQL}) AS DOUBLE)
-                     / sum({WS_COUNT_SQL}), 4) AS fertility
+               CASE WHEN sum({BPE_COUNT_SQL}) > 0
+                    THEN round(CAST(sum(strlen(text)) AS DOUBLE)
+                               / sum({BPE_COUNT_SQL}), 4)
+               END AS bytes_per_token,
+               CASE WHEN sum({WS_COUNT_SQL}) > 0
+                    THEN round(CAST(sum({BPE_COUNT_SQL}) AS DOUBLE)
+                               / sum({WS_COUNT_SQL}), 4)
+               END AS fertility
         FROM documents GROUP BY lang
     """,
     doc="[ext] tokenizer-efficiency accounting per language: UTF-8 BYTES "
@@ -1197,10 +1201,15 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "utf8_bytes",
         "bpe_tokens",
         "ws_words",
-        F.round(
-            F.col("utf8_bytes").cast("double") / F.col("bpe_tokens"), 4
+        # NULL, not Infinity/NaN, when a lang's texts carry zero tokens:
+        # non-finite doubles in a driver-hashed column are fragile to
+        # serialization differences even when both engines agree on them
+        F.when(
+            F.col("bpe_tokens") > 0,
+            F.round(F.col("utf8_bytes").cast("double") / F.col("bpe_tokens"), 4),
         ).alias("bytes_per_token"),
-        F.round(F.col("bpe_tokens").cast("double") / F.col("ws_words"), 4).alias(
-            "fertility"
-        ),
+        F.when(
+            F.col("ws_words") > 0,
+            F.round(F.col("bpe_tokens").cast("double") / F.col("ws_words"), 4),
+        ).alias("fertility"),
     )
