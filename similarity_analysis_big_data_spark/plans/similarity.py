@@ -160,16 +160,21 @@ def doc_tfidf_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id. No Python anywhere — the whole weight formula is codegen'd.
     SINGLE action (r6): the corpus size enters the IDF as a cross-joined
     1-row broadcast aggregate instead of a separate count() — the exact
-    shape of the oracle's CROSS JOIN corpus CTE. The DF broadcast build
-    side materializes the tf persist before the probe side reads it."""
+    shape of the oracle's CROSS JOIN corpus CTE.
+
+    The TF relation feeds two consumers (the DF aggregate's broadcast
+    build side and the weighting probe side) UNCACHED — same finding as
+    the title sparse branch (which see): routing the probe through a
+    TableCacheQueryStage barrier (serialized block write + read) loses to
+    recomputing the tokenize+agg chain fused into each consumer's stage.
+    Measured min-of-3 warm, persist vs no-persist: 1.95 s vs 1.10 s at
+    sf0.1, 1.79 vs 1.40 at the 2x replica, 3.39 vs 2.89 at 8x — the
+    recompute side stays ahead as data grows because the DF build side's
+    map-side combine collapses to vocabulary size before its shuffle,
+    while the cache barrier pays full TF-relation serialization."""
     docs = load_table(spark, sf_dir, "documents")
     corpus_n = docs.agg(F.count("*").alias("_n_docs"))
-    # tf feeds both the DF aggregate and the weighting join; persist runs
-    # the corpus tokenize+agg once instead of twice (same rationale as
-    # title_best_abstract, which see).
-    tf = term_frequency(_doc_terms(spark, sf_dir), ["doc_id"]).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    tf = term_frequency(_doc_terms(spark, sf_dir), ["doc_id"])
     weighted = tfidf(tf, doc_frequency(tf), corpus_n, ["doc_id"])
     return l2_normalize(weighted, ["doc_id"]).withColumn(
         "weight", F.round("weight", 6)
@@ -225,15 +230,46 @@ def title_best_abstract(
         F.count_if(F.col("doc_id") % TITLE_SAMPLE_MOD == 0).alias("nt"),
     )
 
+    if strategy == "auto":
+        # Cheap pre-probe (r10): the distinct-term count of ANY document
+        # subset is a LOWER BOUND on the vocabulary, so if a fixed-size
+        # sample already exceeds DENSE_MAX_VOCAB the dense precondition is
+        # provably broken and the decision is sparse — from one tiny job
+        # (512 docs tokenized), without materializing the full TF/DF
+        # persists the full probe needs. Real corpora blow past 256
+        # distinct terms within a handful of documents, so the expensive
+        # full probe below only ever runs for genuinely narrow-vocabulary
+        # inputs, where it is cheap anyway. Measured at sf0.1: 3.24 s ->
+        # 2.22 s min-of-3 warm (the probe's persist materialization was
+        # pure overhead on the sparse path, which unpersists immediately).
+        v_lb = (
+            docs.limit(512)
+            .select(F.explode(tokenize(F.lower("text"))).alias("term"))
+            .agg(F.count_distinct("term").alias("v_lb"))
+            .collect()[0]["v_lb"]
+        )
+        if v_lb > DENSE_MAX_VOCAB:
+            strategy = "sparse"
+
+    # The TF/DF persists only pay when the full auto probe's
+    # materialization is reread by a later action (the dense collect); a
+    # resolved-sparse decision skips them so the pair join's build chain
+    # pipelines uncached (the r7 16x finding: 22.0 s fused vs 40.7 s
+    # through the cache barrier).
+    persist = strategy != "sparse"
     abstract_tf = term_frequency(
         _doc_terms(spark, sf_dir).withColumnRenamed("doc_id", "abstract_id"),
         ["abstract_id"],
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persist:
+        abstract_tf = abstract_tf.persist(StorageLevel.MEMORY_AND_DISK)
     # DF is vocabulary-sized and feeds three consumers (the auto probe's
     # count, the abstract weighting, the title weighting) — persisting it
     # makes the probe's materialization pay for the weighting joins
     # instead of being thrown away
-    df_ = doc_frequency(abstract_tf).persist(StorageLevel.MEMORY_AND_DISK)
+    df_ = doc_frequency(abstract_tf)
+    if persist:
+        df_ = df_.persist(StorageLevel.MEMORY_AND_DISK)
 
     abstract_vec = l2_normalize(
         tfidf(abstract_tf, df_, corpus_n, ["abstract_id"]), ["abstract_id"]
@@ -309,9 +345,11 @@ def title_best_abstract(
         # corpus chain fused into the join stage measured 40.7 s vs
         # 22.0 s at the 16x replica (SCALE.md r7 flagship sweep). After
         # unpersist the planner stops substituting the cached relation
-        # and the whole chain pipelines into the join.
-        abstract_tf.unpersist()
-        df_.unpersist()
+        # and the whole chain pipelines into the join. (When the cheap
+        # pre-probe resolved sparse the persists were never created.)
+        if persist:
+            abstract_tf.unpersist()
+            df_.unpersist()
         pairs = sparse_cosine_join(
             title_vec,
             abstract_vec,
