@@ -16,6 +16,7 @@ but every piece of Spark plumbing around it is real and tested:
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -304,3 +305,78 @@ def perceptual_dhash(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.mapInPandas(gen, schema=PHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio spectral transform: the feature-extract stage of the audio
+# fingerprint path. Real deployments run an FFT over decoded PCM here;
+# this container has no audio codec libraries, so the transform is a
+# TINY EXACT-INTEGER DCT-II — genuinely frequency-shaped (tone peaks +
+# noise floor survive into the fingerprint), yet bit-for-bit reproducible
+# in the DuckDB oracle because every operation is integer arithmetic over
+# a shared basis table. Swapping in scipy.fft behind the same mapInPandas
+# crossing changes nothing upstream or downstream.
+# ---------------------------------------------------------------------------
+
+AUDIO_DCT_N = 32  # PCM samples per window; spectrum = 32 coefficients
+
+# Integer DCT-II basis, C[k][n] = round(64 * cos(pi * (2n+1) * k / 64)),
+# flattened row-major (k outer). Generated ONCE at import and embedded in
+# BOTH the Spark-side numpy matmul and the generated oracle SQL, so the
+# two engines always share the identical table (a libm rounding quirk
+# could only ever move both sides together).
+AUDIO_DCT_BASIS: list[int] = [
+    round(64 * math.cos(math.pi * (2 * n + 1) * k / (2 * AUDIO_DCT_N)))
+    for k in range(AUDIO_DCT_N)
+    for n in range(AUDIO_DCT_N)
+]
+
+# Spectrum scaling: |pcm| <= 770 (3 tones x amp<=4 x basis<=64 + noise 2),
+# so |S[k]| <= 770 * 32 * 64 < 2^21; U = (S + 2^21) >> 7 fits uint16.
+AUDIO_SPEC_OFFSET = 1 << 21
+AUDIO_SPEC_SHIFT = 7
+
+
+def audio_spectral_frames(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
+    """PCM window -> integer DCT-II spectral window, Arrow-batched.
+
+    Input rows carry a 64-byte frame: 32 big-endian offset-binary uint16
+    PCM samples (sample = x + 32768). Output rows carry the same schema
+    with the frame replaced by the 64-byte spectrum: 32 big-endian uint16
+    values U[k] = (S[k] + 2^21) >> 7 where S[k] = sum_n x[n] * C[k][n]
+    over the shared integer basis. One numpy matmul per Arrow batch — no
+    per-sample Python loop — and map-only: payload bytes never shuffle.
+    """
+    n = AUDIO_DCT_N
+    basis_flat = list(AUDIO_DCT_BASIS)
+    offset, shift = AUDIO_SPEC_OFFSET, AUDIO_SPEC_SHIFT
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        basis = _np.array(basis_flat, dtype=_np.int64).reshape(n, n)
+        for batch in batches:
+            if not len(batch):
+                continue
+            raws = [bytes(p) for p in batch[frame_col]]
+            for raw in raws:
+                if len(raw) != 2 * n:
+                    raise ValueError(
+                        f"expected {2 * n} bytes of big-endian uint16 PCM; "
+                        f"got {len(raw)}"
+                    )
+            pcm = (
+                _np.frombuffer(b"".join(raws), dtype=">u2")
+                .reshape(len(raws), n)
+                .astype(_np.int64)
+                - 32768
+            )
+            spec = ((pcm @ basis.T) + offset) >> shift  # S[i,k] exact ints
+            out = spec.astype(">u2").tobytes()
+            batch = batch.copy()
+            batch[frame_col] = [
+                out[i * 2 * n : (i + 1) * 2 * n] for i in range(len(raws))
+            ]
+            yield batch
+
+    return frames.mapInPandas(gen, schema=FRAMES_SCHEMA)

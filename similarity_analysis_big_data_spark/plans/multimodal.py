@@ -11,7 +11,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import attach_binary_payload, extract_features
+from ..operators.multimodal import (
+    AUDIO_DCT_BASIS,
+    AUDIO_DCT_N,
+    AUDIO_SPEC_OFFSET,
+    AUDIO_SPEC_SHIFT,
+    attach_binary_payload,
+    extract_features,
+)
 from ..sources.readers import load_table
 from .registry import register
 
@@ -590,71 +597,136 @@ def multimodal_dedup_policy_matrix(spark: SparkSession, sf_dir: str) -> DataFram
 # delta, which is why exact-hash + alignment voting needs no Hamming
 # tolerance at all.
 #
-# Synthetic clips: each group of 8 docs shares an 8-window "master track"
-# (window wm = 64 md5-derived bytes standing in for a spectral frame —
-# the FFT is the stubbed decode, same gate as the image codec; the
-# windowing, hashing and alignment machinery is real). Clip doc_id takes
-# the 6-window slice starting at shift (doc_id % 8) % 3, so intra-group
-# pairs overlap in 6 - |s_l - s_r| >= 4 windows at the single consistent
-# delta s_r - s_l — planted alignments the vote must recover.
+# Synthetic clips (r10: frequency-shaped): each group of 8 docs shares an
+# 8-window "master track"; master window wm of group g is 32 samples of
+# 16-bit PCM synthesized from THREE md5-seeded tones on the shared
+# integer DCT basis plus a +-2 per-sample md5 noise floor:
+#
+#   x[n] = a1*C[k1][n] + a2*C[k2][n] + a3*C[k3][n] + nu[n]
+#   k1 in 1..10, k2 in 11..20, k3 in 21..30 and a_i in 1..4 from the hex
+#   bytes of md5('aud:<g>:<wm>'); nu[n] = (hexdigit_n of
+#   md5('aud-noise:<g>:<wm>')) % 5 - 2.
+#
+# The feature-extract stage (operators.multimodal.audio_spectral_frames)
+# then runs the EXACT-INTEGER DCT-II over each window, so the hashed
+# bytes are a genuine spectrum — tone peaks at k1/k2/k3 over a noise
+# floor — not opaque digest bytes; the noise floor is what keeps window
+# fingerprints corpus-unique (the tone/amp space alone is ~2k combos,
+# the per-sample noise adds 16^32). A real deployment swaps the synth
+# for decoded PCM and the integer DCT for an FFT behind the same two
+# mapInPandas crossings. Clip doc_id takes the 6-window slice starting
+# at shift (doc_id % 8) % 3, so intra-group pairs overlap in
+# 6 - |s_l - s_r| >= 4 windows at the single consistent delta s_r - s_l
+# — planted alignments the vote must recover.
 # ---------------------------------------------------------------------------
 
 _AUD_WINDOWS = 6  # windows per clip — FIXED, never corpus-tracking
 _AUD_SHIFTS = 3  # distinct slice starts within a group's master track
 _AUD_MIN_ALIGNED = 3  # votes needed on one offset to link two clips
+_AUD_PCM_BYTES = 2 * AUDIO_DCT_N  # 64: one window of big-endian uint16 PCM
 
 
 def synthetic_audio_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One 384-byte payload per document: 6 windows x 64 bytes, window f
-    of clip doc_id = master window f + (doc_id % 8) % 3 of group
-    doc_id div 8, each master window the concat of 4 md5 digests
-    md5('aud:<g>:<wm>:<j>'). Pure Catalyst binary math."""
+    """One 384-byte PCM payload per document: 6 windows x 32 big-endian
+    offset-binary uint16 samples (sample = x + 32768), window f of clip
+    doc_id = master window f + (doc_id % 8) % 3 of group doc_id div 8,
+    synthesized per the module-comment tone+noise recipe. The synth is
+    the deterministic storage-layer stand-in (what decoding the stored
+    clip would yield), Arrow-batched and map-only."""
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        F.expr(f"doc_id div {_IMG_GROUP}").alias("g"),
-        ((F.col("doc_id") % _IMG_GROUP) % _AUD_SHIFTS).alias("s"),
-    )
-    window_exprs = []
-    for f in range(_AUD_WINDOWS):
-        wm = (F.col("s") + F.lit(f)).cast("string")
-        window_exprs.extend(
-            F.unhex(
-                F.md5(
-                    F.concat(
-                        F.lit("aud:"),
-                        F.col("g").cast("string"),
-                        F.lit(":"),
-                        wm,
-                        F.lit(f":{j}"),
-                    )
-                )
-            )
-            for j in range(4)
+    n = AUDIO_DCT_N
+    basis_flat = list(AUDIO_DCT_BASIS)
+    windows, shifts, group = _AUD_WINDOWS, _AUD_SHIFTS, _IMG_GROUP
+
+    def gen(batches):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        basis = _np.array(basis_flat, dtype=_np.int64).reshape(n, n)
+
+        def master_window(g: int, wm: int) -> bytes:
+            h1 = _hashlib.md5(f"aud:{g}:{wm}".encode()).hexdigest()
+            h2 = _hashlib.md5(f"aud-noise:{g}:{wm}".encode()).hexdigest()
+            b = [int(h1[2 * i : 2 * i + 2], 16) for i in range(6)]
+            k = (1 + b[0] % 10, 11 + b[1] % 10, 21 + b[2] % 10)
+            a = (1 + b[3] % 4, 1 + b[4] % 4, 1 + b[5] % 4)
+            nu = _np.array([int(d, 16) % 5 - 2 for d in h2], dtype=_np.int64)
+            x = a[0] * basis[k[0]] + a[1] * basis[k[1]] + a[2] * basis[k[2]] + nu
+            return (x + 32768).astype(">u2").tobytes()
+
+        # memoize per partition: a group's 8 master windows serve all 8
+        # member clips (and partitioning below keeps groups co-located)
+        cache: dict[tuple[int, int], bytes] = {}
+
+        def mw(g: int, wm: int) -> bytes:
+            key = (g, wm)
+            got = cache.get(key)
+            if got is None:
+                got = cache[key] = master_window(g, wm)
+            return got
+
+        for batch in batches:
+            if not len(batch):
+                continue
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                g, s = int(doc_id) // group, (int(doc_id) % group) % shifts
+                payloads.append(b"".join(mw(g, f + s) for f in range(windows)))
+            yield _pd.DataFrame({"doc_id": batch["doc_id"], "payload": payloads})
+
+    # Fixture-only repartition: the sf0.1 parquet is one ~5k-row split, so
+    # without this the whole synth chain runs on ONE core. Partitioning on
+    # the GROUP id spreads work across executors while keeping each
+    # group's clips together (so the memo above still deduplicates the
+    # master-window synth). Real clips arrive pre-partitioned from the
+    # storage layer; only 8-byte doc_ids shuffle here, never payloads.
+    return (
+        docs.select("doc_id")
+        .repartition(
+            spark.sparkContext.defaultParallelism,
+            F.expr(f"doc_id div {group}"),
         )
-    return d.select("doc_id", F.concat(*window_exprs).alias("payload"))
+        .mapInPandas(gen, schema="doc_id long, payload binary")
+    )
+
+
+def _aud_hexbyte(h: str, i: int) -> str:
+    """DuckDB SQL for hex byte ``i`` of an md5 hex-string expression."""
+    hi = f"(strpos('0123456789abcdef', substr({h}, {2 * i + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr({h}, {2 * i + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
 
 
 def _aud_oracle() -> str:
-    """The identical window construction in DuckDB SQL: per-(doc, window)
-    dHash over the 64 reassembled bytes, exact-equality matching, offset
-    histogram with the >= _AUD_MIN_ALIGNED consistency vote."""
+    """The identical synth -> integer-DCT -> dHash chain in generated
+    DuckDB SQL: per distinct master window, the 3-tone + noise waveform
+    and its exact-integer spectrum (nested list lambdas over the shared
+    basis literal); per (doc, window), the dHash over the 64 spectrum
+    bytes; then exact-equality matching and the offset histogram with the
+    >= _AUD_MIN_ALIGNED consistency vote."""
+    n = AUDIO_DCT_N
     frames = ", ".join(f"({f})" for f in range(_AUD_WINDOWS))
-    h_cols = ",\n               ".join(
-        f"md5('aud:' || g || ':' || wm || ':{j}') AS h{j}" for j in range(4)
+    cb = "[" + ",".join(str(v) for v in AUDIO_DCT_BASIS) + "]"
+    tone = " + ".join(f"a{i} * cb[k{i} * {n} + n + 1]" for i in (1, 2, 3))
+    noise = (
+        f"((strpos('0123456789abcdef', substr(h2, CAST(n AS INT) + 1, 1)) - 1)"
+        f" % 5 - 2)"
     )
-    px_cols = ",\n               ".join(
-        f"{_img_hex_byte(f'h{(r * _IMG_COLS + c) // 16}', (r * _IMG_COLS + c) % 16)} AS p{r}_{c}"
-        for r in range(_IMG_ROWS)
-        for c in range(_IMG_COLS)
-    )
+
+    def byte(j: int) -> str:
+        return f"(u[{j // 2 + 1}] >> 8)" if j % 2 == 0 else f"(u[{j // 2 + 1}] % 256)"
+
     phash = " + ".join(
-        f"CASE WHEN p{r}_{c} > p{r}_{c + 1} THEN {1 << (r * (_IMG_COLS - 1) + c)} ELSE 0 END"
+        f"CASE WHEN {byte(r * _IMG_COLS + c)} > {byte(r * _IMG_COLS + c + 1)} "
+        f"THEN {1 << (r * (_IMG_COLS - 1) + c)} ELSE 0 END"
         for r in range(_IMG_ROWS)
         for c in range(_IMG_COLS - 1)
     )
     return f"""
-    WITH d AS (
+    WITH basis AS (SELECT {cb} AS cb),
+    d AS (
         SELECT doc_id, doc_id // {_IMG_GROUP} AS g,
                (doc_id % {_IMG_GROUP}) % {_AUD_SHIFTS} AS s
         FROM documents
@@ -663,18 +735,29 @@ def _aud_oracle() -> str:
         SELECT doc_id, g, f, f + s AS wm
         FROM d CROSS JOIN (VALUES {frames}) AS fr(f)
     ),
-    hx AS (
-        SELECT doc_id, f,
-               {h_cols}
-        FROM w
+    par AS (
+        SELECT g, wm, h2,
+               1 + {_aud_hexbyte('h1', 0)} % 10 AS k1,
+               11 + {_aud_hexbyte('h1', 1)} % 10 AS k2,
+               21 + {_aud_hexbyte('h1', 2)} % 10 AS k3,
+               1 + {_aud_hexbyte('h1', 3)} % 4 AS a1,
+               1 + {_aud_hexbyte('h1', 4)} % 4 AS a2,
+               1 + {_aud_hexbyte('h1', 5)} % 4 AS a3
+        FROM (SELECT DISTINCT g, wm FROM w),
+             LATERAL (SELECT md5('aud:' || g || ':' || wm) AS h1,
+                             md5('aud-noise:' || g || ':' || wm) AS h2)
     ),
-    px AS (
-        SELECT doc_id, f,
-               {px_cols}
-        FROM hx
+    spec AS (
+        SELECT g, wm,
+               list_transform(range(0, {n}), k ->
+                   (list_sum(list_transform(range(0, {n}), n ->
+                       ({tone} + {noise}) * cb[k * {n} + n + 1]))
+                    + {AUDIO_SPEC_OFFSET}) >> {AUDIO_SPEC_SHIFT}) AS u
+        FROM par CROSS JOIN basis
     ),
     ph AS (
-        SELECT doc_id, f, CAST({phash} AS BIGINT) AS phash FROM px
+        SELECT w.doc_id, w.f, CAST({phash} AS BIGINT) AS phash
+        FROM w JOIN spec ON spec.g = w.g AND spec.wm = w.wm
     )
     SELECT l.doc_id AS id_l, r.doc_id AS id_r,
            CAST(l.f - r.f AS BIGINT) AS t_offset,
@@ -697,22 +780,28 @@ def _aud_oracle() -> str:
     "consistently-aligned clip pair.",
 )
 def audio_fingerprint_align_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: window hashing is the same single map-only pass as the
-    image/video paths (clip bytes never shuffle; 16 B per window moves);
+    """Scale: PCM windowing + the integer-DCT spectral transform + window
+    hashing are the same single map-only chain as the image/video paths
+    (clip bytes never shuffle; 16 B per window moves after hashing);
     matching is an equi-join ON THE 56-BIT HASH VALUE — candidates are
     planted structure plus ~m^2/2^56 noise, strictly tighter than the
     banded-Hamming geometry because alignment voting tolerates zero hash
     error; the vote is one groupBy on (pair, offset) over match rows.
     Window count and group size are FIXED — pair work grows linearly."""
-    from ..operators.multimodal import perceptual_dhash, sample_frames
+    from ..operators.multimodal import (
+        audio_spectral_frames,
+        perceptual_dhash,
+        sample_frames,
+    )
 
     frames = sample_frames(
         synthetic_audio_clips(spark, sf_dir),
-        frame_bytes=_IMG_ROWS * _IMG_COLS,
+        frame_bytes=_AUD_PCM_BYTES,
         every_n=1,
     )
+    spectral = audio_spectral_frames(frames)
     fid = (F.col("doc_id") * _AUD_WINDOWS + F.col("frame_idx")).alias("doc_id")
-    sig = perceptual_dhash(frames.select(fid, F.col("frame").alias("payload")))
+    sig = perceptual_dhash(spectral.select(fid, F.col("frame").alias("payload")))
     w = sig.select(
         F.expr(f"doc_id div {_AUD_WINDOWS}").alias("vid"),
         (F.col("doc_id") % _AUD_WINDOWS).alias("f"),

@@ -945,3 +945,61 @@ def test_audio_alignment_recovers_planted_shift_structure(spark, sf_smoke):
         if a < b
     }
     assert seen == expected
+
+
+def test_audio_spectral_window_hash_pins_known_value(spark, sf_smoke):
+    """Pin the full synth -> integer-DCT -> dHash chain for one master
+    window against an independent pure-Python reference (fresh basis from
+    the cos formula, plain-int waveform/spectrum/byte/bit math). Any
+    drift in the seeded tone recipe, the DCT basis, the uint16 encoding
+    or the dHash bit order breaks this before the oracle would."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from similarity_analysis_big_data_spark.operators.multimodal import (
+        audio_spectral_frames,
+        perceptual_dhash,
+        sample_frames,
+    )
+    from similarity_analysis_big_data_spark.plans.multimodal import (
+        synthetic_audio_clips,
+    )
+
+    N = 32
+    C = [
+        [round(64 * math.cos(math.pi * (2 * n + 1) * k / (2 * N))) for n in range(N)]
+        for k in range(N)
+    ]
+
+    def expected_phash(g: int, wm: int) -> int:
+        h1 = hashlib.md5(f"aud:{g}:{wm}".encode()).hexdigest()
+        h2 = hashlib.md5(f"aud-noise:{g}:{wm}".encode()).hexdigest()
+        b = [int(h1[2 * i : 2 * i + 2], 16) for i in range(6)]
+        k1, k2, k3 = 1 + b[0] % 10, 11 + b[1] % 10, 21 + b[2] % 10
+        a1, a2, a3 = 1 + b[3] % 4, 1 + b[4] % 4, 1 + b[5] % 4
+        x = [
+            a1 * C[k1][n] + a2 * C[k2][n] + a3 * C[k3][n] + (int(h2[n], 16) % 5 - 2)
+            for n in range(N)
+        ]
+        s = [sum(x[n] * C[k][n] for n in range(N)) for k in range(N)]
+        u = [(v + (1 << 21)) >> 7 for v in s]
+        by = [(u[j // 2] >> 8) if j % 2 == 0 else (u[j // 2] % 256) for j in range(64)]
+        return sum(
+            1 << (r * 7 + c)
+            for r in range(8)
+            for c in range(7)
+            if by[r * 8 + c] > by[r * 8 + c + 1]
+        )
+
+    clip = synthetic_audio_clips(spark, sf_smoke).filter(F.col("doc_id") == 0)
+    frames = sample_frames(clip, frame_bytes=64, every_n=1)
+    sig = perceptual_dhash(
+        audio_spectral_frames(frames)
+        .filter(F.col("frame_idx") == 0)
+        .select("doc_id", F.col("frame").alias("payload"))
+    ).collect()
+    assert len(sig) == 1
+    # doc_id 0 -> group 0, shift 0, so window f=0 is master window (0, 0)
+    assert sig[0]["phash"] == expected_phash(0, 0)
