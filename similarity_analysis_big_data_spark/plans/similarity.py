@@ -35,6 +35,14 @@ TITLE_TOKENS = 6  # leading tokens of text used as the synthetic "title"
 TITLE_SAMPLE_MOD = 5  # sample 1-in-5 docs as retrieval queries
 LANGS = ["de", "en", "es", "fr", "zh"]  # stable across all fixture SFs
 
+# Auto-strategy memo for title_best_abstract, keyed (applicationId,
+# sf_dir): "sparse" = proven sparse (skip every probe action), and
+# "full-probe" = the sample could not decide, run the full probe. Plan
+# statistics, not data — staleness can only change WHICH physical
+# strategy runs, never the result (extensional equality of the two paths
+# is property-tested).
+_AUTO_STRATEGY_CACHE: dict[tuple[str, str], str] = {}
+
 # Shared DuckDB CTE prefix: long-format terms + TF + DF + corpus size.
 _SQL_TERMS = r"""
 WITH terms AS (
@@ -239,17 +247,33 @@ def title_best_abstract(
         # persists the full probe needs. Real corpora blow past 256
         # distinct terms within a handful of documents, so the expensive
         # full probe below only ever runs for genuinely narrow-vocabulary
-        # inputs, where it is cheap anyway. Measured at sf0.1: 3.24 s ->
-        # 2.22 s min-of-3 warm (the probe's persist materialization was
-        # pure overhead on the sparse path, which unpersists immediately).
-        v_lb = (
-            docs.limit(512)
-            .select(F.explode(tokenize(F.lower("text"))).alias("term"))
-            .agg(F.count_distinct("term").alias("v_lb"))
-            .collect()[0]["v_lb"]
-        )
-        if v_lb > DENSE_MAX_VOCAB:
+        # inputs, where it is cheap anyway.
+        #
+        # The verdict is MEMOIZED per (session, sf_dir), like the planner
+        # statistics it is: repeat calls skip the sample job (and, once
+        # resolved sparse, every probe action). Staleness is correctness-
+        # neutral by construction — both strategies share the identical
+        # round-before-argmax / tiebreak contract — and a cached "dense"
+        # still re-runs the full probe below, which re-derives dense_ok
+        # from the data before committing to the matmul path.
+        key = (spark.sparkContext.applicationId, sf_dir)
+        cached = _AUTO_STRATEGY_CACHE.get(key)
+        if cached == "sparse":
             strategy = "sparse"
+        elif cached is None:
+            v_lb = (
+                docs.limit(512)
+                .select(F.explode(tokenize(F.lower("text"))).alias("term"))
+                .agg(F.count_distinct("term").alias("v_lb"))
+                .collect()[0]["v_lb"]
+            )
+            if v_lb > DENSE_MAX_VOCAB:
+                strategy = "sparse"
+                _AUTO_STRATEGY_CACHE[key] = "sparse"
+            else:
+                # a lower bound can never prove dense; remember only that
+                # the full probe is the decider for this corpus
+                _AUTO_STRATEGY_CACHE[key] = "full-probe"
 
     # The TF/DF persists only pay when the full auto probe's
     # materialization is reread by a later action (the dense collect); a
@@ -321,6 +345,9 @@ def title_best_abstract(
         rows = tagged_dec.unionByName(tagged_vec).collect()
         dec_row = next(r for r in rows if r["tag"] == "dec")
         strategy = "dense" if dec_row["dense_ok"] else "sparse"
+        if strategy == "sparse":
+            # upgrade the memo: later calls skip straight to sparse
+            _AUTO_STRATEGY_CACHE[key] = "sparse"
         if strategy == "dense":
             t_rows = [r for r in rows if r["tag"] == "vec"]
 
@@ -345,11 +372,14 @@ def title_best_abstract(
         # corpus chain fused into the join stage measured 40.7 s vs
         # 22.0 s at the 16x replica (SCALE.md r7 flagship sweep). After
         # unpersist the planner stops substituting the cached relation
-        # and the whole chain pipelines into the join. (When the cheap
-        # pre-probe resolved sparse the persists were never created.)
-        if persist:
-            abstract_tf.unpersist()
-            df_.unpersist()
+        # and the whole chain pipelines into the join. UNCONDITIONAL even
+        # when the cheap pre-probe skipped creating the persists: the
+        # cache manager matches by logical plan, so a dense run earlier
+        # in the same session may have left these very relations cached,
+        # and the sparse contract is that its pair join never routes
+        # through a cache barrier.
+        abstract_tf.unpersist()
+        df_.unpersist()
         pairs = sparse_cosine_join(
             title_vec,
             abstract_vec,
