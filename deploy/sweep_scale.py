@@ -51,6 +51,13 @@ EXPLAINED: dict[str, str] = {
     "2x ratio is the one-time saturation step — 8x/2x measured x1.26",
     "approx_distinct_parts": "mixed exact+HLL agg partial-buffer threshold; "
     "2x->8x measured x1.7 for 4x data (sub-linear continuation)",
+    "title_retrieval_accuracy": "dense-strategy pair stage under the replica "
+    "construction: per-copy vocabularies are disjoint, so vocab grows with k "
+    "(31*k <= 256 until k=16) and the broadcast-matmul cells grow ~k^2 — a "
+    "replica artifact, not corpus growth (real corpora add documents, not "
+    "proportional vocabulary; the plan flips to sparse at the vocab-496 "
+    "point, SCALE.md r7). Min-of-3: 1x/2x/8x = 3.15/4.58/26.96 s (2x ratio "
+    "1.45; the >3 single-run sweep readings are the stall-prone host floor)",
 }
 
 

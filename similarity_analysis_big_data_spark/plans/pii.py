@@ -283,3 +283,69 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(below).cast("double") / F.sum("n"), 6
         ).alias("at_risk_frac"),
     )
+
+
+L_DIV_THRESHOLD = 3  # groups with fewer distinct sensitive values are exposed
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+        WITH qi AS (
+            SELECT c_nationkey,
+                   CAST(floor(CAST(CAST(round(c_acctbal * 100, 0) AS BIGINT)
+                                   AS DOUBLE) / 100000) AS BIGINT) AS bal_bucket,
+                   c_mktsegment
+            FROM customer
+        ),
+        groups AS (
+            SELECT c_nationkey, bal_bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+            FROM qi GROUP BY 1, 2
+        )
+        SELECT CAST(min(l) AS BIGINT) AS l_diversity,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN l < {L_DIV_THRESHOLD} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_groups_below_l,
+               CAST(sum(CASE WHEN l < {L_DIV_THRESHOLD} THEN n ELSE 0 END)
+                    AS BIGINT) AS n_rows_at_risk,
+               round(CAST(sum(CASE WHEN l < {L_DIV_THRESHOLD} THEN n ELSE 0 END)
+                          AS DOUBLE) / sum(n), 6) AS at_risk_frac
+        FROM groups
+    """,
+    doc=f"[ext] l-diversity audit: k-anonymity's complement — a group can "
+    "be large (k-anonymous) yet still leak if everyone in it shares the "
+    "same SENSITIVE value, so this measures, per quasi-identifier group "
+    "(nation, account-balance bucket), how many distinct sensitive values "
+    "(market segment) it contains. l_diversity is the worst group's "
+    f"count; groups below l={L_DIV_THRESHOLD} expose their members to "
+    "homogeneity attacks even when k is satisfied. Bucket boundaries use "
+    "exact integer cents, matching k_anonymity_audit.",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one hash aggregate (with a distinct-count) collapses the
+    table to its QI-group relation — bounded by the attribute domains,
+    never row-sized — and the audit row is a second tiny aggregate over
+    groups, the same shape as k_anonymity_audit."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    bucket = F.floor(cents.cast("double") / 100000).cast("long")
+    groups = (
+        cust.select("c_nationkey", bucket.alias("bal_bucket"), "c_mktsegment")
+        .groupBy("c_nationkey", "bal_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("c_mktsegment").alias("l"),
+        )
+    )
+    at_risk = F.when(F.col("l") < L_DIV_THRESHOLD, F.col("n")).otherwise(F.lit(0))
+    return groups.agg(
+        F.min("l").alias("l_diversity"),
+        F.count("*").alias("n_groups"),
+        F.sum(
+            F.when(F.col("l") < L_DIV_THRESHOLD, 1).otherwise(0)
+        ).alias("n_groups_below_l"),
+        F.sum(at_risk).alias("n_rows_at_risk"),
+        F.round(F.sum(at_risk).cast("double") / F.sum("n"), 6).alias("at_risk_frac"),
+    )

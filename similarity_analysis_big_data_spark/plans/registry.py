@@ -55,19 +55,30 @@ def register(
 # samples ~50 registry entries per round in presentation order; the
 # r1∪…∪r9 union has driver-checked ALL 284 registered queries at least
 # once with zero hash failures ever, so round-10 ordering is pure
-# freshness rotation plus re-witnessing this round's semantic changes:
-# (1) the FOUR queries whose answers change in r10 — the CUSUM
-# changepoint (tie-break to earliest day is now deterministic), the
-# Benford audit (abs() + digits-1..9 guard), tokenizer fertility
-# (NULL-not-Infinity ratio guards), and the audio fingerprint alignment
-# (integer-DCT spectral payload replaces the md5-byte frames) — all
-# green in the local parity suite, but the driver ledger must
-# re-witness the new answers; (2) the 28 queries whose latest driver
-# row dates from r3 (the oldest rows anywhere); (3) the alphabetically
-# first 18 of the 44 r4-latest rows, filling the ~50-row window. After
-# this round no latest row predates r4, and r11 finishes the r4 tail.
-# (Pure presentation order — every query is in the map either way.)
+# freshness rotation plus this round's new and changed queries:
+# (1) the THREE queries new in r10 (their first CORRECTNESS window) —
+# the temporal PSI drift audit, the l-diversity audit, and the
+# vocabulary coverage curve (a planned fourth, a declarative
+# expectations gate, was dropped on review: dq_violations_lineitem
+# already IS that machinery — one scan, conditional aggregates,
+# unpivoted rule rows — and a near-duplicate would be padding); (2) the FOUR queries whose
+# answers change in r10 — the CUSUM changepoint (tie-break to earliest
+# day is now deterministic), the Benford audit (abs() + digits-1..9
+# guard), tokenizer fertility (NULL-not-Infinity ratio guards), and the
+# audio fingerprint alignment (integer-DCT spectral payload replaces
+# the md5-byte frames) — all green in the local parity suite, but the
+# driver ledger must re-witness the new answers; (3) the 28 queries
+# whose latest driver row dates from r3 (the oldest rows anywhere);
+# (4) the alphabetically first 18 of the 44 r4-latest rows. The head is
+# 53 rows, so the last few r4 rows may fall past the ~50-row window —
+# they stay r4 and lead the r11 rotation with the rest of that tail.
+# After r10 no latest row predates r4. (Pure presentation order —
+# every query is in the map either way.)
 PRIORITY: tuple[str, ...] = (
+    # -- new in r10: first driver window --
+    "psi_drift_order_totals",
+    "l_diversity_audit",
+    "vocab_coverage_curve",
     # -- semantics changed in r10: re-witness first --
     "cusum_changepoint_daily_revenue",
     "benford_first_digit_audit",

@@ -961,3 +961,104 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chisq_term"
         ),
     )
+
+
+# --- distribution drift (PSI) ------------------------------------------------
+
+PSI_SPLIT_DATE = "1998-04-25"  # fixture median orderdate: before = reference window
+PSI_BUCKET_CENTS = 2_500_000  # $25k-wide buckets over exact integer cents
+PSI_SMOOTH = 0.5  # Laplace-style smoothing so empty buckets stay finite
+
+
+@register(
+    "psi_drift_order_totals",
+    oracle=f"""
+        WITH b AS (
+            SELECT CASE WHEN o_orderdate < DATE '{PSI_SPLIT_DATE}'
+                        THEN 1 ELSE 0 END AS is_ref,
+                   CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                        // {PSI_BUCKET_CENTS} AS BIGINT) AS bucket
+            FROM orders
+        ),
+        counts AS (
+            SELECT bucket,
+                   CAST(sum(is_ref) AS BIGINT) AS n_ref,
+                   CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+            FROM b GROUP BY bucket
+        ),
+        tot AS (
+            SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+                   CAST(sum(n_cur) AS BIGINT) AS t_cur,
+                   CAST(count(*) AS BIGINT) AS n_buckets
+            FROM counts
+        ),
+        terms AS (
+            SELECT bucket, n_ref, n_cur,
+                   ((n_ref + {PSI_SMOOTH}) / (t_ref + {PSI_SMOOTH} * n_buckets)
+                    - (n_cur + {PSI_SMOOTH}) / (t_cur + {PSI_SMOOTH} * n_buckets))
+                   * ln((n_ref + {PSI_SMOOTH}) / (t_ref + {PSI_SMOOTH} * n_buckets)
+                        / ((n_cur + {PSI_SMOOTH})
+                           / (t_cur + {PSI_SMOOTH} * n_buckets))) AS term
+            FROM counts CROSS JOIN tot
+        )
+        SELECT bucket, n_ref, n_cur,
+               round(term, 6) AS psi_term,
+               round(sum(term) OVER (), 6) AS psi_total
+        FROM terms
+    """,
+    doc="[ext] TEMPORAL population-stability drift audit on the "
+    "order-total distribution: rows before the split date are the "
+    "reference window, rows after the current window; both histograms "
+    "share exact-integer-cents buckets (floored cents // bucket width — "
+    "never float division of the raw price) and the per-bucket PSI term "
+    "(p-q)*ln(p/q) is Laplace-smoothed, with the summed psi_total on "
+    "every row (< 0.1 stable, > 0.25 the retrain/alert line). "
+    "Complements price_drift_psi (the r5 key-split snapshot form) on "
+    "exactly its blind spot: that form states empty buckets as 0, so "
+    "mass appearing in a bucket the reference never populated — the "
+    "single most alarming drift signature — contributes nothing, while "
+    "smoothing prices it at its true (large) finite value. Time-window "
+    "split + CUSUM changepoint + this = when it shifted, and how the "
+    "whole distribution moved.",
+)
+def psi_drift_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one hash aggregate collapses the fact table to the bucket
+    relation (bounded by the value domain / bucket width, never
+    row-count); the totals join back as a 1-row broadcast aggregate and
+    the PSI sum is a window over the bucket relation. Nothing downstream
+    of the first agg scales with the data."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    is_ref = F.when(
+        F.col("o_orderdate") < F.lit(PSI_SPLIT_DATE).cast("date"), 1
+    ).otherwise(0)
+    counts = (
+        orders.select(
+            is_ref.alias("is_ref"),
+            (cents / F.lit(PSI_BUCKET_CENTS)).cast("long").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_ref").alias("n_ref"),
+            F.sum(F.lit(1) - F.col("is_ref")).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count("*").alias("n_buckets"),
+    )
+    s = F.lit(PSI_SMOOTH)
+    p = (F.col("n_ref") + s) / (F.col("t_ref") + s * F.col("n_buckets"))
+    q = (F.col("n_cur") + s) / (F.col("t_cur") + s * F.col("n_buckets"))
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket", "n_ref", "n_cur", ((p - q) * F.log(p / q)).alias("term")
+    )
+    w_all = W.partitionBy()
+    return terms.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round("term", 6).alias("psi_term"),
+        F.round(F.sum("term").over(w_all), 6).alias("psi_total"),
+    )

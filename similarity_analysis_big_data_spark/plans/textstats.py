@@ -1213,3 +1213,102 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("bpe_tokens").cast("double") / F.col("ws_words"), 4),
         ).alias("fertility"),
     )
+
+
+# --- vocabulary coverage curve [r10] ----------------------------------------
+
+COVERAGE_TARGETS = (0.5, 0.75, 0.9, 0.95, 0.99)
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=_SQL_TOKS
+    + f"""
+    , counts AS (
+        SELECT t.term, CAST(count(*) AS BIGINT) AS c
+        FROM toks, unnest(tokens) AS t(term)
+        GROUP BY t.term
+    ),
+    tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS t_tokens,
+               CAST(count(*) AS BIGINT) AS n_vocab
+        FROM counts
+    ),
+    ranked AS (
+        SELECT c,
+               CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT) AS r,
+               CAST(sum(c) OVER (ORDER BY c DESC, term
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM counts
+    )
+    SELECT q AS coverage_target,
+           CAST(min(r) AS BIGINT) AS vocab_rank,
+           round(CAST(min(r) AS DOUBLE) / n_vocab, 6) AS vocab_frac,
+           round(CAST(min_by(cum, r) AS DOUBLE) / t_tokens, 6) AS achieved_share
+    FROM ranked CROSS JOIN tot,
+         (VALUES {", ".join(f"({q})" for q in COVERAGE_TARGETS)}) AS th(q)
+    WHERE CAST(cum AS DOUBLE) >= q * t_tokens
+    GROUP BY q, n_vocab, t_tokens
+    """,
+    doc="[ext] vocabulary coverage curve: for each coverage target, the "
+    "smallest top-k (by frequency, term-ascending tiebreak) of the "
+    "corpus vocabulary whose cumulative token share reaches it — the "
+    "read behind 'how big a vocab does this corpus need': the 50%-vs-99% "
+    "gap is the heavy-tail measure that prices tokenizer vocab size and "
+    "OOV handling, Zipf's-law's operational companion (zipf_fit measures "
+    "the slope; this prices its consequence). Crossing ranks are "
+    "tie-order invariant: within an equal-count block the cumulative sum "
+    "advances by the same c per row whatever the term order, so the "
+    "first rank past any threshold is collation-independent.",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the corpus collapses to the vocabulary-sized count relation
+    in one explode+agg shuffle; the ranking/cumulative window then runs
+    ordered over that bounded relation (single-partition at the window,
+    like zipf_fit's per-source ranking — at extreme vocabularies swap in
+    the percentile-boundary range partitioning stable_doc_reindex uses);
+    totals join back as a 1-row broadcast and the 5 thresholds as a tiny
+    broadcast values relation, so the threshold scan is one pass over
+    vocab-sized rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokenize(F.lower("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = counts.agg(
+        F.sum("c").alias("t_tokens"), F.count("*").alias("n_vocab")
+    )
+    w = W.orderBy(F.col("c").desc(), "term")
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.sum("c")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("cum"),
+    )
+    th = F.explode(
+        F.array(*[F.lit(float(q)) for q in COVERAGE_TARGETS])
+    ).alias("coverage_target")
+    thresholds = docs.sparkSession.range(1).select(th)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(thresholds))
+        .filter(F.col("cum").cast("double") >= F.col("coverage_target") * F.col("t_tokens"))
+        .groupBy("coverage_target", "n_vocab", "t_tokens")
+        .agg(
+            F.min("r").alias("vocab_rank"),
+            F.min_by("cum", "r").alias("cum_at_rank"),
+        )
+        .select(
+            "coverage_target",
+            "vocab_rank",
+            F.round(
+                F.col("vocab_rank").cast("double") / F.col("n_vocab"), 6
+            ).alias("vocab_frac"),
+            F.round(
+                F.col("cum_at_rank").cast("double") / F.col("t_tokens"), 6
+            ).alias("achieved_share"),
+        )
+    )

@@ -1052,3 +1052,80 @@ def test_token_counts_agree_with_duckdb_on_vertical_tab(spark, tmp_path_factory)
     # "a\x0bb c" is 2 ws words and tokens a, <VT>, b, c
     assert got["en"]["ws_words"] == 2 + 2
     assert got["en"]["bpe_tokens"] == 4 + 2
+
+
+def test_psi_drift_zero_for_identical_windows(spark, tmp_path_factory):
+    """Identical before/after distributions must read PSI = 0 exactly:
+    with n_ref = n_cur per bucket, the smoothed shares are equal and
+    every (p-q)*ln(p/q) term is literally zero. A planted shift makes
+    every term strictly positive (the PSI integrand is nonnegative)."""
+    import datetime
+
+    sf_dir = tmp_path_factory.mktemp("psi")
+    rows = []
+    k = 0
+    # identical histograms on both sides of the split
+    for price in (10_000.00, 40_000.00, 40_000.00, 90_000.00):
+        rows.append((k, datetime.date(1997, 1, 1), price)); k += 1
+        rows.append((k, datetime.date(1999, 1, 1), price)); k += 1
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    ).write.parquet(str(sf_dir / "orders.parquet"))
+    out = QUERIES["psi_drift_order_totals"].fn(spark, str(sf_dir)).collect()
+    assert all(r["psi_term"] == 0.0 for r in out)
+    assert all(r["psi_total"] == 0.0 for r in out)
+
+    sf2 = tmp_path_factory.mktemp("psi2")
+    rows2 = [(0, datetime.date(1997, 1, 1), 10_000.00),
+             (1, datetime.date(1997, 1, 1), 10_000.00),
+             (2, datetime.date(1999, 1, 1), 90_000.00),
+             (3, datetime.date(1999, 1, 1), 90_000.00)]
+    spark.createDataFrame(
+        rows2, "o_orderkey long, o_orderdate date, o_totalprice double"
+    ).write.parquet(str(sf2 / "orders.parquet"))
+    out2 = QUERIES["psi_drift_order_totals"].fn(spark, str(sf2)).collect()
+    assert all(r["psi_term"] > 0.0 for r in out2)
+    assert out2[0]["psi_total"] > 0.2  # a full swap is far past the alert line
+
+
+def test_l_diversity_flags_homogeneous_groups(spark, tmp_path_factory):
+    """A large-but-homogeneous group is the case k-anonymity misses:
+    6 customers share one QI group and ONE segment (l=1, all at risk);
+    a second group of 3 carries three distinct segments (l=3, safe)."""
+    sf_dir = tmp_path_factory.mktemp("ldiv")
+    rows = [(i, f"c{i}", 1, 1500.00, "AUTO") for i in range(6)]
+    rows += [(10 + j, f"c{10+j}", 2, 1500.00, seg)
+             for j, seg in enumerate(["AUTO", "HOUSE", "STEEL"])]
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(sf_dir / "customer.parquet"))
+    r = QUERIES["l_diversity_audit"].fn(spark, str(sf_dir)).collect()[0]
+    assert r["l_diversity"] == 1
+    assert r["n_groups"] == 2
+    assert r["n_groups_below_l"] == 1
+    assert r["n_rows_at_risk"] == 6
+    assert abs(r["at_risk_frac"] - round(6 / 9, 6)) < 1e-9
+
+
+def test_vocab_coverage_on_known_zipf_corpus(spark, tmp_path_factory):
+    """Hand-checkable distribution: counts 6/2/1/1 over 4 terms (10
+    tokens). 50% needs just 'a' (rank 1, cum 6); 75% needs rank 2
+    (cum 8); 90% rank 3 (cum 9); 99% rank 4 (cum 10)."""
+    sf_dir = tmp_path_factory.mktemp("vocab")
+    text = "a a a a a a b b c d"
+    spark.createDataFrame(
+        [(0, text, "en", "web", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(sf_dir / "documents.parquet"))
+    out = {
+        r["coverage_target"]: r
+        for r in QUERIES["vocab_coverage_curve"].fn(spark, str(sf_dir)).collect()
+    }
+    assert out[0.5]["vocab_rank"] == 1 and out[0.5]["achieved_share"] == 0.6
+    assert out[0.75]["vocab_rank"] == 2 and out[0.75]["achieved_share"] == 0.8
+    assert out[0.9]["vocab_rank"] == 3
+    assert out[0.99]["vocab_rank"] == 4 and out[0.99]["achieved_share"] == 1.0
+    assert out[0.99]["vocab_frac"] == 1.0
+
