@@ -208,10 +208,13 @@ def title_best_abstract(
     whose broadcast the title path reuses — and the abstract weighting), and
     each would otherwise re-run the corpus tokenize+explode+agg from the
     parquet scan (the reference re-evaluates its whole lineage per action
-    too, having no cache() anywhere — SURVEY §4.1). One MEMORY_AND_DISK
-    persist of the TF relation — already aggregated, far smaller than the
-    exploded token stream — runs that pass once; at 100 TB this is the
-    difference between one corpus scan and three.
+    too, having no cache() anywhere — SURVEY §4.1). On the DENSE path a
+    MEMORY_AND_DISK persist of the TF relation — already aggregated, far
+    smaller than the exploded token stream — runs that pass once for the
+    probe collect and the final action (8x dense measured 7.7 s with the
+    persist vs 13.7 without); the SPARSE path creates no persists at all —
+    its one streaming pair-join pass beats the cache barrier (SCALE.md r7),
+    and its single corpus-scan cost at 100 TB comes from the fused chain.
 
     ``strategy`` picks the pair-stage physical plan, AQE-style (measure,
     then choose):
@@ -223,9 +226,11 @@ def title_best_abstract(
       narrow every pair DOES share terms, the sparse join degenerates to
       |titles|x|abstracts| shuffled rows, and a blocked BLAS matmul that
       never materializes pairs wins by a wide margin;
-    - ``"auto"`` — measure vocabulary + broadcast size from the already-
-      computed DF relation (vocabulary-sized, cheap) and choose. Both
-      paths share the identical round-before-argmax / ascending-id
+    - ``"auto"`` — a cheap sample pre-probe first (a 512-doc distinct-term
+      count is a vocabulary LOWER bound, so exceeding the dense ceiling
+      proves sparse from one tiny job; verdict memoized per (session,
+      dir)), then, only if undecided, the full probe over the DF relation.
+      Both paths share the identical round-before-argmax / ascending-id
       tiebreak contract, so the result — and the oracle — is the same.
     """
     docs = load_table(spark, sf_dir, "documents")
