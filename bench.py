@@ -68,12 +68,18 @@ def main() -> None:
     # Gate defense BEFORE the JVM starts, so the load reading reflects
     # external pressure only. Threshold 4 on this 32-cpu host ≈ the level
     # below which the committed idle-vs-busy pairs show no inflation; cap
-    # 180 s keeps the whole bench bounded. Overridable for CI/debug.
-    rest = _rest_until_quiet(
-        threshold=float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_THRESHOLD", "4.0")),
-        cap_sec=float(os.environ.get("SPARK_GRAFT_BENCH_REST_CAP", "180")),
-        step_sec=float(os.environ.get("SPARK_GRAFT_BENCH_REST_STEP", "15")),
-    )
+    # 180 s keeps the whole bench bounded. Overridable for CI/debug. Like
+    # every other forensics block, the gate must never fail the bench: a
+    # platform without os.getloadavg or a malformed env override degrades
+    # to "no rest, settled unknown" instead of crashing pre-measurement.
+    try:
+        rest = _rest_until_quiet(
+            threshold=float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_THRESHOLD", "4.0")),
+            cap_sec=float(os.environ.get("SPARK_GRAFT_BENCH_REST_CAP", "180")),
+            step_sec=float(os.environ.get("SPARK_GRAFT_BENCH_REST_STEP", "15")),
+        )
+    except Exception:
+        rest = {"settled": None}
 
     spark = get_session(app_name="sabds-bench", master=f"local[{cpus}]")
 
@@ -112,12 +118,16 @@ def main() -> None:
         pass
     timings = measured_loop()
     reran = False
+    passes = [dict(timings)]  # every pass's per-query timings, for the artifact
     try:
         # Second line of defense: if GC during the measured loop exceeded
         # ~2x the committed idle reference (~0.9 s total) or the host got
         # busy mid-loop, the reading is suspect — rest briefly and re-run
         # the whole loop ONCE, keeping the per-query min across both
-        # passes. Bounded: at most one re-run, short rest.
+        # passes. Bounded: at most one re-run, short rest. The rule is
+        # one-sided (a re-run can only lower the published min), so the
+        # artifact publishes BOTH passes' timings (`passes` key below):
+        # a reader sees the spread, not just the floor.
         gc_loop = _jvm_gc_sec(spark) - gc_before
         load_now = os.getloadavg()[0]
         if gc_loop > float(os.environ.get("SPARK_GRAFT_BENCH_GC_RERUN_SEC", "2.0")) or load_now > float(
@@ -126,6 +136,7 @@ def main() -> None:
             # load_now includes this JVM's own 32 busy threads, hence +cpus
             time.sleep(float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_REST", "30")))
             second = measured_loop()
+            passes.append(dict(second))
             timings = {n: min(timings[n], second[n]) for n in timings}
             reran = True
     except Exception:
@@ -155,6 +166,11 @@ def main() -> None:
             "rest": rest,
             "reran": reran,
         }
+        if reran:
+            # disclose the spread behind the published min (ADVICE r10)
+            payload["host"]["passes"] = [
+                {n: round(t, 3) for n, t in p.items()} for p in passes
+            ]
     except Exception:
         pass  # forensics must never fail the bench artifact
 

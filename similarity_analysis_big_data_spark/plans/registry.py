@@ -53,85 +53,70 @@ def register(
 
 # Names surfaced FIRST in query_map()/oracle_sql_map(). The round driver
 # samples ~50 registry entries per round in presentation order; the
-# r1∪…∪r9 union has driver-checked ALL 284 registered queries at least
-# once with zero hash failures ever, so round-10 ordering is pure
-# freshness rotation plus this round's new and changed queries:
-# (1) the THREE queries new in r10 (their first CORRECTNESS window) —
-# the temporal PSI drift audit, the l-diversity audit, and the
-# vocabulary coverage curve (a planned fourth, a declarative
-# expectations gate, was dropped on review: dq_violations_lineitem
-# already IS that machinery — one scan, conditional aggregates,
-# unpivoted rule rows — and a near-duplicate would be padding); (2) the FOUR queries whose
-# answers change in r10 — the CUSUM changepoint (tie-break to earliest
-# day is now deterministic), the Benford audit (abs() + digits-1..9
-# guard), tokenizer fertility (NULL-not-Infinity ratio guards), and the
-# audio fingerprint alignment (integer-DCT spectral payload replaces
-# the md5-byte frames) — all green in the local parity suite, but the
-# driver ledger must re-witness the new answers; (3) the 28 queries
-# whose latest driver row dates from r3 (the oldest rows anywhere);
-# (4) the alphabetically first 18 of the 44 r4-latest rows. The head is
-# 53 rows, so the last few r4 rows may fall past the ~50-row window —
-# they stay r4 and lead the r11 rotation with the rest of that tail.
-# After r10 no latest row predates r4. (Pure presentation order —
-# every query is in the map either way.)
+# r1∪…∪r10 union has driver-checked ALL 287 registered queries at least
+# once with zero hash failures ever, so round-11 ordering is pure
+# freshness rotation (the r10 verdict's item 1): (1) the 29 queries
+# whose latest driver row dates from r4 — the oldest rows anywhere,
+# including the three bench headliners (`title_best_abstract`,
+# `near_dup_survivors`, `tokenize_corpus_to_ids`) whose last driver
+# hash-check predates three rounds of code movement; (2) the
+# alphabetically first 21 of the 50 r5-latest rows to fill the ~50-row
+# window (the remaining 29 r5 rows lead the r12 rotation). After r11 no
+# latest row predates r5. (Pure presentation order — every query is in
+# the map either way.)
 PRIORITY: tuple[str, ...] = (
-    # -- new in r10: first driver window --
-    "psi_drift_order_totals",
-    "l_diversity_audit",
-    "vocab_coverage_curve",
-    # -- semantics changed in r10: re-witness first --
-    "cusum_changepoint_daily_revenue",
-    "benford_first_digit_audit",
-    "tokenizer_fertility_by_lang",
-    "audio_fingerprint_align_pairs",
-    # -- latest driver row r3: the oldest of the ledger --
-    "markov_event_transitions",
-    "math_function_battery",
-    "merge_upsert_customer_state",
-    "mixture_temperature_resample",
-    "mutual_knn_pairs",
-    "null_safe_join_segments",
-    "point_in_time_state_join",
-    "q17_small_quantity_revenue",
-    "q21_blocking_suppliers",
-    "q2_min_cost_supplier",
-    "q4_late_order_priority",
-    "quality_logreg_gate",
-    "recursive_cte_trade_reachability",
-    "regexp_function_battery",
-    "salted_heavy_hitter_terms",
-    "scd2_user_state_history",
-    "snapshot_diff_orders",
-    "stable_doc_reindex",
-    "string_function_battery",
-    "supplier_part_list",
-    "title_retrieval_accuracy",
-    "triangle_count_trade",
-    "try_function_battery",
-    "variant_props_profile",
-    "window_lag_delta",
-    "window_range_7day_spend",
-    "window_running_user_spend",
-    "window_value_functions",
-    # -- latest driver row r4, alphabetical: fill the window --
-    "abc_revenue_classification",
-    "ann_ivf_ndcg_at_k",
-    "ann_pq_recall_at_k",
-    "association_rules_parts",
-    "bm25_top_docs",
-    "boolean_and_retrieval",
-    "bpe_merge_pairs",
-    "cold_start_part_recommendations",
-    "conversion_latency_percentiles",
-    "copurchase_part_pairs",
-    "customer_spend_gini",
-    "daily_revenue_deseasonalized",
-    "decimal_exact_totals",
-    "doclen_decile_profile",
-    "embedding_covariance_cells",
+    # -- latest driver row r4: the oldest of the ledger, headliners first --
+    "title_best_abstract",
+    "near_dup_survivors",
+    "tokenize_corpus_to_ids",
     "embedding_dim_variance",
     "explode_variants_battery",
     "hourly_series_interpolated",
+    "label_centroid_cohesion",
+    "lang_distinctive_terms",
+    "minhash_estimate_accuracy",
+    "near_dup_cluster_stats",
+    "phrase_search_positions",
+    "pivot_status_by_priority",
+    "quantile_normalize_doclen",
+    "referential_integrity_audit",
+    "rfm_customer_segments",
+    "session_concurrency_sweep",
+    "session_path_trigrams",
+    "setop_except_all",
+    "setop_intersect_all",
+    "skyline_price_size_parts",
+    "sql_surface_revenue",
+    "token_pmi_collocations",
+    "trade_clustering_coefficients",
+    "union_by_name_evolution",
+    "unpivot_lineitem_measures",
+    "user_longest_active_streak",
+    "vocab_drift_halves",
+    "vocab_oov_rates",
+    "window_running_distinct_types",
+    # -- latest driver row r5, alphabetical: fill the window --
+    "abtest_conversion_zstat",
+    "brand_type_independence",
+    "category_matrix_pivot",
+    "category_similarity_matrix",
+    "char_entropy_scores",
+    "corr_stats_by_returnflag",
+    "disjunctive_filter_revenue",
+    "doc_frequency_by_term",
+    "doc_length_histogram",
+    "doc_term_frequency",
+    "doc_top_keywords",
+    "docs_above_p95_length",
+    "dq_violations_lineitem",
+    "hourly_rollup_gapfilled",
+    "interval_join_click_purchase",
+    "lang_id_scores",
+    "lateral_top2_lineitems",
+    "latest_event_per_user",
+    "mad_outlier_docs",
+    "mismatch_samples",
+    "ntile_customer_quartiles",
 )
 
 

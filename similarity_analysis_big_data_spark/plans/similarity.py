@@ -40,8 +40,24 @@ LANGS = ["de", "en", "es", "fr", "zh"]  # stable across all fixture SFs
 # "full-probe" = the sample could not decide, run the full probe. Plan
 # statistics, not data — staleness can only change WHICH physical
 # strategy runs, never the result (extensional equality of the two paths
-# is property-tested).
+# is property-tested). Bounded (ADVICE r10): inserts evict entries from
+# other applicationIds (dead sessions can never read theirs back) and
+# the per-app population is capped FIFO, so a long-lived driver sweeping
+# many replica dirs cannot grow it without bound. Concurrent first calls
+# race benignly — both run the same deterministic pre-probe, last write
+# wins with the identical verdict.
 _AUTO_STRATEGY_CACHE: dict[tuple[str, str], str] = {}
+_AUTO_STRATEGY_CACHE_MAX = 64  # dirs per app; far above any real sweep
+
+
+def _auto_strategy_memo_put(key: tuple[str, str], verdict: str) -> None:
+    app_id = key[0]
+    for k in [k for k in _AUTO_STRATEGY_CACHE if k[0] != app_id]:
+        del _AUTO_STRATEGY_CACHE[k]
+    while len(_AUTO_STRATEGY_CACHE) >= _AUTO_STRATEGY_CACHE_MAX:
+        del _AUTO_STRATEGY_CACHE[next(iter(_AUTO_STRATEGY_CACHE))]
+    _AUTO_STRATEGY_CACHE[key] = verdict
+
 
 # Shared DuckDB CTE prefix: long-format terms + TF + DF + corpus size.
 _SQL_TERMS = r"""
@@ -266,19 +282,29 @@ def title_best_abstract(
         if cached == "sparse":
             strategy = "sparse"
         elif cached is None:
+            # Deterministic sample (ADVICE r10): a bare limit(512) takes
+            # whichever partitions finish first, so near the vocab
+            # boundary the sparse-vs-full-probe decision flipped run to
+            # run (result-invariant, but plan and timing varied). A
+            # doc_id predicate is stable across runs AND pushdown-
+            # friendly (parquet row-group min/max stats skip the rest of
+            # the table — no full scan, unlike orderBy().limit()). If a
+            # corpus's ids don't start low the filter just yields fewer
+            # rows, which only weakens the lower bound — the full probe
+            # below remains the decider, so correctness is unaffected.
             v_lb = (
-                docs.limit(512)
+                docs.filter(F.col("doc_id") < 512)
                 .select(F.explode(tokenize(F.lower("text"))).alias("term"))
                 .agg(F.count_distinct("term").alias("v_lb"))
                 .collect()[0]["v_lb"]
             )
             if v_lb > DENSE_MAX_VOCAB:
                 strategy = "sparse"
-                _AUTO_STRATEGY_CACHE[key] = "sparse"
+                _auto_strategy_memo_put(key, "sparse")
             else:
                 # a lower bound can never prove dense; remember only that
                 # the full probe is the decider for this corpus
-                _AUTO_STRATEGY_CACHE[key] = "full-probe"
+                _auto_strategy_memo_put(key, "full-probe")
 
     # The TF/DF persists only pay when the full auto probe's
     # materialization is reread by a later action (the dense collect); a
@@ -352,7 +378,7 @@ def title_best_abstract(
         strategy = "dense" if dec_row["dense_ok"] else "sparse"
         if strategy == "sparse":
             # upgrade the memo: later calls skip straight to sparse
-            _AUTO_STRATEGY_CACHE[key] = "sparse"
+            _auto_strategy_memo_put(key, "sparse")
         if strategy == "dense":
             t_rows = [r for r in rows if r["tag"] == "vec"]
 

@@ -1032,10 +1032,15 @@ def psi_drift_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_ref = F.when(
         F.col("o_orderdate") < F.lit(PSI_SPLIT_DATE).cast("date"), 1
     ).otherwise(0)
+    # F.floor matches the oracle's DuckDB `//` (floor division): a negative
+    # total lands in bucket -1 on BOTH engines, where a bare cast('long')
+    # would truncate toward zero and diverge — the same degenerate-input
+    # class the Benford audit hardened against (ADVICE r10). Cents stay
+    # well under 2^53 so the double division is exact.
     counts = (
         orders.select(
             is_ref.alias("is_ref"),
-            (cents / F.lit(PSI_BUCKET_CENTS)).cast("long").alias("bucket"),
+            F.floor(cents / F.lit(PSI_BUCKET_CENTS)).cast("long").alias("bucket"),
         )
         .groupBy("bucket")
         .agg(
