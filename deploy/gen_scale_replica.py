@@ -10,17 +10,33 @@ columns (lang, source, label, event_type) are NOT multiplied — group
 cardinality staying constant while facts grow is exactly what a bigger
 crawl looks like.
 
-Document text gets a per-copy alphabetic token suffix (copy 3's "spark"
-becomes "sparkqcd"): the suffix fuses into the token under the engine's
-``[^\\w]+`` tokenizer, so within-copy duplicate/near-dup structure is
-preserved exactly while cross-copy token sets are disjoint — without
-this, replicating 5k documents k times would hand the near-dup pipeline
-k^2 cross-copy duplicate pairs that no natural corpus has, and the
-measurement would grade the workload, not the operator. Embedding
-vectors replicate exactly (duplicate neighbors are legal ANN workload;
-ties break on id).
+Document text has TWO replica modes (r10 verdict item 3):
+
+- ``shared`` (default): copy i rewrites each space-token through a
+  per-copy ROTATION of the base vocabulary (a bijection vocab->vocab,
+  shift i*7919 mod V). Documents grow k-fold while the vocabulary
+  saturates at the base V — the real corpus-growth shape (Heaps' law
+  flattens; crawls add documents, not proportional vocabulary). The
+  bijection preserves within-copy duplicate/near-dup structure exactly
+  (if docs a,b were near-dups, their images under the same token map
+  are too), while a copy's image of a doc shares tokens with the base
+  doc only coincidentally — no artificial k^2 cross-copy duplicate
+  pairs. This is the sweep default: it measures the operator under
+  honest growth.
+- ``disjoint``: the historical mode — a per-copy alphabetic token
+  suffix (copy 3's "spark" becomes "sparkqcd") fuses into the token
+  under the engine's ``[^\\w]+`` tokenizer, so cross-copy token sets
+  are disjoint and vocabulary grows LINEARLY in k. Kept as the
+  adversarial-vocabulary stressor (it is what exposed the flagship's
+  dense-path vocab ceiling), not as the default: linear vocabulary
+  growth is a replica artifact that graded the workload, not the
+  operator (the r10 EXPLAINED entry).
+
+Embedding vectors replicate exactly in both modes (duplicate neighbors
+are legal ANN workload; ties break on id).
 
 Usage: python deploy/gen_scale_replica.py <k> <out_dir> [src_sf_dir]
+                                          [--mode shared|disjoint]
 """
 
 from __future__ import annotations
@@ -105,7 +121,70 @@ def _copy_sql(table: str, i: int, src: str) -> str:
     raise ValueError(table)
 
 
-def build(k: int, out_dir: str, src: str = "/root/testdata/sf0.1") -> None:
+def _shared_vocab_documents_sql(k: int, src: str, con) -> str:
+    """UNION ALL over k copies where copy i maps every space-token through
+    a rotation of the base vocabulary.
+
+    The rotation table is materialized as a DuckDB temp table ``vmap``
+    (copy_i, src_tok, dst_tok) — V*k rows, tiny — and each copy's text is
+    rebuilt by unnest-with-position, join, re-aggregate ordered by
+    position. Copy 0 is the identity (base rows pass through verbatim).
+    """
+    vocab = [
+        r[0]
+        for r in con.execute(
+            f"""SELECT DISTINCT t.tok
+                FROM (SELECT string_split(text, ' ') AS l
+                      FROM '{src}/documents.parquet'),
+                     unnest(l) AS t(tok)
+                ORDER BY 1"""
+        ).fetchall()
+    ]
+    v = len(vocab)
+    rows = []
+    for i in range(1, k):
+        shift = (i * 7919) % v or 1  # nonzero: copy i is never the identity
+        for r, tok in enumerate(vocab):
+            rows.append((i, tok, vocab[(r + shift) % v]))
+    con.execute("CREATE OR REPLACE TEMP TABLE vmap(copy_i BIGINT, src_tok VARCHAR, dst_tok VARCHAR)")
+    if rows:
+        con.executemany("INSERT INTO vmap VALUES (?, ?, ?)", rows)
+    copies = [f"SELECT * FROM '{src}/documents.parquet'"]
+    for i in range(1, k):
+        s = i * STRIDE
+        copies.append(
+            f"""
+            SELECT doc_id + {s} AS doc_id, text, lang, source,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM (
+                SELECT p.doc_id,
+                       string_agg(m.dst_tok, ' ' ORDER BY p.pos) AS text,
+                       any_value(p.lang) AS lang,
+                       any_value(p.source) AS source
+                FROM (
+                    SELECT d.doc_id, d.lang, d.source,
+                           g.pos, d.l[g.pos] AS tok
+                    FROM (SELECT doc_id, lang, source,
+                                 string_split(text, ' ') AS l
+                          FROM '{src}/documents.parquet') d,
+                         LATERAL (SELECT unnest(generate_series(1, len(d.l))) AS pos) g
+                ) p
+                JOIN vmap m ON m.copy_i = {i} AND m.src_tok = p.tok
+                GROUP BY p.doc_id
+            )
+            """
+        )
+    return " UNION ALL ".join(copies)
+
+
+def build(
+    k: int,
+    out_dir: str,
+    src: str = "/root/testdata/sf0.1",
+    mode: str = "shared",
+) -> None:
+    if mode not in ("shared", "disjoint"):
+        raise ValueError(f"mode must be shared|disjoint, got {mode!r}")
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
@@ -116,22 +195,31 @@ def build(k: int, out_dir: str, src: str = "/root/testdata/sf0.1") -> None:
     for t in tables:
         if t in DIMS:
             sql = _copy_sql(t, 0, src)
+        elif t == "documents" and mode == "shared":
+            sql = _shared_vocab_documents_sql(k, src, con)
         else:
             sql = " UNION ALL ".join(_copy_sql(t, i, src) for i in range(k))
         con.execute(f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
         n = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n}", flush=True)
-    # Stamp the replica factor so consumers (sweep_scale.py) can detect a
-    # stale directory built with a different k or source and refuse to
-    # reuse it — a 2x replica silently reused for a --k 8 sweep would
+    # Stamp the replica factor AND mode so consumers (sweep_scale.py) can
+    # detect a stale directory built with a different k, source, or text
+    # mode and refuse to reuse it — a 2x replica silently reused for a
+    # --k 8 sweep (or a disjoint dir reused for a shared sweep) would
     # make every ratio (and every flag) wrong.
     (out / "replica_meta.json").write_text(
-        json.dumps({"k": k, "src": str(src), "stride": STRIDE}) + "\n"
+        json.dumps({"k": k, "src": str(src), "stride": STRIDE, "mode": mode}) + "\n"
     )
 
 
 if __name__ == "__main__":
-    k = int(sys.argv[1])
-    out_dir = sys.argv[2]
-    src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
-    build(k, out_dir, src)
+    argv = [a for a in sys.argv[1:]]
+    mode = "shared"
+    if "--mode" in argv:
+        j = argv.index("--mode")
+        mode = argv[j + 1]
+        del argv[j : j + 2]
+    k = int(argv[0])
+    out_dir = argv[1]
+    src = argv[2] if len(argv) > 2 else "/root/testdata/sf0.1"
+    build(k, out_dir, src, mode=mode)

@@ -12,15 +12,35 @@ A clean linear operator shows ratio <= ~k (plus fixed per-job overhead,
 which DEFLATES the ratio); a quadratic shows ~k^2. The default flag line
 is ratio > 3 for a k=2 step, with a floor on the scaled-side time so the
 +-25% single-run noise on sub-second queries (dominated by Spark's fixed
-~0.3-0.5 s/job latency) cannot fire it. Flagged queries are candidates,
-not verdicts: re-measure at 8x (the ratio separates noise from growth far
-better there) before concluding — and every flag must end the round either
-fixed or explained in SCALE.md.
+~0.3-0.5 s/job latency) cannot fire it.
+
+Noise defense (r10 verdict item 2 — ported from bench.py, which proved it
+in the graded artifact): (a) the sweep REFUSES to start on a loaded host,
+resting in bounded steps until the 1-minute load average settles; (b) any
+pair whose single-run ratio crosses --confirm-ratio is immediately
+re-measured min-of-N (default 3) IN-LINE, and the published row carries
+the min-of-N numbers plus both pass sets — so a published flag is already
+min-of-N-confirmed, and no separate addendum artifact is ever needed
+(r10 verdict item 4); (c) per-row JVM GC deltas land in the artifact so a
+stall-shaped reading is self-diagnosing. The r10 evidence was decisive:
+single-run readings flagged two queries (x3.01; a 74.5 s base) that
+min-of-3 cleared (x1.45; 3.82 s).
+
+Replica mode: ``--mode shared`` (default) grows documents under a
+SATURATING vocabulary — the honest corpus-growth shape; ``--mode
+disjoint`` keeps the historical linear-vocabulary stressor (see
+gen_scale_replica.py's docstring for why each exists).
+
+Flagged queries are candidates, not verdicts: re-measure at 8x (the ratio
+separates noise from growth far better there) before concluding — and
+every flag must end the round either fixed or explained in SCALE.md.
 
 Usage:
     python deploy/sweep_scale.py [--base DIR] [--scaled DIR] [--k K]
                                  [--out SWEEP.json] [--flag-ratio R]
                                  [--min-seconds S] [--only SUBSTR]
+                                 [--mode shared|disjoint]
+                                 [--confirm-ratio R] [--confirm-runs N]
 
 The scaled replica is generated on demand if --scaled does not exist.
 """
@@ -45,20 +65,54 @@ from similarity_analysis_big_data_spark.session import get_session  # noqa: E402
 # (not growth): they still appear in the artifact with their numbers, but
 # are reported under `explained` instead of `flagged` so a round's "new
 # flags" signal stays clean. Add a name here ONLY with a SCALE.md entry
-# that carries an 8x (or better) point proving convergence.
+# that carries an 8x (or better) point proving convergence. Entries in
+# DISJOINT_ONLY apply only under --mode disjoint: they document replica
+# artifacts of linear vocabulary growth, which the shared-vocab default
+# does not construct (r10 verdict item 3 — the title entry retires from
+# the default sweep rather than being explained away).
 EXPLAINED: dict[str, str] = {
     "fuzzy_levenshtein_pairs": "capped-block pair count saturates (~31k); "
     "2x ratio is the one-time saturation step — 8x/2x measured x1.26",
     "approx_distinct_parts": "mixed exact+HLL agg partial-buffer threshold; "
     "2x->8x measured x1.7 for 4x data (sub-linear continuation)",
-    "title_retrieval_accuracy": "dense-strategy pair stage under the replica "
-    "construction: per-copy vocabularies are disjoint, so vocab grows with k "
-    "(31*k <= 256 until k=16) and the broadcast-matmul cells grow ~k^2 — a "
-    "replica artifact, not corpus growth (real corpora add documents, not "
-    "proportional vocabulary; the plan flips to sparse at the vocab-496 "
-    "point, SCALE.md r7). Min-of-3: 1x/2x/8x = 3.15/4.58/26.96 s (2x ratio "
-    "1.45; the >3 single-run sweep readings are the stall-prone host floor)",
+    "title_retrieval_accuracy": "[disjoint mode only] dense-strategy pair "
+    "stage under the disjoint replica: per-copy vocabularies are disjoint, "
+    "so vocab grows with k (31*k <= 256 until k=16) and the broadcast-matmul "
+    "cells grow ~k^2 — a replica artifact, not corpus growth (real corpora "
+    "add documents, not proportional vocabulary; the plan flips to sparse at "
+    "the vocab-496 point, SCALE.md r7). Min-of-3: 1x/2x/8x = 3.15/4.58/26.96 "
+    "s (2x ratio 1.45; the >3 single-run sweep readings were the stall-prone "
+    "host floor). The shared-vocab default mode does not construct this "
+    "growth shape.",
 }
+DISJOINT_ONLY: frozenset[str] = frozenset({"title_retrieval_accuracy"})
+
+
+def _rest_until_quiet(threshold: float, cap_sec: float, step_sec: float) -> dict:
+    """Pre-JVM load gate, same contract as bench.py's (which see)."""
+    waited = 0.0
+    initial = os.getloadavg()[0]
+    load = initial
+    while load > threshold and waited < cap_sec:
+        time.sleep(step_sec)
+        waited += step_sec
+        load = os.getloadavg()[0]
+    return {
+        "loadavg_initial": round(initial, 2),
+        "loadavg_after_rest": round(load, 2),
+        "rest_wait_sec": round(waited, 1),
+        "settled": load <= threshold,
+    }
+
+
+def _jvm_gc_sec(spark) -> float:
+    return (
+        sum(
+            b.getCollectionTime()
+            for b in spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        )
+        / 1000.0
+    )
 
 
 def _time_query(spark, fn, sf_dir: str) -> float:
@@ -74,6 +128,7 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--scaled", default="/tmp/rep2x")
     ap.add_argument("--k", type=int, default=2, help="replica factor of --scaled")
+    ap.add_argument("--mode", default="shared", choices=("shared", "disjoint"))
     ap.add_argument("--out", default=None, help="JSON artifact path")
     ap.add_argument("--flag-ratio", type=float, default=3.0)
     ap.add_argument(
@@ -83,26 +138,45 @@ def main() -> None:
         help="scaled-side floor below which a high ratio is job-overhead noise",
     )
     ap.add_argument(
+        "--confirm-ratio",
+        type=float,
+        default=2.5,
+        help="single-run ratio above which the pair is re-measured min-of-N "
+        "before anything is published (set above flag-ratio to disable)",
+    )
+    ap.add_argument(
+        "--confirm-runs",
+        type=int,
+        default=3,
+        help="total runs per side for a confirmation re-measure",
+    )
+    ap.add_argument(
         "--only",
         default=None,
         help="substring filter on query names (comma-separated = any-of)",
     )
     args = ap.parse_args()
 
-    # Reuse an existing replica dir only when its stamped factor matches
-    # --k and --base; a stale dir (e.g. a 2x replica at the default path
-    # reused with --k 8) would yield silently wrong ratios and flags.
+    # Reuse an existing replica dir only when its stamped factor, source,
+    # AND text mode all match; a stale dir (e.g. a 2x replica reused with
+    # --k 8, or a disjoint dir reused for a shared sweep) would yield
+    # silently wrong ratios and flags.
     meta_path = Path(args.scaled, "replica_meta.json")
     reusable = False
     if Path(args.scaled, "documents.parquet").exists():
         if meta_path.exists():
             meta = json.loads(meta_path.read_text())
-            reusable = meta.get("k") == args.k and meta.get("src") == args.base
+            reusable = (
+                meta.get("k") == args.k
+                and meta.get("src") == args.base
+                and meta.get("mode", "disjoint") == args.mode
+            )
         if not reusable:
             raise SystemExit(
                 f"--scaled {args.scaled} exists but its replica_meta.json is "
-                f"missing or does not match --k {args.k} / --base {args.base}; "
-                "delete the directory (or point --scaled elsewhere) and rerun"
+                f"missing or does not match --k {args.k} / --base {args.base} "
+                f"/ --mode {args.mode}; delete the directory (or point "
+                "--scaled elsewhere) and rerun"
             )
     if not reusable:
         subprocess.run(
@@ -112,9 +186,22 @@ def main() -> None:
                 str(args.k),
                 args.scaled,
                 args.base,
+                "--mode",
+                args.mode,
             ],
             check=True,
         )
+
+    # Rest gate BEFORE the JVM starts (bench.py's defense, same env knobs;
+    # like there, the gate must never fail the sweep).
+    try:
+        rest = _rest_until_quiet(
+            threshold=float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_THRESHOLD", "4.0")),
+            cap_sec=float(os.environ.get("SPARK_GRAFT_BENCH_REST_CAP", "180")),
+            step_sec=float(os.environ.get("SPARK_GRAFT_BENCH_REST_STEP", "15")),
+        )
+    except Exception:
+        rest = {"settled": None}
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -128,19 +215,32 @@ def main() -> None:
     spark = fresh_session()
 
     only = [s.strip() for s in (args.only or "").split(",") if s.strip()]
-    names = [
-        n
-        for n in sorted(registry.query_map())
-        if not only or any(s in n for s in only)
-    ]
-    results: dict[str, dict[str, float]] = {}
+    all_names = sorted(registry.query_map())
+    names = [n for n in all_names if not only or any(s in n for s in only)]
+    explained_active = {
+        n: note
+        for n, note in EXPLAINED.items()
+        if args.mode == "disjoint" or n not in DISJOINT_ONLY
+    }
+    results: dict[str, dict] = {}
     flagged: list[str] = []
     explained: list[str] = []
     for i, name in enumerate(names):
         fn = registry.QUERIES[name].fn
         try:
+            gc0 = None
+            try:
+                gc0 = _jvm_gc_sec(spark)
+            except Exception:
+                pass
             t_base = _time_query(spark, fn, args.base)
             t_scaled = _time_query(spark, fn, args.scaled)
+            gc_row = None
+            if gc0 is not None:
+                try:
+                    gc_row = round(_jvm_gc_sec(spark) - gc0, 2)
+                except Exception:
+                    pass
         except Exception as exc:  # keep sweeping; a crash is its own flag
             results[name] = {"error": str(exc)[:200]}
             flagged.append(name)
@@ -178,20 +278,48 @@ def main() -> None:
                         f"{restart_exc}; aborting sweep"
                     ) from restart_exc
             continue
+        row: dict = {}
+        base_runs, scaled_runs = [t_base], [t_scaled]
         ratio = round(t_scaled / t_base, 2) if t_base > 0 else float("inf")
-        results[name] = {
-            "base_s": round(t_base, 3),
-            "scaled_s": round(t_scaled, 3),
-            "ratio": ratio,
-        }
+        # Confirmation re-measure (bench.py's min-of-N, applied adaptively):
+        # a suspicious single-run pair gets (confirm_runs - 1) more runs per
+        # side BEFORE anything is published, so a flag in the artifact is
+        # already min-of-N-confirmed and noise never needs an addendum.
+        confirmed = False
+        if ratio > args.confirm_ratio and t_scaled >= args.min_seconds:
+            for _ in range(max(0, args.confirm_runs - 1)):
+                try:
+                    base_runs.append(_time_query(spark, fn, args.base))
+                    scaled_runs.append(_time_query(spark, fn, args.scaled))
+                except Exception:
+                    break  # publish what we have; partial mins are still mins
+            t_base, t_scaled = min(base_runs), min(scaled_runs)
+            ratio = round(t_scaled / t_base, 2) if t_base > 0 else float("inf")
+            confirmed = True
+        row.update(
+            {
+                "base_s": round(t_base, 3),
+                "scaled_s": round(t_scaled, 3),
+                "ratio": ratio,
+            }
+        )
+        if confirmed:
+            row["min_of"] = len(base_runs)
+            row["base_runs"] = [round(t, 3) for t in base_runs]
+            row["scaled_runs"] = [round(t, 3) for t in scaled_runs]
+        if gc_row is not None:
+            row["gc_s"] = gc_row
+        results[name] = row
         over = ratio > args.flag_ratio and t_scaled >= args.min_seconds
         tag = ""
-        if over and name in EXPLAINED:
+        if over and name in explained_active:
             explained.append(name)
             tag = " EXPLAINED"
         elif over:
             flagged.append(name)
-            tag = " FLAG"
+            tag = " FLAG (min-of-%d)" % len(base_runs)
+        elif confirmed:
+            tag = " cleared-by-min-of-%d" % len(base_runs)
         print(
             f"[{i + 1}/{len(names)}] {name}: {t_base:.2f}s -> {t_scaled:.2f}s "
             f"(x{ratio}){tag}",
@@ -202,13 +330,25 @@ def main() -> None:
         "base": args.base,
         "scaled": args.scaled,
         "k": args.k,
+        "mode": args.mode,
         "flag_ratio": args.flag_ratio,
         "min_seconds": args.min_seconds,
+        "confirm_ratio": args.confirm_ratio,
+        "confirm_runs": args.confirm_runs,
         "n_queries": len(names),
+        "n_registry": len(all_names),
         "flagged": flagged,
-        "explained": {n: EXPLAINED[n] for n in explained},
+        "explained": {n: explained_active[n] for n in explained},
         "queries": results,
     }
+    try:
+        payload["host"] = {
+            "rest": rest,
+            "loadavg_end": round(os.getloadavg()[0], 2),
+            "gc_total_sec": round(_jvm_gc_sec(spark), 2),
+        }
+    except Exception:
+        pass  # forensics must never fail the sweep artifact
     if args.out:
         Path(args.out).write_text(json.dumps(payload, indent=1) + "\n")
     print(json.dumps({"n": len(names), "flagged": flagged, "explained": explained}))
