@@ -171,6 +171,7 @@ def dense_best_match(
     match_id: str,
     round_to: int = 9,
     t_rows: list | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Exact arg-max cosine via blocked dense matmul — the small-vocabulary
     physical strategy for ``sparse_cosine_join`` + ``best_match``.
@@ -198,6 +199,15 @@ def dense_best_match(
     the caller (`DENSE_MAX_BROADCAST_CELLS`). Shuffled bytes are O(|A| x V)
     — the weighted relation itself — vs the sparse join's O(|Q| x |A|)
     pair rows.
+
+    ``pre_partitioned=True``: the caller asserts ``abstract_vec`` is
+    already co-located by ``match_id`` — true whenever its plan ends in a
+    window partitioned by that id (``l2_normalize`` does exactly that),
+    since AQE coalescing merges whole partitions and never splits a key
+    group. Skipping the redundant ``repartition`` here removes a full
+    shuffle of the weighted relation from the hot path (r10 verdict item
+    6: the dense tail re-shuffled the very key its input was already
+    hashed on).
     """
     import numpy as np
     import pandas as pd
@@ -252,10 +262,8 @@ def dense_best_match(
             }
         )
 
-    candidates = (
-        abstract_vec.repartition(match_id)
-        .mapInPandas(block_argmax, schema=out_schema)
-    )
+    blocked = abstract_vec if pre_partitioned else abstract_vec.repartition(match_id)
+    candidates = blocked.mapInPandas(block_argmax, schema=out_schema)
     # merge partition-local winners: tiny (<= n_partitions rows per query)
     return best_match(candidates, query_id, match_id)
 

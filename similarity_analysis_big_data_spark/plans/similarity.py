@@ -46,11 +46,17 @@ LANGS = ["de", "en", "es", "fr", "zh"]  # stable across all fixture SFs
 # many replica dirs cannot grow it without bound. Concurrent first calls
 # race benignly — both run the same deterministic pre-probe, last write
 # wins with the identical verdict.
-_AUTO_STRATEGY_CACHE: dict[tuple[str, str], str] = {}
+_AUTO_STRATEGY_CACHE: dict[tuple[str, str], str | tuple] = {}
 _AUTO_STRATEGY_CACHE_MAX = 64  # dirs per app; far above any real sweep
 
+# Memo-dense persist threshold (docs): below it the two fused corpus
+# passes beat the cache barrier (doc_tfidf 1x: 1.10 s fused vs 1.95
+# cached); above it the barrier wins (r7 8x dense ledger, 40k docs:
+# 7.7 s with persist vs 13.7 without). Set between the two measurements.
+DENSE_PERSIST_MIN_DOCS = 16_000
 
-def _auto_strategy_memo_put(key: tuple[str, str], verdict: str) -> None:
+
+def _auto_strategy_memo_put(key: tuple[str, str], verdict: str | tuple) -> None:
     app_id = key[0]
     for k in [k for k in _AUTO_STRATEGY_CACHE if k[0] != app_id]:
         del _AUTO_STRATEGY_CACHE[k]
@@ -224,13 +230,15 @@ def title_best_abstract(
     whose broadcast the title path reuses — and the abstract weighting), and
     each would otherwise re-run the corpus tokenize+explode+agg from the
     parquet scan (the reference re-evaluates its whole lineage per action
-    too, having no cache() anywhere — SURVEY §4.1). On the DENSE path a
-    MEMORY_AND_DISK persist of the TF relation — already aggregated, far
-    smaller than the exploded token stream — runs that pass once for the
-    probe collect and the final action (8x dense measured 7.7 s with the
-    persist vs 13.7 without); the SPARSE path creates no persists at all —
-    its one streaming pair-join pass beats the cache barrier (SCALE.md r7),
-    and its single corpus-scan cost at 100 TB comes from the fused chain.
+    too, having no cache() anywhere — SURVEY §4.1). Whether that relation
+    is PERSISTED is scale-conditional (r11): the full-probe pass and big
+    corpora keep the MEMORY_AND_DISK persist (8x dense ledger: 7.7 s with
+    vs 13.7 without, 40k docs), while the memo-validated dense path on a
+    small corpus runs its two passes fused — the same 1x evidence as
+    doc_tfidf (1.10 s fused vs 1.95 through the cache barrier); the SPARSE
+    path creates no persists at all — its one streaming pair-join pass
+    beats the cache barrier (SCALE.md r7), and its single corpus-scan cost
+    at 100 TB comes from the fused chain.
 
     ``strategy`` picks the pair-stage physical plan, AQE-style (measure,
     then choose):
@@ -250,14 +258,8 @@ def title_best_abstract(
       tiebreak contract, so the result — and the oracle — is the same.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # corpus size enters the IDF as a 1-row broadcast aggregate (no count
-    # action); the same scan also yields the title count the auto-strategy
-    # decision needs
-    corpus_n = docs.agg(F.count("*").alias("_n_docs"))
-    sizes_agg = docs.agg(
-        F.count("*").alias("n"),
-        F.count_if(F.col("doc_id") % TITLE_SAMPLE_MOD == 0).alias("nt"),
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    n_lit: int | None = None  # driver-known corpus size (memo-dense path)
 
     if strategy == "auto":
         # Cheap pre-probe (r10): the distinct-term count of ANY document
@@ -272,15 +274,31 @@ def title_best_abstract(
         #
         # The verdict is MEMOIZED per (session, sf_dir), like the planner
         # statistics it is: repeat calls skip the sample job (and, once
-        # resolved sparse, every probe action). Staleness is correctness-
-        # neutral by construction — both strategies share the identical
-        # round-before-argmax / tiebreak contract — and a cached "dense"
-        # still re-runs the full probe below, which re-derives dense_ok
-        # from the data before committing to the matmul path.
-        key = (spark.sparkContext.applicationId, sf_dir)
+        # resolved, every probe action). Staleness is correctness-neutral
+        # by construction — both strategies share the identical
+        # round-before-argmax / tiebreak contract, so even a wrong
+        # strategy choice cannot change the RESULT. A memoized DENSE
+        # verdict (r11) carries the corpus size the full probe measured
+        # and is re-validated on reuse with one metadata-cheap count():
+        # an unchanged row count accepts the verdict and takes the direct
+        # dense path (no probe aggregates, no tagged-union collect, the
+        # corpus size as a plan literal instead of a cross-joined 1-row
+        # aggregate); a changed count falls back to the full probe, which
+        # re-decides and re-memoizes. Residual assumption, stated: a
+        # mid-session rewrite of the SAME dir to the SAME row count with
+        # a radically wider vocabulary would stretch the dense broadcast
+        # beyond its intended bound — accepted, since no harness mutates
+        # a fixture dir mid-session.
         cached = _AUTO_STRATEGY_CACHE.get(key)
         if cached == "sparse":
             strategy = "sparse"
+        elif isinstance(cached, tuple) and cached[0] == "dense":
+            n_now = docs.count()
+            if n_now == cached[1]:
+                strategy = "dense"
+                n_lit = n_now
+            # else: stale memo — leave strategy "auto"; the full probe
+            # below re-decides from the data and overwrites the memo
         elif cached is None:
             # Deterministic sample (ADVICE r10): a bare limit(512) takes
             # whichever partitions finish first, so near the vocab
@@ -306,12 +324,36 @@ def title_best_abstract(
                 # the full probe is the decider for this corpus
                 _auto_strategy_memo_put(key, "full-probe")
 
-    # The TF/DF persists only pay when the full auto probe's
-    # materialization is reread by a later action (the dense collect); a
-    # resolved-sparse decision skips them so the pair join's build chain
-    # pipelines uncached (the r7 16x finding: 22.0 s fused vs 40.7 s
-    # through the cache barrier).
-    persist = strategy != "sparse"
+    # Corpus size for the IDF: a driver literal when the memo-dense path
+    # already knows (and re-validated) it — that removes the cross-joined
+    # 1-row broadcast aggregate subtree from every weighting plan — else
+    # ONE 1-row aggregate serving both the IDF and the decision row, so
+    # every cross-join site shares the same canonical subplan.
+    sizes_agg = docs.agg(
+        F.count("*").alias("_n_docs"),
+        F.count_if(F.col("doc_id") % TITLE_SAMPLE_MOD == 0).alias("nt"),
+    )
+    corpus_n: int | DataFrame = n_lit if n_lit is not None else sizes_agg
+
+    # The TF/DF persists only pay when a materialization is REREAD by a
+    # later pass over the same relation: the full auto probe's collect
+    # (reread by the final action), or a big corpus whose double fused
+    # scan costs more than the cache barrier. A resolved-sparse decision
+    # skips them so the pair join's build chain pipelines uncached (the
+    # r7 16x finding: 22.0 s fused vs 40.7 s through the cache barrier).
+    # The memo-dense path persists only ABOVE a corpus-size threshold:
+    # below it, the two fused corpus passes (title collect + final
+    # action) beat the persist's serialize-write-read barrier — the same
+    # 1x evidence as doc_tfidf (1.10 s fused vs 1.95 through the cache);
+    # above it, the r7 8x dense ledger (7.7 s with persist vs 13.7
+    # without, 40k docs) says the barrier wins. Threshold set between
+    # those two committed measurements.
+    if strategy == "auto" or (strategy == "dense" and n_lit is None):
+        persist = True  # probe/forced-dense: materializations are reread
+    elif strategy == "dense":
+        persist = n_lit >= DENSE_PERSIST_MIN_DOCS
+    else:
+        persist = False
     abstract_tf = term_frequency(
         _doc_terms(spark, sf_dir).withColumnRenamed("doc_id", "abstract_id"),
         ["abstract_id"],
@@ -363,6 +405,7 @@ def title_best_abstract(
             F.lit(None).cast("string").alias("term"),
             F.lit(None).cast("double").alias("weight"),
             "dense_ok",
+            "_n_docs",
         )
         tagged_vec = title_vec.crossJoin(
             F.broadcast(dec.filter("dense_ok").select(F.lit(1).alias("_g")))
@@ -372,10 +415,16 @@ def title_best_abstract(
             "term",
             "weight",
             F.lit(None).cast("boolean").alias("dense_ok"),
+            F.lit(None).cast("long").alias("_n_docs"),
         )
         rows = tagged_dec.unionByName(tagged_vec).collect()
         dec_row = next(r for r in rows if r["tag"] == "dec")
         strategy = "dense" if dec_row["dense_ok"] else "sparse"
+        if strategy == "dense":
+            # memoize the verdict WITH the measured corpus size: later
+            # calls re-validate it with one cheap count() and take the
+            # direct dense path (no probe aggregates, no tagged collect)
+            _auto_strategy_memo_put(key, ("dense", dec_row["_n_docs"]))
         if strategy == "sparse":
             # upgrade the memo: later calls skip straight to sparse
             _auto_strategy_memo_put(key, "sparse")
@@ -383,8 +432,16 @@ def title_best_abstract(
             t_rows = [r for r in rows if r["tag"] == "vec"]
 
     if strategy == "dense":
+        # pre_partitioned: abstract_vec ends in l2_normalize's window
+        # partitioned by abstract_id, so its rows are already co-located
+        # on the matmul's blocking key — no second shuffle needed
         top = dense_best_match(
-            title_vec, abstract_vec, "title_id", "abstract_id", t_rows=t_rows
+            title_vec,
+            abstract_vec,
+            "title_id",
+            "abstract_id",
+            t_rows=t_rows,
+            pre_partitioned=True,
         )
         # dense mode's precondition (n_titles * vocab <= broadcast cells)
         # bounds the match relation, so the null-fill join broadcasts
