@@ -2,11 +2,13 @@
 
 The generator (deploy/gen_scale_replica.py) backs the SCALE.md "Measured
 scaling" experiment; these tests pin the properties the measurement's
-validity rests on: referential integrity of the key shifts, cross-copy
-token disjointness (so dedup workloads scale linearly, not k-squared),
-and sample-preserving strides. The _ivf_assign tests pin the arg-max tie
-and zero-vector semantics the DuckDB oracles encode but the fixture data
-never exercises.
+validity rests on, per mode: referential integrity of the key shifts;
+for the DISJOINT stressor mode, cross-copy token disjointness (linear
+vocabulary growth by construction); for the SHARED default mode (r11),
+vocabulary saturation at the base V with cross-copy texts still distinct
+— the honest corpus-growth shape. The _ivf_assign tests pin the arg-max
+tie and zero-vector semantics the DuckDB oracles encode but the fixture
+data never exercises.
 """
 
 from __future__ import annotations
@@ -21,8 +23,17 @@ from similarity_analysis_big_data_spark.plans.ann import N_CELLS, _ivf_assign
 
 @pytest.fixture(scope="module")
 def replica2(tmp_path_factory):
+    """Disjoint-mode replica: the adversarial-vocabulary stressor."""
     out = tmp_path_factory.mktemp("sfrep") / "x2"
-    build(2, str(out), "/root/testdata/sf0.001")
+    build(2, str(out), "/root/testdata/sf0.001", mode="disjoint")
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def replica2_shared(tmp_path_factory):
+    """Shared-vocabulary replica: the sweep default (r11)."""
+    out = tmp_path_factory.mktemp("sfrep_shared") / "x2"
+    build(2, str(out), "/root/testdata/sf0.001", mode="shared")
     return str(out)
 
 
@@ -87,6 +98,62 @@ def test_replica_within_copy_dup_structure_preserved(replica2):
         for op in ("<", ">=")
     )
     assert g0 == g1
+
+
+def test_shared_replica_vocab_saturates(replica2_shared):
+    """Shared mode: the replica's engine vocabulary equals the base's —
+    documents grow, vocabulary saturates (the property the mode exists
+    for; a regression to per-copy token growth would re-create the k^2
+    dense-pair replica artifact the r10 sweep had to EXPLAIN away)."""
+    con = duckdb.connect()
+    q = r"""SELECT count(DISTINCT t.tok) FROM
+            (SELECT regexp_split_to_array(lower(text), '[^\w]+') AS l
+             FROM '{p}'),
+            unnest(l) AS t(tok) WHERE t.tok <> ''"""
+    v_base = con.execute(q.format(p="/root/testdata/sf0.001/documents.parquet")).fetchone()[0]
+    v_rep = con.execute(q.format(p=f"{replica2_shared}/documents.parquet")).fetchone()[0]
+    assert v_rep == v_base
+
+
+def test_shared_replica_copies_distinct_but_structure_preserved(replica2_shared):
+    """Shared mode: copy 1 is a vocabulary ROTATION of copy 0 — every
+    text differs from its base twin (no artificial exact cross-copy
+    duplicates), token counts per document are preserved (the rewrite is
+    positionwise), and within-copy exact-dup group counts mirror the
+    base (bijection preserves dup structure)."""
+    con = duckdb.connect()
+    p = f"{replica2_shared}/documents.parquet"
+    same_text, len_mismatch = con.execute(
+        f"""SELECT count_if(b.text = c.text),
+                   count_if(len(string_split(b.text, ' '))
+                            <> len(string_split(c.text, ' ')))
+            FROM '{p}' b JOIN '{p}' c ON c.doc_id = b.doc_id + {STRIDE}
+            WHERE b.doc_id < {STRIDE}"""
+    ).fetchone()
+    assert same_text == 0
+    assert len_mismatch == 0
+    g0, g1 = (
+        con.execute(
+            f"""SELECT count(*) FROM (
+                    SELECT text, count(*) AS c FROM '{p}'
+                    WHERE doc_id {op} {STRIDE}
+                    GROUP BY text HAVING count(*) > 1)"""
+        ).fetchone()[0]
+        for op in ("<", ">=")
+    )
+    assert g0 == g1
+
+
+def test_shared_replica_meta_stamps_mode(replica2_shared, replica2):
+    """replica_meta.json carries the mode, so sweep_scale.py can refuse
+    a stale dir built under the other mode."""
+    import json
+    from pathlib import Path
+
+    meta_s = json.loads(Path(replica2_shared, "replica_meta.json").read_text())
+    meta_d = json.loads(Path(replica2, "replica_meta.json").read_text())
+    assert meta_s["mode"] == "shared" and meta_s["k"] == 2
+    assert meta_d["mode"] == "disjoint" and meta_d["k"] == 2
 
 
 def test_ivf_assign_tiebreak_and_zero_vector(spark):
