@@ -26,10 +26,22 @@ stall-shaped reading is self-diagnosing. The r10 evidence was decisive:
 single-run readings flagged two queries (x3.01; a 74.5 s base) that
 min-of-3 cleared (x1.45; 3.82 s).
 
-Replica mode: ``--mode shared`` (default) grows documents under a
-SATURATING vocabulary — the honest corpus-growth shape; ``--mode
-disjoint`` keeps the historical linear-vocabulary stressor (see
-gen_scale_replica.py's docstring for why each exists).
+Replica routing (r11): the honest corpus-growth shape is FAMILY-SPECIFIC.
+Weighting/retrieval workloads need a SATURATING vocabulary (the shared
+replica) — under the disjoint replica their vocabulary-sized state grows
+linearly in k, a pure construction artifact. Text-similarity/dedup
+workloads need cross-copy DISSIMILARITY (the disjoint replica): on this
+fixture's 31-token vocabulary, a shared-vocab copy of any document has
+expected token-set Jaccard ~0.45 with every base document, so banded LSH
+admits ~k^2 cross-copy candidate pairs that no real crawl-growth
+produces (measured: doc_containment x5.07, lsh_recall x3.9,
+cross_source_dup x3.97 min-of-3-confirmed on the shared replica — all
+linear on disjoint). The sweep therefore measures each query against the
+replica that keeps ITS workload honest: names in DEDUP_TEXT_FAMILY run
+on the disjoint replica, everything else on the shared one. Queries that
+never read documents.text are mode-invariant (both replicas carry
+identical non-text tables). ``--mode`` forces a single replica for both
+families (the historical single-mode behavior).
 
 Flagged queries are candidates, not verdicts: re-measure at 8x (the ratio
 separates noise from growth far better there) before concluding — and
@@ -87,6 +99,48 @@ EXPLAINED: dict[str, str] = {
 }
 DISJOINT_ONLY: frozenset[str] = frozenset({"title_retrieval_accuracy"})
 
+# Cross-document TEXT-similarity workloads: measured against the DISJOINT
+# replica (cross-copy dissimilarity is their honest growth shape — see
+# module docstring). Curated from the registry's dedup/similarity
+# families; queries over embeddings / synthetic media / events are NOT
+# here because their inputs are byte-identical across replica modes.
+DEDUP_TEXT_FAMILY: frozenset[str] = frozenset(
+    {
+        "contrastive_pair_mining",
+        "cross_source_dup_matrix",
+        "decontaminate_against_eval",
+        "dedup_canonical_tokenset",
+        "dedup_exact_groups",
+        "dedup_intradoc_repeats_rewrite",
+        "dedup_paragraphs_reassemble",
+        "doc_containment_pairs",
+        "dup_rate_by_source",
+        "entity_name_clusters",
+        "exact_substring_spans",
+        "fuzzy_levenshtein_pairs",
+        "incremental_dedup_delta",
+        "incremental_near_dup_delta",
+        "incremental_substring_delta",
+        "lsh_recall_by_jaccard_band",
+        "minhash_dedup_verified",
+        "minhash_estimate_accuracy",
+        "minhash_lsh_candidates",
+        "near_dup_best_quality_survivors",
+        "near_dup_cluster_stats",
+        "near_dup_survivors",
+        "ngram_jaccard_pairs",
+        "passage_dup_stats",
+        "ppjoin_exact_pairs",
+        "simhash_hamming_pairs",
+        "split_leakage_pairs",
+        "substring_dedup_rewrite",
+        "substring_dup_coverage",
+        "token_budget_after_dedup",
+        "train_corpus_leakage_purged",
+        "weighted_jaccard_pairs",
+    }
+)
+
 
 def _rest_until_quiet(threshold: float, cap_sec: float, step_sec: float) -> dict:
     """Pre-JVM load gate, same contract as bench.py's (which see)."""
@@ -127,8 +181,20 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--scaled", default="/tmp/rep2x")
+    ap.add_argument(
+        "--scaled-disjoint",
+        default=None,
+        help="disjoint-replica dir for the DEDUP_TEXT_FAMILY rows "
+        "(default: <scaled>_disjoint); only used in dual routing",
+    )
     ap.add_argument("--k", type=int, default=2, help="replica factor of --scaled")
-    ap.add_argument("--mode", default="shared", choices=("shared", "disjoint"))
+    ap.add_argument(
+        "--mode",
+        default=None,
+        choices=("shared", "disjoint"),
+        help="force ONE replica mode for every query; default is dual "
+        "routing (shared, with DEDUP_TEXT_FAMILY on disjoint)",
+    )
     ap.add_argument("--out", default=None, help="JSON artifact path")
     ap.add_argument("--flag-ratio", type=float, default=3.0)
     ap.add_argument(
@@ -157,40 +223,58 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    # Reuse an existing replica dir only when its stamped factor, source,
-    # AND text mode all match; a stale dir (e.g. a 2x replica reused with
-    # --k 8, or a disjoint dir reused for a shared sweep) would yield
-    # silently wrong ratios and flags.
-    meta_path = Path(args.scaled, "replica_meta.json")
-    reusable = False
-    if Path(args.scaled, "documents.parquet").exists():
-        if meta_path.exists():
-            meta = json.loads(meta_path.read_text())
-            reusable = (
-                meta.get("k") == args.k
-                and meta.get("src") == args.base
-                and meta.get("mode", "disjoint") == args.mode
-            )
+    def ensure_replica(path: str, mode: str) -> None:
+        """Generate the replica at ``path`` unless a dir with a matching
+        (k, src, mode) stamp already exists; refuse a mismatched dir —
+        a stale replica silently reused would make every ratio (and
+        every flag) wrong."""
+        meta_path = Path(path, "replica_meta.json")
+        reusable = False
+        if Path(path, "documents.parquet").exists():
+            if meta_path.exists():
+                meta = json.loads(meta_path.read_text())
+                reusable = (
+                    meta.get("k") == args.k
+                    and meta.get("src") == args.base
+                    and meta.get("mode", "disjoint") == mode
+                )
+            if not reusable:
+                raise SystemExit(
+                    f"{path} exists but its replica_meta.json is missing or "
+                    f"does not match --k {args.k} / --base {args.base} / "
+                    f"mode {mode}; delete the directory (or point the flag "
+                    "elsewhere) and rerun"
+                )
         if not reusable:
-            raise SystemExit(
-                f"--scaled {args.scaled} exists but its replica_meta.json is "
-                f"missing or does not match --k {args.k} / --base {args.base} "
-                f"/ --mode {args.mode}; delete the directory (or point "
-                "--scaled elsewhere) and rerun"
+            subprocess.run(
+                [
+                    sys.executable,
+                    str(Path(__file__).with_name("gen_scale_replica.py")),
+                    str(args.k),
+                    path,
+                    args.base,
+                    "--mode",
+                    mode,
+                ],
+                check=True,
             )
-    if not reusable:
-        subprocess.run(
-            [
-                sys.executable,
-                str(Path(__file__).with_name("gen_scale_replica.py")),
-                str(args.k),
-                args.scaled,
-                args.base,
-                "--mode",
-                args.mode,
-            ],
-            check=True,
-        )
+
+    dual = args.mode is None
+    shared_dir = args.scaled
+    disjoint_dir = args.scaled_disjoint or f"{args.scaled.rstrip('/')}_disjoint"
+    if dual:
+        ensure_replica(shared_dir, "shared")
+        ensure_replica(disjoint_dir, "disjoint")
+    else:
+        ensure_replica(shared_dir, args.mode)
+        disjoint_dir = shared_dir  # single-mode: everything on one dir
+
+    def replica_for(name: str) -> tuple[str, str]:
+        if not dual:
+            return shared_dir, args.mode
+        if name in DEDUP_TEXT_FAMILY:
+            return disjoint_dir, "disjoint"
+        return shared_dir, "shared"
 
     # Rest gate BEFORE the JVM starts (bench.py's defense, same env knobs;
     # like there, the gate must never fail the sweep).
@@ -207,8 +291,8 @@ def main() -> None:
 
     def fresh_session():
         s = get_session(app_name="sabds-sweep", master=f"local[{cpus}]")
-        # warm both directories' parquet footers + JVM/codegen once
-        for d in (args.base, args.scaled):
+        # warm every measured directory's parquet footers + JVM/codegen once
+        for d in {args.base, shared_dir, disjoint_dir}:
             s.read.parquet(f"{d}/lineitem.parquet").count()
         return s
 
@@ -217,16 +301,20 @@ def main() -> None:
     only = [s.strip() for s in (args.only or "").split(",") if s.strip()]
     all_names = sorted(registry.query_map())
     names = [n for n in all_names if not only or any(s in n for s in only)]
-    explained_active = {
-        n: note
-        for n, note in EXPLAINED.items()
-        if args.mode == "disjoint" or n not in DISJOINT_ONLY
-    }
+
+    def explained_note(name: str, replica_mode: str) -> str | None:
+        # DISJOINT_ONLY entries document linear-vocabulary artifacts; they
+        # only apply when the query actually ran on the disjoint replica
+        if name in DISJOINT_ONLY and replica_mode != "disjoint":
+            return None
+        return EXPLAINED.get(name)
+
     results: dict[str, dict] = {}
     flagged: list[str] = []
     explained: list[str] = []
     for i, name in enumerate(names):
         fn = registry.QUERIES[name].fn
+        scaled_dir, replica_mode = replica_for(name)
         try:
             gc0 = None
             try:
@@ -234,7 +322,7 @@ def main() -> None:
             except Exception:
                 pass
             t_base = _time_query(spark, fn, args.base)
-            t_scaled = _time_query(spark, fn, args.scaled)
+            t_scaled = _time_query(spark, fn, scaled_dir)
             gc_row = None
             if gc0 is not None:
                 try:
@@ -290,7 +378,7 @@ def main() -> None:
             for _ in range(max(0, args.confirm_runs - 1)):
                 try:
                     base_runs.append(_time_query(spark, fn, args.base))
-                    scaled_runs.append(_time_query(spark, fn, args.scaled))
+                    scaled_runs.append(_time_query(spark, fn, scaled_dir))
                 except Exception:
                     break  # publish what we have; partial mins are still mins
             t_base, t_scaled = min(base_runs), min(scaled_runs)
@@ -301,6 +389,7 @@ def main() -> None:
                 "base_s": round(t_base, 3),
                 "scaled_s": round(t_scaled, 3),
                 "ratio": ratio,
+                "replica": replica_mode,
             }
         )
         if confirmed:
@@ -312,7 +401,8 @@ def main() -> None:
         results[name] = row
         over = ratio > args.flag_ratio and t_scaled >= args.min_seconds
         tag = ""
-        if over and name in explained_active:
+        note = explained_note(name, replica_mode)
+        if over and note is not None:
             explained.append(name)
             tag = " EXPLAINED"
         elif over:
@@ -330,7 +420,9 @@ def main() -> None:
         "base": args.base,
         "scaled": args.scaled,
         "k": args.k,
-        "mode": args.mode,
+        "mode": args.mode or "dual",
+        "scaled_disjoint": disjoint_dir if dual else None,
+        "n_disjoint_routed": sum(1 for n in names if replica_for(n)[1] == "disjoint"),
         "flag_ratio": args.flag_ratio,
         "min_seconds": args.min_seconds,
         "confirm_ratio": args.confirm_ratio,
@@ -338,7 +430,7 @@ def main() -> None:
         "n_queries": len(names),
         "n_registry": len(all_names),
         "flagged": flagged,
-        "explained": {n: explained_active[n] for n in explained},
+        "explained": {n: EXPLAINED[n] for n in explained},
         "queries": results,
     }
     try:
