@@ -125,6 +125,9 @@ DEDUP_TEXT_FAMILY: frozenset[str] = frozenset(
         "minhash_dedup_verified",
         "minhash_estimate_accuracy",
         "minhash_lsh_candidates",
+        # consumes minhash_dedup_verified's text pairs (its image/audio
+        # inputs are mode-invariant, but the text side dominates growth)
+        "multimodal_dedup_policy_matrix",
         "near_dup_best_quality_survivors",
         "near_dup_cluster_stats",
         "near_dup_survivors",
