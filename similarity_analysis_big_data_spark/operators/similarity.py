@@ -171,7 +171,6 @@ def dense_best_match(
     match_id: str,
     round_to: int = 9,
     t_rows: list | None = None,
-    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Exact arg-max cosine via blocked dense matmul — the small-vocabulary
     physical strategy for ``sparse_cosine_join`` + ``best_match``.
@@ -200,14 +199,16 @@ def dense_best_match(
     — the weighted relation itself — vs the sparse join's O(|Q| x |A|)
     pair rows.
 
-    ``pre_partitioned=True``: the caller asserts ``abstract_vec`` is
-    already co-located by ``match_id`` — true whenever its plan ends in a
-    window partitioned by that id (``l2_normalize`` does exactly that),
-    since AQE coalescing merges whole partitions and never splits a key
-    group. Skipping the redundant ``repartition`` here removes a full
-    shuffle of the weighted relation from the hot path (r10 verdict item
-    6: the dense tail re-shuffled the very key its input was already
-    hashed on).
+    The explicit ``repartition`` below is LOAD-BEARING, not redundant
+    (r11 measured lesson): when ``abstract_vec`` ends in a window
+    partitioned by the same id the rows are indeed already co-located —
+    but AQE sizes that window's exchange by shuffle WRITE bytes and
+    coalesces the megabyte-scale weighted relation to ~1 partition, so
+    skipping the repartition serializes every block matmul onto one task
+    (measured: the 2x-replica sweep read x5.94 for the retrieval-accuracy
+    query with the repartition skipped; restoring it reads ~x1.4). A
+    user-specified repartition is exempt from AQE coalescing — the same
+    defense ``sparse_cosine_join.spread_left`` documents.
     """
     import numpy as np
     import pandas as pd
@@ -262,8 +263,10 @@ def dense_best_match(
             }
         )
 
-    blocked = abstract_vec if pre_partitioned else abstract_vec.repartition(match_id)
-    candidates = blocked.mapInPandas(block_argmax, schema=out_schema)
+    candidates = (
+        abstract_vec.repartition(match_id)
+        .mapInPandas(block_argmax, schema=out_schema)
+    )
     # merge partition-local winners: tiny (<= n_partitions rows per query)
     return best_match(candidates, query_id, match_id)
 

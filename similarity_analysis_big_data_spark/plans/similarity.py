@@ -432,16 +432,8 @@ def title_best_abstract(
             t_rows = [r for r in rows if r["tag"] == "vec"]
 
     if strategy == "dense":
-        # pre_partitioned: abstract_vec ends in l2_normalize's window
-        # partitioned by abstract_id, so its rows are already co-located
-        # on the matmul's blocking key — no second shuffle needed
         top = dense_best_match(
-            title_vec,
-            abstract_vec,
-            "title_id",
-            "abstract_id",
-            t_rows=t_rows,
-            pre_partitioned=True,
+            title_vec, abstract_vec, "title_id", "abstract_id", t_rows=t_rows
         )
         # dense mode's precondition (n_titles * vocab <= broadcast cells)
         # bounds the match relation, so the null-fill join broadcasts
