@@ -199,16 +199,22 @@ def dense_best_match(
     — the weighted relation itself — vs the sparse join's O(|Q| x |A|)
     pair rows.
 
-    The explicit ``repartition`` below is LOAD-BEARING, not redundant
-    (r11 measured lesson): when ``abstract_vec`` ends in a window
-    partitioned by the same id the rows are indeed already co-located —
-    but AQE sizes that window's exchange by shuffle WRITE bytes and
-    coalesces the megabyte-scale weighted relation to ~1 partition, so
-    skipping the repartition serializes every block matmul onto one task
-    (measured: the 2x-replica sweep read x5.94 for the retrieval-accuracy
-    query with the repartition skipped; restoring it reads ~x1.4). A
-    user-specified repartition is exempt from AQE coalescing — the same
-    defense ``sparse_cosine_join.spread_left`` documents.
+    The explicit ``repartition`` below is the CONTRACT, not a cost: the
+    block matmul needs every candidate's terms co-located, and this
+    operator must not assume anything about its caller's partitioning.
+    When the input already ends in a window partitioned on the same id
+    (the flagship caller does), Catalyst collapses the repartition to a
+    no-op — measured r11: the matmul sees the identical partitioning
+    with or without it (a one-row-per-partition probe read 1 partition
+    both ways at sf0.1). Matmul PARALLELISM is therefore AQE's
+    data-volume partition sizing: a megabytes-scale fixture runs one
+    task (correct — the work is tiny), and the partition count grows
+    with the weighted relation, which is the right 100 TB posture. (An
+    r11 2x-replica sweep reading of x5.94 was initially attributed to
+    removing this repartition; the partition probe disproved that — the
+    reading was the documented bimodal-JVM host artifact, same class as
+    r10's 74.5 s audio base. Fresh-process min-of-3 reads x0.98-1.4 at
+    2x with either plan shape.)
     """
     import numpy as np
     import pandas as pd

@@ -343,6 +343,55 @@ def test_flagship_dense_strategy_materializes_no_pairs(spark, sf_oracle):
     assert "WindowGroupLimit" in plan
 
 
+def test_flagship_dense_matmul_input_is_key_partitioned(spark, sf_oracle):
+    """The block matmul's input must be hash-partitioned on the blocking
+    key (every candidate's terms co-located) — whether that comes from
+    dense_best_match's own repartition or a collapsed-away upstream
+    window exchange is Catalyst's choice (r11 measured: the explicit
+    repartition collapses to a no-op when the l2 window already
+    partitions on the id, and the matmul sees identical partitioning
+    either way). The pin: below MapInPandas there IS an Exchange
+    hashpartitioning on the id, and nothing between them re-shuffles on
+    a different key (which would split a candidate's terms across
+    blocks and corrupt the partition-local argmax)."""
+    from similarity_analysis_big_data_spark.plans.similarity import title_best_abstract
+
+    df = title_best_abstract(spark, sf_oracle, strategy="dense")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    idx = next(i for i, line in enumerate(lines) if "MapInPandas" in line)
+    below = lines[idx + 1 :]
+    exchanges = [i for i, line in enumerate(below) if "Exchange" in line]
+    assert exchanges, "no exchange below the matmul at all"
+    first = below[exchanges[0]]
+    assert "hashpartitioning(abstract_id" in first, first
+
+
+def test_flagship_dense_memo_revalidates_and_recovers(spark, sf_oracle):
+    """The memoized DENSE verdict is plan statistics with a staleness
+    guard: a poisoned corpus-size memo (simulating a rewritten dir) must
+    NOT be trusted — the count() revalidation falls back to the full
+    probe, the result is unchanged, and the memo heals to the measured
+    size."""
+    from similarity_analysis_big_data_spark.plans import similarity as S
+
+    key = (spark.sparkContext.applicationId, sf_oracle)
+    S._AUTO_STRATEGY_CACHE.pop(key, None)
+    baseline = {tuple(r) for r in S.title_best_abstract(spark, sf_oracle).collect()}
+    cached = S._AUTO_STRATEGY_CACHE.get(key)
+    assert isinstance(cached, tuple) and cached[0] == "dense"
+    true_n = cached[1]
+    # memo-validated direct path: same result
+    memo = {tuple(r) for r in S.title_best_abstract(spark, sf_oracle).collect()}
+    assert memo == baseline
+    # poisoned memo: revalidation must reject it and re-probe
+    S._AUTO_STRATEGY_CACHE[key] = ("dense", true_n + 1)
+    healed = {tuple(r) for r in S.title_best_abstract(spark, sf_oracle).collect()}
+    assert healed == baseline
+    assert S._AUTO_STRATEGY_CACHE.get(key) == ("dense", true_n)
+    spark.catalog.clearCache()
+
+
 def test_ann_dense_strategy_is_map_side(spark, sf_oracle):
     """Dense ANN scoring: corpus stays map-side (MapInPandas over the scan),
     no pair join operator; merge is the only window."""
