@@ -53,70 +53,74 @@ def register(
 
 # Names surfaced FIRST in query_map()/oracle_sql_map(). The round driver
 # samples ~50 registry entries per round in presentation order; the
-# r1∪…∪r10 union has driver-checked ALL 287 registered queries at least
-# once with zero hash failures ever, so round-11 ordering is pure
-# freshness rotation (the r10 verdict's item 1): (1) the 29 queries
-# whose latest driver row dates from r4 — the oldest rows anywhere,
-# including the three bench headliners (`title_best_abstract`,
-# `near_dup_survivors`, `tokenize_corpus_to_ids`) whose last driver
-# hash-check predates three rounds of code movement; (2) the
-# alphabetically first 21 of the 50 r5-latest rows to fill the ~50-row
-# window (the remaining 29 r5 rows lead the r12 rotation). After r11 no
-# latest row predates r5. (Pure presentation order — every query is in
-# the map either way.)
+# r1∪…∪r11 union has driver-checked ALL 287 registered queries at least
+# once with zero hash failures ever, so round-12 ordering is pure
+# freshness rotation (the r11 verdict's items 2 and 6): (1) the 29
+# queries whose latest driver row dates from r5 — the oldest rows
+# anywhere after the r11 window retired the r4 cohort; (2) the 14
+# r6-latest rows; (3) the two rows-only queries (`pca_project_embeddings`,
+# `ann_pq_trained_recall_at_k` — `err: no_oracle` by design, last rows
+# r8) together with their hash-checked twins
+# (`pca_fixed_basis_projection`, `embedding_covariance_cells`) so the
+# rows-only pairing stays visibly current; (4) the alphabetically first
+# r7-latest rows to fill the ~50-row window. After r12 no latest row
+# predates r7. (Pure presentation order — every query is in the map
+# either way.)
 PRIORITY: tuple[str, ...] = (
-    # -- latest driver row r4: the oldest of the ledger, headliners first --
-    "title_best_abstract",
-    "near_dup_survivors",
-    "tokenize_corpus_to_ids",
-    "embedding_dim_variance",
-    "explode_variants_battery",
-    "hourly_series_interpolated",
-    "label_centroid_cohesion",
-    "lang_distinctive_terms",
-    "minhash_estimate_accuracy",
-    "near_dup_cluster_stats",
-    "phrase_search_positions",
-    "pivot_status_by_priority",
-    "quantile_normalize_doclen",
-    "referential_integrity_audit",
-    "rfm_customer_segments",
-    "session_concurrency_sweep",
-    "session_path_trigrams",
-    "setop_except_all",
-    "setop_intersect_all",
-    "skyline_price_size_parts",
-    "sql_surface_revenue",
-    "token_pmi_collocations",
-    "trade_clustering_coefficients",
-    "union_by_name_evolution",
-    "unpivot_lineitem_measures",
-    "user_longest_active_streak",
-    "vocab_drift_halves",
-    "vocab_oov_rates",
-    "window_running_distinct_types",
-    # -- latest driver row r5, alphabetical: fill the window --
-    "abtest_conversion_zstat",
-    "brand_type_independence",
-    "category_matrix_pivot",
-    "category_similarity_matrix",
-    "char_entropy_scores",
-    "corr_stats_by_returnflag",
-    "disjunctive_filter_revenue",
-    "doc_frequency_by_term",
-    "doc_length_histogram",
-    "doc_term_frequency",
-    "doc_top_keywords",
-    "docs_above_p95_length",
-    "dq_violations_lineitem",
-    "hourly_rollup_gapfilled",
-    "interval_join_click_purchase",
-    "lang_id_scores",
-    "lateral_top2_lineitems",
-    "latest_event_per_user",
-    "mad_outlier_docs",
-    "mismatch_samples",
-    "ntile_customer_quartiles",
+    # -- latest driver row r5: the oldest of the ledger --
+    "null_semantics_audit",
+    "profile_orders_columns",
+    "q10_returned_item_revenue",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    "q22_dormant_rich_customers",
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "regr_price_vs_qty",
+    "robust_stats_by_source",
+    "sessionization_gap",
+    "sliding_window_event_counts",
+    "stratified_sample_by_lang",
+    "subq_correlated_small_qty",
+    "subq_exists_returned",
+    "subq_in_big_spenders",
+    "subq_not_exists_unreturned_parts",
+    "subq_not_in_quiet_suppliers",
+    "subq_scalar_above_avg",
+    "text_quality_scores",
+    "token_count_stats",
+    "train_val_test_split",
+    "training_corpus_filtered",
+    "user_event_burstiness",
+    "weighted_median_price",
+    "weighted_reservoir_sample",
+    "window_percent_rank",
+    # -- latest driver row r6 --
+    "contrastive_pair_mining",
+    "cross_source_dup_matrix",
+    "exact_substring_spans",
+    "funnel_view_click_purchase",
+    "incremental_substring_delta",
+    "perplexity_bucket_filter",
+    "ppjoin_exact_pairs",
+    "rrf_fusion_retrieval",
+    "stream_twin_dedup",
+    "substring_dedup_rewrite",
+    "substring_dup_coverage",
+    "token_budget_after_dedup",
+    "weighted_jaccard_pairs",
+    "zipf_fit_by_source",
+    # -- rows-only queries + their hash-checked twins (r11 verdict item 6) --
+    "pca_project_embeddings",
+    "ann_pq_trained_recall_at_k",
+    "pca_fixed_basis_projection",
+    "embedding_covariance_cells",
+    # -- latest driver row r7, alphabetical: fill the window --
+    "abtest_cuped_adjusted",
+    "ann_binary_sign_recall_at_k",
+    "ann_filtered_topk",
 )
 
 
