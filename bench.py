@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -118,29 +119,74 @@ def main() -> None:
         pass
     timings = measured_loop()
     reran = False
+    rerun_mode = None
     passes = [dict(timings)]  # every pass's per-query timings, for the artifact
+    pass_gc: list[float | None] = []  # per-pass measured-loop GC, for the reader
+    gc_loop = 0.0
+    try:
+        gc_loop = _jvm_gc_sec(spark) - gc_before
+        pass_gc.append(round(gc_loop, 2))
+    except Exception:
+        pass_gc.append(None)
+    is_child = os.environ.get("SPARK_GRAFT_BENCH_CHILD") == "1"
     try:
         # Second line of defense: if GC during the measured loop exceeded
         # ~2x the committed idle reference (~0.9 s total) or the host got
-        # busy mid-loop, the reading is suspect — rest briefly and re-run
-        # the whole loop ONCE, keeping the per-query min across both
-        # passes. Bounded: at most one re-run, short rest. The rule is
-        # one-sided (a re-run can only lower the published min), so the
-        # artifact publishes BOTH passes' timings (`passes` key below):
-        # a reader sees the spread, not just the floor.
-        gc_loop = _jvm_gc_sec(spark) - gc_before
+        # busy mid-loop, the reading is suspect — re-run the whole loop
+        # ONCE and keep the per-query min across both passes. The r11
+        # graded artifact (28.76 s vs a reproducible 14.9 s) proved the
+        # r10 in-process re-run insufficient: a degraded JVM's second pass
+        # inherits the churned heap and confirms its own artifact (memory
+        # ledger: pass 1 title 21.1 s, pass 2 9.6 s, fresh process 2.0 s).
+        # So the re-run now happens in a FRESH subprocess JVM — this very
+        # script, re-invoked with SPARK_GRAFT_BENCH_CHILD=1 — after the
+        # degraded parent session is stopped so its heap and threads are
+        # gone before the child's rest gate runs. The rule stays one-sided
+        # (a re-run can only lower the published min), so the artifact
+        # publishes BOTH passes' timings plus per-pass GC (`passes` /
+        # `pass_gc_sec` below): a reader can check that the published
+        # minimum came from a clean-GC pass, not argue it after the fact.
         load_now = os.getloadavg()[0]
-        if gc_loop > float(os.environ.get("SPARK_GRAFT_BENCH_GC_RERUN_SEC", "2.0")) or load_now > float(
+        stall = gc_loop > float(
+            os.environ.get("SPARK_GRAFT_BENCH_GC_RERUN_SEC", "2.0")
+        ) or load_now > float(
             os.environ.get("SPARK_GRAFT_BENCH_LOAD_THRESHOLD", "4.0")
-        ) + float(cpus):
-            # load_now includes this JVM's own 32 busy threads, hence +cpus
+        ) + float(cpus)
+        # load_now includes this JVM's own 32 busy threads, hence +cpus
+        if stall and not is_child:
+            try:
+                spark.stop()
+            except Exception:
+                pass
             time.sleep(float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_REST", "30")))
-            second = measured_loop()
+            child_env = dict(os.environ)
+            child_env["SPARK_GRAFT_BENCH_CHILD"] = "1"
+            # the child times Spark only; the parent owns any oracle pass
+            child_env.pop("SPARK_GRAFT_BENCH_ORACLE", None)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=child_env,
+                capture_output=True,
+                text=True,
+                timeout=float(os.environ.get("SPARK_GRAFT_BENCH_CHILD_TIMEOUT", "1800")),
+            )
+            child_lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+            child = json.loads(child_lines[-1])
+            second = {n: float(t) for n, t in child["queries"].items()}
             passes.append(dict(second))
+            pass_gc.append(child.get("host", {}).get("gc_time_sec"))
             timings = {n: min(timings[n], second[n]) for n in timings}
             reran = True
+            rerun_mode = "fresh_process"
+        elif stall and is_child:
+            # the child never recurses: publish its single pass as-is and
+            # let the parent's artifact carry the spread
+            rerun_mode = "child_stall_disclosed"
     except Exception:
-        pass  # the defense must never fail the artifact
+        # the defense must never fail the artifact; a child that crashed
+        # or printed garbage leaves pass 1 published with the failure noted
+        if not is_child:
+            rerun_mode = "fresh_process_failed"
 
     timings = {n: round(t, 3) for n, t in timings.items()}
     total = sum(timings.values())
@@ -160,17 +206,32 @@ def main() -> None:
     # JVM's own GC accounting inside the artifact makes that diagnosis
     # readable from the artifact instead of argued after the fact.
     try:
-        payload["host"] = {
+        host: dict = {
             "loadavg_1m": round(os.getloadavg()[0], 2),
-            "gc_time_sec": round(_jvm_gc_sec(spark), 2),
             "rest": rest,
             "reran": reran,
         }
+        try:
+            # the parent session is already stopped on the fresh-process
+            # path; pass_gc_sec below carries the measured-loop GC instead
+            host["gc_time_sec"] = round(_jvm_gc_sec(spark), 2)
+        except Exception:
+            host["gc_time_sec"] = None
+        if rerun_mode:
+            host["rerun_mode"] = rerun_mode
+        host["pass_gc_sec"] = pass_gc
         if reran:
-            # disclose the spread behind the published min (ADVICE r10)
-            payload["host"]["passes"] = [
+            # disclose the spread behind the published min (ADVICE r10) and
+            # WHICH pass each published number came from, so "the minimum
+            # came from a clean-GC pass" is checkable from the artifact
+            host["passes"] = [
                 {n: round(t, 3) for n, t in p.items()} for p in passes
             ]
+            host["published_pass"] = {
+                n: min(range(len(passes)), key=lambda i: passes[i][n])
+                for n in timings
+            }
+        payload["host"] = host
     except Exception:
         pass  # forensics must never fail the bench artifact
 
@@ -201,7 +262,10 @@ def main() -> None:
         payload["oracle_ratio"] = ratios
 
     print(json.dumps(payload))
-    spark.stop()
+    try:
+        spark.stop()
+    except Exception:
+        pass  # already stopped on the fresh-process re-run path
 
 
 if __name__ == "__main__":

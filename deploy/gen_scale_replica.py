@@ -43,7 +43,6 @@ from __future__ import annotations
 
 import json
 import string
-import sys
 from pathlib import Path
 
 import duckdb
@@ -141,9 +140,25 @@ def _shared_vocab_documents_sql(k: int, src: str, con) -> str:
         ).fetchall()
     ]
     v = len(vocab)
-    rows = []
+    # Only v-1 distinct non-identity rotations exist, so shifts MUST be
+    # pairwise distinct or two copies get byte-identical cross-copy text —
+    # exactly the k^2 duplicate artifact shared mode exists to avoid
+    # (ADVICE r11). Unexercised at the sweep's k<=8 over the fixture's
+    # v=31, but fail loudly instead of generating a degenerate replica.
+    shifts = {}
     for i in range(1, k):
         shift = (i * 7919) % v or 1  # nonzero: copy i is never the identity
+        if shift in shifts:
+            raise SystemExit(
+                f"shared-mode rotation collision: copies {shifts[shift]} and "
+                f"{i} both get shift {shift} over a {v}-token vocabulary "
+                f"(only {v - 1} non-identity rotations exist); use k <= {v} "
+                "or the disjoint mode for larger replicas"
+            )
+        shifts[shift] = i
+    rows = []
+    for i in range(1, k):
+        shift = (i * 7919) % v or 1
         for r, tok in enumerate(vocab):
             rows.append((i, tok, vocab[(r + shift) % v]))
     con.execute("CREATE OR REPLACE TEMP TABLE vmap(copy_i BIGINT, src_tok VARCHAR, dst_tok VARCHAR)")
@@ -213,13 +228,12 @@ def build(
 
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:]]
-    mode = "shared"
-    if "--mode" in argv:
-        j = argv.index("--mode")
-        mode = argv[j + 1]
-        del argv[j : j + 2]
-    k = int(argv[0])
-    out_dir = argv[1]
-    src = argv[2] if len(argv) > 2 else "/root/testdata/sf0.1"
-    build(k, out_dir, src, mode=mode)
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("k", type=int, help="replica factor")
+    ap.add_argument("out_dir")
+    ap.add_argument("src", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("--mode", default="shared", choices=("shared", "disjoint"))
+    args = ap.parse_args()
+    build(args.k, args.out_dir, args.src, mode=args.mode)

@@ -18,9 +18,12 @@ Noise defense (r10 verdict item 2 — ported from bench.py, which proved it
 in the graded artifact): (a) the sweep REFUSES to start on a loaded host,
 resting in bounded steps until the 1-minute load average settles; (b) any
 pair whose single-run ratio crosses --confirm-ratio is immediately
-re-measured min-of-N (default 3) IN-LINE, and the published row carries
-the min-of-N numbers plus both pass sets — so a published flag is already
-min-of-N-confirmed, and no separate addendum artifact is ever needed
+re-measured min-of-N (default 3) IN-LINE, and then AGAIN in a FRESH
+subprocess JVM (r11 verdict item 3 — the x5.94 incident proved a degraded
+session can min-of-3-confirm its own artifact; the fresh process read
+x0.98); the published row carries every run plus a ``confirm`` block with
+the fresh-process ratio and GC — so a published flag is already
+fresh-process-confirmed, and no separate exoneration cycle is ever needed
 (r10 verdict item 4); (c) per-row JVM GC deltas land in the artifact so a
 stall-shaped reading is self-diagnosing. The r10 evidence was decisive:
 single-run readings flagged two queries (x3.01; a 74.5 s base) that
@@ -224,7 +227,51 @@ def main() -> None:
         default=None,
         help="substring filter on query names (comma-separated = any-of)",
     )
+    ap.add_argument(
+        "--child-query",
+        default=None,
+        help="internal: time ONE query min-of-N in this fresh process "
+        "(base + scaled dirs must already exist) and print one JSON line; "
+        "used by the parent sweep's fresh-process confirmation",
+    )
     args = ap.parse_args()
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    # Fresh-process confirmation child (r11 verdict item 3): the in-line
+    # min-of-N re-measure runs in the same long-lived warmed session, and
+    # the r11 x5.94 incident proved a degraded JVM can min-of-3-confirm
+    # its own artifact (a fresh-process re-measure read x0.98). So every
+    # near-threshold pair is now ALSO re-measured here — a brand-new JVM
+    # whose heap has no history — before anything is published.
+    if args.child_query:
+        registry.query_map()  # trigger plan-module registration side effects
+        spark = get_session(app_name="sabds-sweep-confirm", master=f"local[{cpus}]")
+        for d in {args.base, args.scaled}:
+            spark.read.parquet(f"{d}/lineitem.parquet").count()
+        fn = registry.QUERIES[args.child_query].fn
+        gc0 = None
+        try:
+            gc0 = _jvm_gc_sec(spark)
+        except Exception:
+            pass
+        base_runs, scaled_runs = [], []
+        for _ in range(max(1, args.confirm_runs)):
+            base_runs.append(_time_query(spark, fn, args.base))
+            scaled_runs.append(_time_query(spark, fn, args.scaled))
+        out = {
+            "base_runs": [round(t, 3) for t in base_runs],
+            "scaled_runs": [round(t, 3) for t in scaled_runs],
+        }
+        try:
+            if gc0 is not None:
+                out["gc_s"] = round(_jvm_gc_sec(spark) - gc0, 2)
+            out["loadavg_1m"] = round(os.getloadavg()[0], 2)
+        except Exception:
+            pass
+        print(json.dumps(out))
+        spark.stop()
+        return
 
     def ensure_replica(path: str, mode: str) -> None:
         """Generate the replica at ``path`` unless a dir with a matching
@@ -289,8 +336,6 @@ def main() -> None:
         )
     except Exception:
         rest = {"settled": None}
-
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     def fresh_session():
         s = get_session(app_name="sabds-sweep", master=f"local[{cpus}]")
@@ -377,7 +422,13 @@ def main() -> None:
         # side BEFORE anything is published, so a flag in the artifact is
         # already min-of-N-confirmed and noise never needs an addendum.
         confirmed = False
+        confirm_row: dict | None = None
         if ratio > args.confirm_ratio and t_scaled >= args.min_seconds:
+            inline_gc0 = None
+            try:
+                inline_gc0 = _jvm_gc_sec(spark)
+            except Exception:
+                pass
             for _ in range(max(0, args.confirm_runs - 1)):
                 try:
                     base_runs.append(_time_query(spark, fn, args.base))
@@ -387,6 +438,58 @@ def main() -> None:
             t_base, t_scaled = min(base_runs), min(scaled_runs)
             ratio = round(t_scaled / t_base, 2) if t_base > 0 else float("inf")
             confirmed = True
+            if inline_gc0 is not None:
+                try:
+                    row["confirm_inline_gc_s"] = round(_jvm_gc_sec(spark) - inline_gc0, 2)
+                except Exception:
+                    pass
+            # Fresh-process confirm (r11 verdict item 3): the in-line
+            # min-of-N above shares this session's heap, and the r11 x5.94
+            # incident showed a degraded session min-of-3-confirming its
+            # own artifact. Re-measure in a brand-new subprocess JVM; the
+            # published mins absorb the fresh runs, and the row carries the
+            # fresh-process evidence so no flag needs a manual exoneration
+            # cycle afterward.
+            try:
+                proc = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.abspath(__file__),
+                        "--child-query",
+                        name,
+                        "--base",
+                        args.base,
+                        "--scaled",
+                        scaled_dir,
+                        "--confirm-runs",
+                        str(args.confirm_runs),
+                    ],
+                    capture_output=True,
+                    text=True,
+                    timeout=float(os.environ.get("SPARK_GRAFT_SWEEP_CHILD_TIMEOUT", "900")),
+                )
+                child = json.loads(
+                    [ln for ln in proc.stdout.splitlines() if ln.strip()][-1]
+                )
+                fresh_base = min(child["base_runs"])
+                fresh_scaled = min(child["scaled_runs"])
+                confirm_row = {
+                    "fresh_process": True,
+                    "base_runs": child["base_runs"],
+                    "scaled_runs": child["scaled_runs"],
+                    "ratio": round(fresh_scaled / fresh_base, 2)
+                    if fresh_base > 0
+                    else float("inf"),
+                    "gc_s": child.get("gc_s"),
+                }
+                base_runs.extend(child["base_runs"])
+                scaled_runs.extend(child["scaled_runs"])
+                t_base, t_scaled = min(base_runs), min(scaled_runs)
+                ratio = round(t_scaled / t_base, 2) if t_base > 0 else float("inf")
+            except Exception as exc:
+                # a failed child must not fail the sweep: publish the
+                # in-line numbers with the failure disclosed
+                confirm_row = {"fresh_process": False, "error": str(exc)[:200]}
         row.update(
             {
                 "base_s": round(t_base, 3),
@@ -399,6 +502,8 @@ def main() -> None:
             row["min_of"] = len(base_runs)
             row["base_runs"] = [round(t, 3) for t in base_runs]
             row["scaled_runs"] = [round(t, 3) for t in scaled_runs]
+        if confirm_row is not None:
+            row["confirm"] = confirm_row
         if gc_row is not None:
             row["gc_s"] = gc_row
         results[name] = row
