@@ -224,6 +224,26 @@ def dense_best_match(
         # collected the matrix inside their probe action pass t_rows
         t_rows = title_vec.collect()
     terms = sorted({r["term"] for r in t_rows})
+    # Guard on the ACTUAL collected matrix, not the caller's (possibly
+    # memoized) verdict: a memo revalidated on row count alone cannot see
+    # a same-count rewrite with a wider vocabulary (ADVICE r11), and a
+    # caller forcing strategy="dense" may never have probed at all. The
+    # fallback is exact — both formulations share the round-before-argmax
+    # / ascending-id contract and the shared-term candidate set — so an
+    # over-bound matrix degrades to the sparse join instead of silently
+    # over-broadcasting (the collect already happened; the broadcast is
+    # the part being protected).
+    n_queries = len({r[query_id] for r in t_rows})
+    if len(terms) > DENSE_MAX_VOCAB or n_queries * len(terms) > DENSE_MAX_BROADCAST_CELLS:
+        pairs = sparse_cosine_join(
+            title_vec,
+            abstract_vec,
+            query_id,
+            match_id,
+            round_to=round_to,
+            spread_left=True,
+        )
+        return best_match(pairs, query_id, match_id)
     t_idx = {t: i for i, t in enumerate(terms)}
     q_ids = sorted({r[query_id] for r in t_rows})
     q_pos = {q: i for i, q in enumerate(q_ids)}

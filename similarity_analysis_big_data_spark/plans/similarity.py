@@ -284,17 +284,21 @@ def title_best_abstract(
         # dense path (no probe aggregates, no tagged-union collect, the
         # corpus size as a plan literal instead of a cross-joined 1-row
         # aggregate); a changed count falls back to the full probe, which
-        # re-decides and re-memoizes. Residual assumption, stated: a
-        # mid-session rewrite of the SAME dir to the SAME row count with
-        # a radically wider vocabulary would stretch the dense broadcast
-        # beyond its intended bound — accepted, since no harness mutates
-        # a fixture dir mid-session.
+        # re-decides and re-memoizes. The residual same-count-rewrite
+        # hazard (a mid-session rewrite of the SAME dir to the SAME row
+        # count with a radically wider vocabulary — ADVICE r11) is closed
+        # one layer down: dense_best_match measures the ACTUAL collected
+        # matrix against the broadcast bounds and degrades to the exact
+        # sparse formulation if they are violated, so a stale memo can
+        # cost a wasted collect but never an over-broadcast. The memo
+        # also carries the probe-time vocab, cross-checked here against
+        # the current bound (guards constant drift across code changes).
         cached = _AUTO_STRATEGY_CACHE.get(key)
         if cached == "sparse":
             strategy = "sparse"
         elif isinstance(cached, tuple) and cached[0] == "dense":
             n_now = docs.count()
-            if n_now == cached[1]:
+            if n_now == cached[1] and cached[2] <= DENSE_MAX_VOCAB:
                 strategy = "dense"
                 n_lit = n_now
             # else: stale memo — leave strategy "auto"; the full probe
@@ -406,6 +410,7 @@ def title_best_abstract(
             F.lit(None).cast("double").alias("weight"),
             "dense_ok",
             "_n_docs",
+            "vocab",
         )
         tagged_vec = title_vec.crossJoin(
             F.broadcast(dec.filter("dense_ok").select(F.lit(1).alias("_g")))
@@ -416,15 +421,17 @@ def title_best_abstract(
             "weight",
             F.lit(None).cast("boolean").alias("dense_ok"),
             F.lit(None).cast("long").alias("_n_docs"),
+            F.lit(None).cast("long").alias("vocab"),
         )
         rows = tagged_dec.unionByName(tagged_vec).collect()
         dec_row = next(r for r in rows if r["tag"] == "dec")
         strategy = "dense" if dec_row["dense_ok"] else "sparse"
         if strategy == "dense":
-            # memoize the verdict WITH the measured corpus size: later
-            # calls re-validate it with one cheap count() and take the
-            # direct dense path (no probe aggregates, no tagged collect)
-            _auto_strategy_memo_put(key, ("dense", dec_row["_n_docs"]))
+            # memoize the verdict WITH the measured corpus size and vocab:
+            # later calls re-validate with one cheap count() (plus a
+            # driver-side vocab-bound cross-check) and take the direct
+            # dense path (no probe aggregates, no tagged collect)
+            _auto_strategy_memo_put(key, ("dense", dec_row["_n_docs"], dec_row["vocab"]))
         if strategy == "sparse":
             # upgrade the memo: later calls skip straight to sparse
             _auto_strategy_memo_put(key, "sparse")

@@ -279,6 +279,33 @@ def test_dense_best_match_zero_overlap_and_ties(spark):
     assert sgot == got
 
 
+def test_dense_best_match_overbound_falls_back_to_sparse(spark, monkeypatch):
+    """ADVICE r11 guard: when the ACTUAL collected title matrix violates the
+    broadcast bounds (stale memo / forced-dense caller), dense_best_match
+    must degrade to the exact sparse formulation — same rows — instead of
+    over-broadcasting."""
+    from similarity_analysis_big_data_spark.operators import similarity as ops
+
+    titles = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "zz", 1.0)],
+        "title_id long, term string, weight double",
+    )
+    abstracts = spark.createDataFrame(
+        [(10, "x", 0.5), (11, "x", 0.5), (12, "y", 1.0)],
+        "abstract_id long, term string, weight double",
+    )
+    expected = {
+        r["title_id"]: (r["abstract_id"], r["cosine"])
+        for r in ops.dense_best_match(titles, abstracts, "title_id", "abstract_id").collect()
+    }
+    monkeypatch.setattr(ops, "DENSE_MAX_VOCAB", 0)
+    got = {
+        r["title_id"]: (r["abstract_id"], r["cosine"])
+        for r in ops.dense_best_match(titles, abstracts, "title_id", "abstract_id").collect()
+    }
+    assert got == expected
+
+
 def test_pca_matches_driver_numpy(spark):
     """The distributed sufficient-stats PCA equals a driver-side numpy PCA
     on the collected corpus: covariance bit-close, components orthonormal,

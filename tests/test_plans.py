@@ -380,15 +380,22 @@ def test_flagship_dense_memo_revalidates_and_recovers(spark, sf_oracle):
     baseline = {tuple(r) for r in S.title_best_abstract(spark, sf_oracle).collect()}
     cached = S._AUTO_STRATEGY_CACHE.get(key)
     assert isinstance(cached, tuple) and cached[0] == "dense"
-    true_n = cached[1]
+    true_n, true_vocab = cached[1], cached[2]
+    assert 0 < true_vocab <= S.DENSE_MAX_VOCAB
     # memo-validated direct path: same result
     memo = {tuple(r) for r in S.title_best_abstract(spark, sf_oracle).collect()}
     assert memo == baseline
-    # poisoned memo: revalidation must reject it and re-probe
-    S._AUTO_STRATEGY_CACHE[key] = ("dense", true_n + 1)
+    # poisoned corpus-size memo: revalidation must reject it and re-probe
+    S._AUTO_STRATEGY_CACHE[key] = ("dense", true_n + 1, true_vocab)
     healed = {tuple(r) for r in S.title_best_abstract(spark, sf_oracle).collect()}
     assert healed == baseline
-    assert S._AUTO_STRATEGY_CACHE.get(key) == ("dense", true_n)
+    assert S._AUTO_STRATEGY_CACHE.get(key) == ("dense", true_n, true_vocab)
+    # poisoned vocab memo (ADVICE r11): an over-bound probe-time vocab must
+    # not take the direct dense path — the full probe re-decides and heals
+    S._AUTO_STRATEGY_CACHE[key] = ("dense", true_n, S.DENSE_MAX_VOCAB + 1)
+    healed2 = {tuple(r) for r in S.title_best_abstract(spark, sf_oracle).collect()}
+    assert healed2 == baseline
+    assert S._AUTO_STRATEGY_CACHE.get(key) == ("dense", true_n, true_vocab)
     spark.catalog.clearCache()
 
 
