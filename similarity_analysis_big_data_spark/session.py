@@ -19,6 +19,27 @@ from pyspark.sql import SparkSession
 # spark-submit / cluster config, and callers pass master=None to inherit.
 _DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# numpy madvise(MADV_HUGEPAGE)s every >=4 MB allocation; under this host's
+# THP `defrag=madvise` policy each huge-page FIRST-TOUCH fault then runs
+# synchronous memory compaction, which on a fragmented host (any recently
+# exited JVM) measured ~100-500 us per 4 KB page — a 200 MB numpy copy took
+# 27.3 s vs 0.14 s with the madvise disabled (r12 diagnosis; this is the
+# page-fault mechanism behind the whole documented "bimodal host stall
+# floor": the JVM side was already protected by AlwaysPreTouch, the Python
+# workers never were). Disable it for the driver AND every python worker
+# (see executorEnv below); numpy reads the env var at import, so this must
+# run before any worker imports numpy. Huge-page TLB wins are irrelevant
+# at this scale; override by exporting the var explicitly.
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
+# Same pathology, second allocator: pyarrow's default (jemalloc) pool also
+# ends up in huge-page-backed mappings on this host, paying the same
+# compaction-stall faults on every Arrow batch buffer. The plain system
+# allocator measured the flagship's memo-dense min 3.09 -> 2.53 s and its
+# cold probe run 19.5 -> 11.9 s on the fragmented host (r12). A healthy
+# cluster deploy may prefer jemalloc back — override by exporting the var.
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+
 
 def get_session(
     app_name: str = "similarity_analysis_big_data_spark",
@@ -62,6 +83,15 @@ def get_session(
         # flagship query. Plan construction latency matters more than
         # call-site strings in error text for a headless engine.
         "spark.python.sql.dataFrameDebugging.enabled": "false",
+        # Ship the numpy huge-page opt-out (see module top) into every
+        # python worker: PythonRunner passes spark.executorEnv.* to the
+        # worker daemon in local AND cluster mode.
+        "spark.executorEnv.NUMPY_MADVISE_HUGEPAGE": os.environ.get(
+            "NUMPY_MADVISE_HUGEPAGE", "0"
+        ),
+        "spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL": os.environ.get(
+            "ARROW_DEFAULT_MEMORY_POOL", "system"
+        ),
         # Quiet the UI for headless test/bench runs.
         # (No parquet-nanos conf needed: Spark 4.1+ reads the events
         # fixture's TIMESTAMP(NANOS) natively as TIMESTAMP_NTZ, µs-truncated
