@@ -49,11 +49,18 @@ LANGS = ["de", "en", "es", "fr", "zh"]  # stable across all fixture SFs
 _AUTO_STRATEGY_CACHE: dict[tuple[str, str], str | tuple] = {}
 _AUTO_STRATEGY_CACHE_MAX = 64  # dirs per app; far above any real sweep
 
-# Memo-dense persist threshold (docs): below it the two fused corpus
-# passes beat the cache barrier (doc_tfidf 1x: 1.10 s fused vs 1.95
-# cached); above it the barrier wins (r7 8x dense ledger, 40k docs:
-# 7.7 s with persist vs 13.7 without). Set between the two measurements.
-DENSE_PERSIST_MIN_DOCS = 16_000
+# Memo-dense persist CEILING (docs). The r12 A/B (min-of-3, fresh process
+# per point, AFTER the allocator fix — the pre-fix "persist loses below
+# 16k" evidence was the huge-page-compaction artifact taxing the cache's
+# serialized block writes) reversed the r7-r11 rule: persist WINS below
+# the ceiling (5k docs: 2.59 s on vs 4.29 off; 10k: 3.04 vs 3.33; 20k:
+# 4.03 vs 4.82 — the TF relation is reread by the title collect and the
+# final action, and recomputing the fused tokenize+agg chain costs more
+# than the now-cheap cache barrier) and LOSES above it (40k: tight
+# 8.9-10.3 s without vs an unstable 13-33 s with, reproduced twice — the
+# MEMORY_AND_DISK blocks compete with the matmul stage's working set in
+# the 4g local heap). Boundary between the 20k and 40k measured points.
+DENSE_PERSIST_MAX_DOCS = 24_000
 
 
 def _auto_strategy_memo_put(key: tuple[str, str], verdict: str | tuple) -> None:
@@ -341,21 +348,19 @@ def title_best_abstract(
 
     # The TF/DF persists only pay when a materialization is REREAD by a
     # later pass over the same relation: the full auto probe's collect
-    # (reread by the final action), or a big corpus whose double fused
-    # scan costs more than the cache barrier. A resolved-sparse decision
-    # skips them so the pair join's build chain pipelines uncached (the
-    # r7 16x finding: 22.0 s fused vs 40.7 s through the cache barrier).
-    # The memo-dense path persists only ABOVE a corpus-size threshold:
-    # below it, the two fused corpus passes (title collect + final
-    # action) beat the persist's serialize-write-read barrier — the same
-    # 1x evidence as doc_tfidf (1.10 s fused vs 1.95 through the cache);
-    # above it, the r7 8x dense ledger (7.7 s with persist vs 13.7
-    # without, 40k docs) says the barrier wins. Threshold set between
-    # those two committed measurements.
+    # (reread by the final action), or the memo-dense path's title collect
+    # + final action. A resolved-sparse decision skips them so the pair
+    # join's build chain pipelines uncached (the r7 16x finding: 22.0 s
+    # fused vs 40.7 s through the cache barrier). The memo-dense path
+    # persists only BELOW a corpus-size ceiling: the r12 post-allocator-fix
+    # A/B (see DENSE_PERSIST_MAX_DOCS) showed the cache barrier beating the
+    # double fused scan at 5k-20k docs and destabilizing the matmul stage's
+    # heap above ~40k. (The pre-r12 opposite rule was calibrated on
+    # measurements taxed by the huge-page compaction artifact.)
     if strategy == "auto" or (strategy == "dense" and n_lit is None):
         persist = True  # probe/forced-dense: materializations are reread
     elif strategy == "dense":
-        persist = n_lit >= DENSE_PERSIST_MIN_DOCS
+        persist = n_lit <= DENSE_PERSIST_MAX_DOCS
     else:
         persist = False
     abstract_tf = term_frequency(
