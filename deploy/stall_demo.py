@@ -1,0 +1,140 @@
+"""Deliberately-churned-host demo for bench.py's fresh-process stall defense.
+
+The r11 graded bench published 28.76 s from a churned host (GC 6.29 s vs the
+0.9-1.3 s healthy floor) even though the rest gate passed and the THEN-current
+defense re-ran in the same degraded JVM — which inherited the churned heap and
+confirmed its own artifact. bench.py now escalates a stall-shaped pass to a
+FRESH subprocess JVM. This script is the committed evidence that the escalation
+works end to end on a real churned host:
+
+1. starts bench.py on a quiet host (so the rest gate passes, exactly like the
+   r11 incident), then
+2. after a short delay — i.e. during the measured loop, after the gate — spawns
+   N worker processes that saturate the CPUs with large allocate/copy loops for
+   a bounded duration, degrading pass 1 the way stray JVMs degraded r11, then
+3. lets the churn die before the child's rest gate, so the fresh-process pass
+   measures a recovering host, and
+4. asserts from the artifact alone (the reader's view) that the defense fired:
+   ``reran: true`` with ``rerun_mode: fresh_process``, the child pass's
+   measured-loop GC under the 2 s threshold, and every published minimum drawn
+   from the clean pass.
+
+Usage:  python deploy/stall_demo.py [--out BENCH_stalldemo.json]
+Env knobs: STALL_DEMO_WORKERS (24), STALL_DEMO_DELAY_SEC (15),
+STALL_DEMO_DURATION_SEC (240), STALL_DEMO_ALLOC_MB (384).
+The churn is self-limiting (every worker exits after DURATION) so an
+interrupted demo cannot leave the host loaded.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _churn_worker(delay: float, duration: float, alloc_mb: int) -> None:
+    # allocate/copy loops: large memcpy traffic + full-core spin, the same
+    # pressure shape (CPU starvation of GC threads + allocator traffic) that
+    # stray replica-sweep JVMs put on the host in the r8-r11 incidents
+    import numpy as np
+
+    time.sleep(delay)
+    deadline = time.monotonic() + duration
+    a = np.random.default_rng(0).integers(0, 255, alloc_mb * 1024 * 1024 // 8)
+    while time.monotonic() < deadline:
+        b = a.copy()
+        b += 1
+        del b
+
+
+def main() -> None:
+    out = "BENCH_stalldemo.json"
+    argv = sys.argv[1:]
+    if "--out" in argv:
+        i = argv.index("--out")
+        if i + 1 >= len(argv):
+            sys.exit("usage: stall_demo.py [--out FILE]")
+        out = argv[i + 1]
+
+    workers = int(os.environ.get("STALL_DEMO_WORKERS", "24"))
+    delay = float(os.environ.get("STALL_DEMO_DELAY_SEC", "15"))
+    duration = float(os.environ.get("STALL_DEMO_DURATION_SEC", "240"))
+    alloc_mb = int(os.environ.get("STALL_DEMO_ALLOC_MB", "384"))
+
+    load0 = os.getloadavg()[0]
+    print(
+        f"[demo] starting bench.py on quiet host (loadavg {load0:.2f}); "
+        f"churn: {workers} workers x {alloc_mb} MB, t+{delay:.0f}s for {duration:.0f}s",
+        flush=True,
+    )
+
+    procs = [
+        mp.Process(target=_churn_worker, args=(delay, duration, alloc_mb), daemon=True)
+        for _ in range(workers)
+    ]
+    for p in procs:
+        p.start()
+
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_BENCH_RUNS", "2")  # shorter pass 1; same contract
+    bench = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    for p in procs:
+        p.terminate()
+        p.join()
+
+    lines = [ln for ln in bench.stdout.splitlines() if ln.strip()]
+    if bench.returncode != 0 or not lines:
+        sys.stderr.write(bench.stderr[-4000:])
+        sys.exit(f"bench.py failed (rc={bench.returncode})")
+    artifact = json.loads(lines[-1])
+
+    host = artifact.get("host", {})
+    pass_gc = host.get("pass_gc_sec") or []
+    published = host.get("published_pass") or {}
+    checks = {
+        "reran": host.get("reran") is True,
+        "rerun_mode_fresh_process": host.get("rerun_mode") == "fresh_process",
+        "child_pass_gc_under_threshold": (
+            len(pass_gc) >= 2 and pass_gc[1] is not None and pass_gc[1] < 2.0
+        ),
+        "all_published_minima_from_clean_pass": (
+            bool(published) and all(i == 1 for i in published.values())
+        ),
+    }
+    record = {
+        "demo": "deliberately_churned_host_stall_defense",
+        "churn": {
+            "workers": workers,
+            "delay_sec": delay,
+            "duration_sec": duration,
+            "alloc_mb": alloc_mb,
+            "loadavg_at_start": round(load0, 2),
+        },
+        "checks": checks,
+        "artifact": artifact,
+    }
+    with open(os.path.join(REPO, out), "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps({"checks": checks, "pass_gc_sec": pass_gc,
+                      "value": artifact.get("value")}), flush=True)
+    # the last check is advisory — a single query whose clean-pass time ties
+    # the churned pass is legal; the hard criteria are the first three
+    if not all(list(checks.values())[:3]):
+        sys.exit("stall defense did NOT demonstrate cleanly; see " + out)
+    print(f"[demo] defense demonstrated; evidence written to {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
