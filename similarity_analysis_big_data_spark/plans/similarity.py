@@ -208,7 +208,11 @@ def doc_tfidf_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1, 1.79 vs 1.40 at the 2x replica, 3.39 vs 2.89 at 8x — the
     recompute side stays ahead as data grows because the DF build side's
     map-side combine collapses to vocabulary size before its shuffle,
-    while the cache barrier pays full TF-relation serialization."""
+    while the cache barrier pays full TF-relation serialization.
+    RE-CONFIRMED post-allocator-fix (r12 — this path is all-JVM, so the
+    THP tax that reversed the memo-dense persist rule never applied
+    here): 1.59 vs 1.09 at sf0.1, 4.43 vs 3.45 at 8x, interleaved A/B +
+    fresh-process confirm."""
     docs = load_table(spark, sf_dir, "documents")
     corpus_n = docs.agg(F.count("*").alias("_n_docs"))
     tf = term_frequency(_doc_terms(spark, sf_dir), ["doc_id"])
