@@ -307,6 +307,10 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each races to compute the same uncached partitions (benign
     # "Block already exists" churn, duplicated tokenize work). One count
     # fills the cache serially; the branches then read computed blocks.
+    # Persist re-confirmed post-allocator-fix (r12, interleaved A/B +
+    # fresh process): on/off 1.70/1.82 s at sf0.1, 7.87/8.51 s at 8x —
+    # the margin grows with data, as three tokenize recomputes cost more
+    # than one serialization the bigger the corpus gets.
     toks.count()
 
     keep_w = W.partitionBy(F.md5(F.array_join("tokens", " ")))
