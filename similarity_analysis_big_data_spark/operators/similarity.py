@@ -162,6 +162,16 @@ def pivot_matrix(
 # sparse join when the vocabulary is narrow enough that every pair overlaps.
 DENSE_MAX_VOCAB = 256
 DENSE_MAX_BROADCAST_CELLS = 4_000_000  # n_titles x |title vocab| doubles (~32 MB)
+# Per-task transient ceiling for the score block: the matmul result is
+# (candidate_rows x |Q|) doubles, and |Q| grows with the corpus while Spark
+# sizes partitions by INPUT bytes — the input-side sizing cannot see the
+# x|Q| expansion, so without a row cap one 64 MB input partition can expand
+# to a multi-GB score allocation (measured at the 16x shared replica,
+# |Q|=16k: a single-task R of 80k x 16k = 10.3 GB doubles + the round()
+# copy read 258-393 s; blocked at 16M cells the same point reads in the
+# tens of seconds). 16M cells = 128 MB per R (and per rounded copy),
+# invariant of corpus size and partition sizing.
+DENSE_BLOCK_CELLS = 16_000_000
 
 
 def dense_best_match(
@@ -197,7 +207,12 @@ def dense_best_match(
     to co-locate each candidate's terms); the broadcast side is bounded by
     the caller (`DENSE_MAX_BROADCAST_CELLS`). Shuffled bytes are O(|A| x V)
     — the weighted relation itself — vs the sparse join's O(|Q| x |A|)
-    pair rows.
+    pair rows. Per-task transient memory is bounded too (r12): the score
+    block materializes (rows x |Q|) doubles and |Q| grows with the corpus,
+    which input-byte partition sizing cannot see — so the matmul walks
+    candidate rows in `DENSE_BLOCK_CELLS`-bounded chunks (128 MB per score
+    block at any corpus size; measured 258 s -> 20 s at the 16x shared
+    replica, and 10.9 -> 7.4 s at 8x from cache locality alone).
 
     The explicit ``repartition`` below is the CONTRACT, not a cost: the
     block matmul needs every candidate's terms co-located, and this
@@ -252,6 +267,9 @@ def dense_best_match(
         T[q_pos[r[query_id]], t_idx[r["term"]]] = r["weight"]
 
     out_schema = f"{query_id} long, {match_id} long, cosine double"
+    # computed driver-side so the closure ships a plain int (and tests can
+    # monkeypatch DENSE_BLOCK_CELLS without reaching into executor workers)
+    block = max(1, DENSE_BLOCK_CELLS // max(1, len(q_ids)))
 
     def block_argmax(batches):
         chunks = list(batches)  # Arrow batches can split one id's terms
@@ -271,21 +289,40 @@ def dense_best_match(
             pdf[match_id].map(a_pos).to_numpy(),
             pdf["term"].map(t_idx).to_numpy(),
         ] = pdf["weight"].to_numpy()
-        R = A @ T.T  # raw dot products (n_abstracts_part, n_queries)
-        S = np.round(R, round_to)
-        # Sparse-path parity: a candidate is in play iff it SHARES a term
-        # (raw dot > 0 under non-negative weights) — even when the cosine
-        # ROUNDS to 0.0. Rounded 0 and true 0 collide in S, so mask true
-        # zeros out before the argmax instead of filtering rounded scores.
-        S[R == 0.0] = -np.inf
-        best = S.argmax(axis=0)
-        scores = S[best, np.arange(S.shape[1])]
-        keep = np.isfinite(scores)
+        # Blocked matmul: bound the (rows x |Q|) score allocation to
+        # DENSE_BLOCK_CELLS regardless of how many candidate rows landed
+        # in this partition (see the constant's comment — input-byte
+        # partition sizing cannot see the x|Q| expansion). Chunks walk
+        # a_ids ASCENDING, and the cross-chunk merge replaces only on a
+        # STRICTLY greater score, so ties keep the earlier (smaller) id —
+        # the same (round, then ascending-id) contract as the one-shot
+        # argmax.
+        best_ids = best_scores = None
+        for s in range(0, len(a_ids), block):
+            Ab = A[s : s + block]
+            R = Ab @ T.T  # raw dot products (block_rows, n_queries)
+            S = np.round(R, round_to)
+            # Sparse-path parity: a candidate is in play iff it SHARES a
+            # term (raw dot > 0 under non-negative weights) — even when
+            # the cosine ROUNDS to 0.0. Rounded 0 and true 0 collide in
+            # S, so mask true zeros out before the argmax instead of
+            # filtering rounded scores.
+            S[R == 0.0] = -np.inf
+            best = S.argmax(axis=0)
+            scores = S[best, np.arange(S.shape[1])]
+            ids_blk = a_ids[s : s + block][best]
+            if best_scores is None:
+                best_scores, best_ids = scores, ids_blk
+            else:
+                upd = scores > best_scores
+                best_scores = np.where(upd, scores, best_scores)
+                best_ids = np.where(upd, ids_blk, best_ids)
+        keep = np.isfinite(best_scores)
         yield pd.DataFrame(
             {
                 query_id: np.asarray(q_ids)[keep],
-                match_id: a_ids[best[keep]],
-                "cosine": scores[keep],
+                match_id: best_ids[keep],
+                "cosine": best_scores[keep],
             }
         )
 

@@ -306,6 +306,38 @@ def test_dense_best_match_overbound_falls_back_to_sparse(spark, monkeypatch):
     assert got == expected
 
 
+def test_dense_best_match_blocked_equals_one_shot(spark, monkeypatch):
+    """The r12 bounded-memory block loop (DENSE_BLOCK_CELLS caps the
+    (rows x |Q|) score allocation per task) must be invisible in the
+    result: forcing single-row blocks — every cross-chunk merge path,
+    including ties straddling chunk boundaries and zero-overlap masking —
+    yields exactly the one-shot rows."""
+    from similarity_analysis_big_data_spark.operators import similarity as ops
+
+    titles = spark.createDataFrame(
+        # q1: tie between candidates in DIFFERENT chunks (10 and 13);
+        # q2: matched only late in the id order; q3: zero overlap
+        [(1, "x", 1.0), (2, "y", 1.0), (3, "zz", 1.0)],
+        "title_id long, term string, weight double",
+    )
+    abstracts = spark.createDataFrame(
+        [(10, "x", 0.5), (11, "w", 1.0), (12, "y", 0.25),
+         (13, "x", 0.5), (14, "y", 0.75)],
+        "abstract_id long, term string, weight double",
+    )
+
+    def rows(df):
+        return {r["title_id"]: (r["abstract_id"], r["cosine"]) for r in df.collect()}
+
+    one_shot = rows(ops.dense_best_match(titles, abstracts, "title_id", "abstract_id"))
+    monkeypatch.setattr(ops, "DENSE_BLOCK_CELLS", 1)  # 1 cell -> 1-row blocks
+    blocked = rows(ops.dense_best_match(titles, abstracts, "title_id", "abstract_id"))
+    assert blocked == one_shot
+    assert blocked[1] == (10, 0.5)  # cross-chunk tie -> smallest id
+    assert blocked[2] == (14, 0.75)  # later chunk wins on strictly-greater
+    assert 3 not in blocked  # zero overlap stays masked out
+
+
 def test_pca_matches_driver_numpy(spark):
     """The distributed sufficient-stats PCA equals a driver-side numpy PCA
     on the collected corpus: covariance bit-close, components orthonormal,
