@@ -384,6 +384,15 @@ def dense_topk_neighbors(
     qn = np.linalg.norm(Q, axis=1)
 
     out_schema = f"{query_id} long, neighbor_id long, cosine double"
+    # Per-task score-block bound (r12, same hazard as dense_best_match):
+    # S is (corpus_rows x |Q|) doubles and the caller's broadcast bound
+    # caps |Q|·d, NOT rows x |Q| — a fat corpus partition times a large
+    # query pool expands far beyond its input bytes. Chunking the corpus
+    # rows keeps every allocation <= DENSE_BLOCK_CELLS; each chunk yields
+    # its local top-k and the existing global rank window merges them
+    # (global top-k is a subset of the union of chunk top-ks, and the
+    # boundary-tie expansion below keeps every contender in play).
+    block = max(1, DENSE_BLOCK_CELLS // max(1, len(q_rows)))
 
     def block_topk(batches):
         chunks = list(batches)
@@ -397,30 +406,32 @@ def dense_topk_neighbors(
         ids = ids[order]
         C = np.asarray(list(pdf[vec_col].to_numpy()[order]), dtype=np.float64)
         cn = np.linalg.norm(C, axis=1)
-        denom = cn[:, None] * qn[None, :]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            S = np.round((C @ Q.T) / denom, round_to)
-        S[denom == 0.0] = -np.inf  # zero-norm: never a top-k candidate
-        S[ids[:, None] == q_ids[None, :]] = -np.inf  # exclude self
-        kk = min(k, S.shape[0])
         out_q, out_n, out_s = [], [], []
-        for j in range(S.shape[1]):
-            col = S[:, j]
-            # argpartition finds the k-th score, but keeps an ARBITRARY
-            # subset among candidates tied at that boundary — expand the
-            # cut to every candidate scoring >= the k-th value so the
-            # (desc score, asc id) contract decides who survives, then
-            # stable-sort (ids are pre-sorted ascending) and truncate.
-            if kk < len(col):
-                kth = col[np.argpartition(-col, kk - 1)[kk - 1]]
-                cand = np.flatnonzero(col >= kth)
-            else:
-                cand = np.arange(len(col))
-            cand = cand[np.argsort(-col[cand], kind="stable")][:kk]
-            keep = cand[np.isfinite(col[cand])]
-            out_q.extend([q_ids[j]] * len(keep))
-            out_n.extend(ids[keep])
-            out_s.extend(col[keep])
+        for s0 in range(0, len(ids), block):
+            ids_b, C_b, cn_b = ids[s0 : s0 + block], C[s0 : s0 + block], cn[s0 : s0 + block]
+            denom = cn_b[:, None] * qn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.round((C_b @ Q.T) / denom, round_to)
+            S[denom == 0.0] = -np.inf  # zero-norm: never a top-k candidate
+            S[ids_b[:, None] == q_ids[None, :]] = -np.inf  # exclude self
+            kk = min(k, S.shape[0])
+            for j in range(S.shape[1]):
+                col = S[:, j]
+                # argpartition finds the k-th score, but keeps an ARBITRARY
+                # subset among candidates tied at that boundary — expand the
+                # cut to every candidate scoring >= the k-th value so the
+                # (desc score, asc id) contract decides who survives, then
+                # stable-sort (ids are pre-sorted ascending) and truncate.
+                if kk < len(col):
+                    kth = col[np.argpartition(-col, kk - 1)[kk - 1]]
+                    cand = np.flatnonzero(col >= kth)
+                else:
+                    cand = np.arange(len(col))
+                cand = cand[np.argsort(-col[cand], kind="stable")][:kk]
+                keep = cand[np.isfinite(col[cand])]
+                out_q.extend([q_ids[j]] * len(keep))
+                out_n.extend(ids_b[keep])
+                out_s.extend(col[keep])
         yield pd.DataFrame({query_id: out_q, "neighbor_id": out_n, "cosine": out_s})
 
     # project to (id, vec) BEFORE the Python boundary: mapInPandas input is

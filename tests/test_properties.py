@@ -342,6 +342,49 @@ def test_dense_topk_boundary_ties_follow_contract(spark):
     assert got_by_q == expected
 
 
+def test_dense_topk_blocked_equals_one_shot(spark, monkeypatch):
+    """The r12 corpus-row chunking in dense_topk_neighbors (bounding the
+    (rows x |Q|) score block) must be invisible: 1-row blocks — every
+    boundary tie now also straddles a chunk boundary — return exactly the
+    one-shot rows, ranks included."""
+    import numpy as np
+
+    from similarity_analysis_big_data_spark.operators import similarity as ops
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(5, 6)).round(2)
+    vecs = np.tile(base, (6, 1))  # duplicates -> ties across chunks
+    corpus = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+    queries = spark.createDataFrame(
+        [(int(i), [float(x) for x in base[i]]) for i in range(3)],
+        "query_id long, query_vec array<double>",
+    )
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rnk"], r["neighbor_id"], r["cosine"])
+            for r in df.collect()
+        )
+
+    one_shot = rows(
+        ops.dense_topk_neighbors(
+            queries, corpus, "query_id", "query_vec", "vec_id", "embedding", 4,
+            round_to=6,
+        )
+    )
+    monkeypatch.setattr(ops, "DENSE_BLOCK_CELLS", 1)
+    blocked = rows(
+        ops.dense_topk_neighbors(
+            queries, corpus, "query_id", "query_vec", "vec_id", "embedding", 4,
+            round_to=6,
+        )
+    )
+    assert blocked == one_shot
+
+
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(
