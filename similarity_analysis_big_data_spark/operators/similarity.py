@@ -168,9 +168,12 @@ DENSE_MAX_BROADCAST_CELLS = 4_000_000  # n_titles x |title vocab| doubles (~32 M
 # x|Q| expansion, so without a row cap one 64 MB input partition can expand
 # to a multi-GB score allocation (measured at the 16x shared replica,
 # |Q|=16k: a single-task R of 80k x 16k = 10.3 GB doubles + the round()
-# copy read 258-393 s; blocked at 16M cells the same point reads in the
-# tens of seconds). 16M cells = 128 MB per R (and per rounded copy),
-# invariant of corpus size and partition sizing.
+# copy read 258-393 s; blocked at 16M cells the same point reads ~11 s).
+# 16M cells = 128 MB per R (and per rounded copy), invariant of corpus
+# size and partition sizing. SIZED BY MEASUREMENT (r12, interleaved
+# min-of-3 at the 16x point): 4M/16M/64M cells = 11.9/10.7/284 s — the
+# 64M variant's 512 MB blocks already re-enter the allocation wall, so
+# the ceiling is load-bearing in both directions.
 DENSE_BLOCK_CELLS = 16_000_000
 
 
