@@ -55,6 +55,7 @@ def get_session(
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
     conf = {
         # local mode runs executors inside the driver JVM — the default 1g
         # heap GC-thrashes 32 concurrent tasks. Keep the heap MODEST and
@@ -62,8 +63,18 @@ def get_session(
         # multi-minute allocation stalls (THP/compaction) when a prior JVM
         # recently exited, while 4g+AlwaysPreTouch is stable run-to-run.
         # Cluster deploys override via spark-submit.
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
-        "spark.driver.extraJavaOptions": "-XX:+AlwaysPreTouch",
+        "spark.driver.memory": driver_mem,
+        # -Xms == -Xmx: spark-submit only sets -Xmx, so the heap starts
+        # small and EXPANDS under load — and with AlwaysPreTouch each
+        # expansion pre-touches the newly committed region INSIDE a G1
+        # evacuation pause (gc log r12: 992M->1778M->2706M growth steps
+        # carrying 2.2 s and 7.3 s single young-gen pauses on a slow-fault
+        # host; with the heap pre-sized the worst pause is 50 ms and a
+        # 9-query loop's GC total drops ~10 s -> 0.1 s). Pre-sizing pays
+        # the whole pre-touch once at JVM startup instead. This is the
+        # mechanism behind the documented ">=8g heaps stall" bimodal
+        # floor: larger -Xmx meant larger mid-run expansion steps.
+        "spark.driver.extraJavaOptions": f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
         # AQE: runtime partition coalescing, skew-join splitting, dynamic
         # join-strategy switches — the scale levers SURVEY §4.2 lists.
         "spark.sql.adaptive.enabled": "true",
