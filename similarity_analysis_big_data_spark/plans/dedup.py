@@ -1189,8 +1189,20 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lhs.join(rhs, ["lang", "bkt"])
         .filter(F.col("id_l") < F.col("id_r"))
-        .withColumn("edit_dist", F.levenshtein("text_l", "text_r").cast("long"))
-        .filter(F.col("edit_dist") <= FUZZY_MAX_EDIT)
+        # THRESHOLDED levenshtein (r12): the unbounded form runs the full
+        # O(len_l·len_r) DP on every pair only to discard nearly all of
+        # them at the <= FUZZY_MAX_EDIT filter; passing the bound lets the
+        # JVM's banded implementation stop at a diagonal band of width
+        # ~2·threshold (and short-circuit on length difference alone),
+        # returning -1 for every pair past the bound. Kept rows and their
+        # edit_dist values are IDENTICAL (distance <= bound iff result in
+        # [0, bound]); measured min-of-3 at sf0.1: 17.52 s -> 0.83 s (21x),
+        # output row-identical. The DuckDB oracle keeps the unbounded
+        # filter form — same relation, cross-checked by the parity suite.
+        .withColumn(
+            "edit_dist", F.levenshtein("text_l", "text_r", FUZZY_MAX_EDIT).cast("long")
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= FUZZY_MAX_EDIT))
         .select("id_l", "id_r", "edit_dist")
     )
 

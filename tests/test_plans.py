@@ -1185,3 +1185,44 @@ def test_vocab_coverage_on_known_zipf_corpus(spark, tmp_path_factory):
     assert out[0.99]["vocab_rank"] == 4 and out[0.99]["achieved_share"] == 1.0
     assert out[0.99]["vocab_frac"] == 1.0
 
+
+
+def test_fuzzy_thresholded_levenshtein_equals_unbounded(spark, sf_oracle):
+    """The r12 thresholded-levenshtein rewrite must keep EXACTLY the rows
+    and edit_dist values of the unbounded DP + filter form (threshold form
+    returns -1 past the bound; distance <= bound iff result in [0, bound]).
+    Recomputes the pre-r12 formulation inline and compares row sets."""
+    from pyspark.sql import Window as W
+
+    from similarity_analysis_big_data_spark.plans.dedup import (
+        FUZZY_BLOCK_CAP,
+        FUZZY_BUCKET,
+        FUZZY_MAX_EDIT,
+    )
+    from similarity_analysis_big_data_spark.sources.readers import load_table
+
+    got = sorted(
+        map(tuple, QUERIES["fuzzy_levenshtein_pairs"].fn(spark, sf_oracle).collect())
+    )
+
+    d0 = load_table(spark, sf_oracle, "documents").select(
+        "doc_id", "text", "lang", (F.col("n_chars") / FUZZY_BUCKET).cast("long").alias("bkt")
+    )
+    w = W.partitionBy("lang", "bkt").orderBy(
+        F.md5(F.concat(F.lit("fz:"), F.col("doc_id").cast("string"))), F.asc("doc_id")
+    )
+    d = d0.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= FUZZY_BLOCK_CAP).drop("rn")
+    lhs = d.select(F.col("doc_id").alias("id_l"), F.col("text").alias("text_l"), "lang", "bkt")
+    rhs = d.select(F.col("doc_id").alias("id_r"), F.col("text").alias("text_r"), "lang", "bkt")
+    ref = sorted(
+        map(
+            tuple,
+            lhs.join(rhs, ["lang", "bkt"])
+            .filter(F.col("id_l") < F.col("id_r"))
+            .withColumn("edit_dist", F.levenshtein("text_l", "text_r").cast("long"))
+            .filter(F.col("edit_dist") <= FUZZY_MAX_EDIT)
+            .select("id_l", "id_r", "edit_dist")
+            .collect(),
+        )
+    )
+    assert got == ref and len(got) > 0
