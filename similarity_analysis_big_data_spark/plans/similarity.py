@@ -49,18 +49,21 @@ LANGS = ["de", "en", "es", "fr", "zh"]  # stable across all fixture SFs
 _AUTO_STRATEGY_CACHE: dict[tuple[str, str], str | tuple] = {}
 _AUTO_STRATEGY_CACHE_MAX = 64  # dirs per app; far above any real sweep
 
-# Memo-dense persist CEILING (docs). The r12 A/B (min-of-3, fresh process
-# per point, AFTER the allocator fix — the pre-fix "persist loses below
-# 16k" evidence was the huge-page-compaction artifact taxing the cache's
-# serialized block writes) reversed the r7-r11 rule: persist WINS below
-# the ceiling (5k docs: 2.59 s on vs 4.29 off; 10k: 3.04 vs 3.33; 20k:
-# 4.03 vs 4.82 — the TF relation is reread by the title collect and the
-# final action, and recomputing the fused tokenize+agg chain costs more
-# than the now-cheap cache barrier) and LOSES above it (40k: tight
-# 8.9-10.3 s without vs an unstable 13-33 s with, reproduced twice — the
-# MEMORY_AND_DISK blocks compete with the matmul stage's working set in
-# the 4g local heap). Boundary between the 20k and 40k measured points.
-DENSE_PERSIST_MAX_DOCS = 24_000
+# Memo-dense persist rule: ALWAYS persist. Calibration history, because
+# this rule flipped twice as host artifacts were root-caused out of the
+# measurements: (r7-r11) "persist only above 16k docs" — calibrated while
+# THP huge-page compaction taxed the cache's serialized block writes;
+# (r12, post-allocator-fix) "persist only below a 24k ceiling" — the 40k
+# persist arm read an unstable 13-33 s, which looked like heap-capacity
+# competition but was actually the heap-EXPANSION pre-touch stall (cache
+# block writes grow the heap; each growth step ran a multi-second G1
+# pause). With the heap pre-sized (-Xms == -Xmx, the second r12 fix) the
+# A/B is stable and persist WINS at every measured point — min-of-3,
+# fresh process per arm, two arms each: 5k: 2.59 on / 4.29 off; 10k:
+# 3.04/3.33; 20k: 4.03/4.82; 40k: 5.80-6.24 / 7.17-7.97; 80k:
+# 9.05-11.02 / 10.56-11.35. The TF relation is reread by the title
+# collect and the final action; recomputing the fused tokenize+agg chain
+# always costs more than the cache barrier once allocation is healthy.
 
 
 def _auto_strategy_memo_put(key: tuple[str, str], verdict: str | tuple) -> None:
@@ -241,15 +244,15 @@ def title_best_abstract(
     whose broadcast the title path reuses — and the abstract weighting), and
     each would otherwise re-run the corpus tokenize+explode+agg from the
     parquet scan (the reference re-evaluates its whole lineage per action
-    too, having no cache() anywhere — SURVEY §4.1). Whether that relation
-    is PERSISTED is scale-conditional (r11): the full-probe pass and big
-    corpora keep the MEMORY_AND_DISK persist (8x dense ledger: 7.7 s with
-    vs 13.7 without, 40k docs), while the memo-validated dense path on a
-    small corpus runs its two passes fused — the same 1x evidence as
-    doc_tfidf (1.10 s fused vs 1.95 through the cache barrier); the SPARSE
-    path creates no persists at all — its one streaming pair-join pass
-    beats the cache barrier (SCALE.md r7), and its single corpus-scan cost
-    at 100 TB comes from the fused chain.
+    too, having no cache() anywhere — SURVEY §4.1). The probe and dense
+    paths PERSIST that relation unconditionally (r12: the post-heap-fix
+    A/B shows the MEMORY_AND_DISK barrier beating the double fused scan
+    at every measured corpus size, 5k-80k docs — the earlier
+    size-conditional rules were calibrated on persist arms taxed by the
+    two since-fixed host allocation stalls; history at the top of this
+    module); the SPARSE path creates no persists at all — its one
+    streaming pair-join pass beats the cache barrier (SCALE.md r7), and
+    its single corpus-scan cost at 100 TB comes from the fused chain.
 
     ``strategy`` picks the pair-stage physical plan, AQE-style (measure,
     then choose):
@@ -356,15 +359,13 @@ def title_best_abstract(
     # + final action. A resolved-sparse decision skips them so the pair
     # join's build chain pipelines uncached (the r7 16x finding: 22.0 s
     # fused vs 40.7 s through the cache barrier). The memo-dense path
-    # persists only BELOW a corpus-size ceiling: the r12 post-allocator-fix
-    # A/B (see DENSE_PERSIST_MAX_DOCS) showed the cache barrier beating the
-    # double fused scan at 5k-20k docs and destabilizing the matmul stage's
-    # heap above ~40k. (The pre-r12 opposite rule was calibrated on
-    # measurements taxed by the huge-page compaction artifact.)
-    if strategy == "auto" or (strategy == "dense" and n_lit is None):
-        persist = True  # probe/forced-dense: materializations are reread
-    elif strategy == "dense":
-        persist = n_lit <= DENSE_PERSIST_MAX_DOCS
+    # ALWAYS persists: the r12 post-heap-fix A/B (see the calibration
+    # history at the top of this module) shows the cache barrier beating
+    # the double fused scan at every measured corpus size once both host
+    # allocation artifacts were fixed; the two earlier size-conditional
+    # rules were calibrated on stall-taxed persist arms.
+    if strategy in ("auto", "dense"):
+        persist = True  # probe and dense paths: materializations are reread
     else:
         persist = False
     abstract_tf = term_frequency(
