@@ -19,9 +19,21 @@ works end to end on a real churned host:
    measured-loop GC under the 2 s threshold, and every published minimum drawn
    from the clean pass.
 
+A second scenario (r13, verdict item 1) reproduces the blind spot the r12
+GRADED run fell into: external CPU contention with CLEAN GC. The r12 heap
+fix removed the GC symptom the old defense keyed on while external busy
+cores kept inflating wall time (34.17 s graded vs ~15.5 s idle, GC 1.33 s
+— neither the GC trigger nor the 4.0+cpus mid-loop load trigger fired).
+``--scenario clean-gc`` starts a few pure-spin workers BEFORE bench.py so
+the rest gate settles (loadavg under 4) but the pre-JVM load stays above
+~2 — the exact r12 signature — and asserts that the new pre-JVM-load /
+idle-reference-drift triggers escalate to the fresh-process re-run even
+though every pass's measured-loop GC is clean.
+
 Usage:  python deploy/stall_demo.py [--out BENCH_stalldemo.json]
-Env knobs: STALL_DEMO_WORKERS (24), STALL_DEMO_DELAY_SEC (15),
-STALL_DEMO_DURATION_SEC (240), STALL_DEMO_ALLOC_MB (384).
+                                    [--scenario gc-stall|clean-gc]
+Env knobs: STALL_DEMO_WORKERS (24 / 3 by scenario), STALL_DEMO_DELAY_SEC
+(15 / 0), STALL_DEMO_DURATION_SEC (240 / 300), STALL_DEMO_ALLOC_MB (384).
 The churn is self-limiting (every worker exits after DURATION) so an
 interrupted demo cannot leave the host loaded.
 """
@@ -53,33 +65,80 @@ def _churn_worker(delay: float, duration: float, alloc_mb: int) -> None:
         del b
 
 
+def _spin_worker(delay: float, duration: float) -> None:
+    # pure CPU spin, deliberately allocation-free: contends for cores (the
+    # external-busy-cores signature of the r12 graded run) WITHOUT the
+    # allocator/GC pressure of the churn worker, so the bench JVM's
+    # measured-loop GC stays clean and only the r13 contention triggers
+    # can fire
+    time.sleep(delay)
+    deadline = time.monotonic() + duration
+    x = 1
+    while time.monotonic() < deadline:
+        for _ in range(100_000):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+
+
 def main() -> None:
     out = "BENCH_stalldemo.json"
+    scenario = "gc-stall"
     argv = sys.argv[1:]
     if "--out" in argv:
         i = argv.index("--out")
         if i + 1 >= len(argv):
-            sys.exit("usage: stall_demo.py [--out FILE]")
+            sys.exit("usage: stall_demo.py [--out FILE] [--scenario gc-stall|clean-gc]")
         out = argv[i + 1]
+    if "--scenario" in argv:
+        i = argv.index("--scenario")
+        if i + 1 >= len(argv) or argv[i + 1] not in ("gc-stall", "clean-gc"):
+            sys.exit("usage: stall_demo.py [--out FILE] [--scenario gc-stall|clean-gc]")
+        scenario = argv[i + 1]
 
-    workers = int(os.environ.get("STALL_DEMO_WORKERS", "24"))
-    delay = float(os.environ.get("STALL_DEMO_DELAY_SEC", "15"))
-    duration = float(os.environ.get("STALL_DEMO_DURATION_SEC", "240"))
+    if scenario == "clean-gc":
+        # r12 signature: a FEW external busy cores, present from before the
+        # rest gate (loadavg settles in the 2-4 band, under the gate's 4.0
+        # threshold) through the whole measured loop, with zero allocator
+        # pressure so the bench JVM's GC stays clean. Duration must cover
+        # gate + warmup + pass 1 (~3-6 min); the workers die before the
+        # child's rest gate finishes so the fresh pass measures a
+        # recovering host.
+        workers = int(os.environ.get("STALL_DEMO_WORKERS", "3"))
+        delay = float(os.environ.get("STALL_DEMO_DELAY_SEC", "0"))
+        duration = float(os.environ.get("STALL_DEMO_DURATION_SEC", "300"))
+    else:
+        workers = int(os.environ.get("STALL_DEMO_WORKERS", "24"))
+        delay = float(os.environ.get("STALL_DEMO_DELAY_SEC", "15"))
+        duration = float(os.environ.get("STALL_DEMO_DURATION_SEC", "240"))
     alloc_mb = int(os.environ.get("STALL_DEMO_ALLOC_MB", "384"))
 
     load0 = os.getloadavg()[0]
     print(
-        f"[demo] starting bench.py on quiet host (loadavg {load0:.2f}); "
-        f"churn: {workers} workers x {alloc_mb} MB, t+{delay:.0f}s for {duration:.0f}s",
+        f"[demo:{scenario}] starting bench.py (loadavg {load0:.2f}); "
+        f"churn: {workers} workers, t+{delay:.0f}s for {duration:.0f}s",
         flush=True,
     )
 
-    procs = [
-        mp.Process(target=_churn_worker, args=(delay, duration, alloc_mb), daemon=True)
-        for _ in range(workers)
-    ]
+    if scenario == "clean-gc":
+        procs = [
+            mp.Process(target=_spin_worker, args=(delay, duration), daemon=True)
+            for _ in range(workers)
+        ]
+    else:
+        procs = [
+            mp.Process(target=_churn_worker, args=(delay, duration, alloc_mb), daemon=True)
+            for _ in range(workers)
+        ]
     for p in procs:
         p.start()
+    if scenario == "clean-gc":
+        # let the 1-minute loadavg climb into the 2-4 band before the rest
+        # gate reads it, so the gate SETTLES (passes) yet the pre-JVM load
+        # stays above the ~2.0 contention trigger — the r12 graded shape
+        for _ in range(24):
+            if os.getloadavg()[0] > 2.2:
+                break
+            time.sleep(10)
+        print(f"[demo] churn warm: loadavg {os.getloadavg()[0]:.2f}", flush=True)
 
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_BENCH_RUNS", "2")  # shorter pass 1; same contract
@@ -103,6 +162,7 @@ def main() -> None:
     host = artifact.get("host", {})
     pass_gc = host.get("pass_gc_sec") or []
     published = host.get("published_pass") or {}
+    reasons = host.get("stall_reasons") or []
     checks = {
         "reran": host.get("reran") is True,
         "rerun_mode_fresh_process": host.get("rerun_mode") == "fresh_process",
@@ -113,13 +173,24 @@ def main() -> None:
             bool(published) and all(i == 1 for i in published.values())
         ),
     }
+    if scenario == "clean-gc":
+        # the blind-spot proof: pass 1's measured-loop GC was CLEAN (the
+        # old GC trigger provably could not have fired) and the escalation
+        # came from the r13 contention triggers
+        checks["pass1_gc_clean"] = (
+            len(pass_gc) >= 1 and pass_gc[0] is not None and pass_gc[0] < 2.0
+        )
+        checks["escalated_on_contention_trigger"] = any(
+            r in ("load_prejvm", "idle_ref_drift") for r in reasons
+        ) and "gc" not in reasons
     record = {
         "demo": "deliberately_churned_host_stall_defense",
+        "scenario": scenario,
         "churn": {
             "workers": workers,
             "delay_sec": delay,
             "duration_sec": duration,
-            "alloc_mb": alloc_mb,
+            "alloc_mb": alloc_mb if scenario == "gc-stall" else None,
             "loadavg_at_start": round(load0, 2),
         },
         "checks": checks,
@@ -128,10 +199,13 @@ def main() -> None:
     with open(os.path.join(REPO, out), "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps({"checks": checks, "pass_gc_sec": pass_gc,
+                      "stall_reasons": reasons,
                       "value": artifact.get("value")}), flush=True)
-    # the last check is advisory — a single query whose clean-pass time ties
-    # the churned pass is legal; the hard criteria are the first three
-    if not all(list(checks.values())[:3]):
+    # "all minima from the clean pass" is advisory — a single query whose
+    # clean-pass time ties the churned pass is legal; every other check is
+    # a hard criterion
+    hard = [v for k, v in checks.items() if k != "all_published_minima_from_clean_pass"]
+    if not all(hard):
         sys.exit("stall defense did NOT demonstrate cleanly; see " + out)
     print(f"[demo] defense demonstrated; evidence written to {out}", flush=True)
 

@@ -142,6 +142,7 @@ def jaccard_pairs(
     min_intersection: int = 1,
     candidates: DataFrame | None = None,
     assume_distinct: bool = False,
+    threshold: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets: (id_l, id_r, jaccard).
 
@@ -152,11 +153,64 @@ def jaccard_pairs(
     it ONLY when rows are distinct by construction (the dedup plans
     explode ``array_distinct`` token sets); duplicate rows would inflate
     n_common and set sizes.
+
+    ``threshold`` (candidates path only): the caller's eventual Jaccard
+    cutoff as an exact rational num/den. J(x,y) >= n/d forces
+    d·min(|x|,|y|) >= n·max(|x|,|y|) (since |x∩y| <= min and
+    J <= min/max), so candidate pairs violating that size-ratio bound are
+    dropped BEFORE the shingle fan-out — an exact prefilter, zero false
+    negatives at the caller's cutoff (r12 verdict item 4: the verify join
+    was the heaviest increment of the near-dup profile). Pairs that
+    survive the ratio but land under the cutoff are still emitted with
+    their exact jaccard, so callers keep their own ``>= t`` filter; only
+    pairs PROVABLY below the cutoff disappear. The sizes join moves ahead
+    of the fan-out and rides it (two post-agg joins removed), and each
+    pair fans out by its SMALLER side — intersection is symmetric, so
+    probing with the smaller set cuts the fan-out volume from
+    Σ|set_l| to Σ min(|set_l|, |set_r|) over candidates.
     """
     sets = shingles.select(F.col(id_col), F.col(shingle_col))
     if not assume_distinct:
         sets = sets.distinct()
     sizes = sets.groupBy(id_col).agg(F.count("*").alias("set_size"))
+
+    if candidates is not None and threshold is not None:
+        num, den = threshold
+        sz_l = sizes.select(F.col(id_col).alias("id_l"), F.col("set_size").alias("size_l"))
+        sz_r = sizes.select(F.col(id_col).alias("id_r"), F.col("set_size").alias("size_r"))
+        small_l = F.col("size_l") <= F.col("size_r")
+        probed = (
+            candidates.select("id_l", "id_r")
+            .distinct()  # same precondition as the un-thresholded path below
+            .join(sz_l, "id_l")
+            .join(sz_r, "id_r")
+            .filter(
+                den * F.least("size_l", "size_r") >= num * F.greatest("size_l", "size_r")
+            )
+            .select(
+                "id_l",
+                "id_r",
+                "size_l",
+                "size_r",
+                F.when(small_l, F.col("id_l")).otherwise(F.col("id_r")).alias("_probe"),
+                F.when(small_l, F.col("id_r")).otherwise(F.col("id_l")).alias("_other"),
+            )
+        )
+        inter = (
+            probed.join(sets.select(F.col(id_col).alias("_probe"), shingle_col), "_probe")
+            .join(sets.select(F.col(id_col).alias("_other"), shingle_col), [shingle_col, "_other"])
+            .groupBy("id_l", "id_r", "size_l", "size_r")
+            .agg(F.count("*").alias("n_common"))
+            .filter(F.col("n_common") >= min_intersection)
+        )
+        return inter.select(
+            "id_l",
+            "id_r",
+            (
+                F.col("n_common")
+                / (F.col("size_l") + F.col("size_r") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
 
     if candidates is not None:
         # CANDIDATE-DRIVEN intersection: fan each candidate pair out by the
@@ -389,15 +443,15 @@ def substring_span_pairs(
     fragment anyway. Every stage past the gram shuffle is priced by
     matched-pair volume, never corpus size.
     """
+    from ..functions.text import with_word_ngrams
+
+    # compiled-Scala positioned k-grams (r13): the interpreted
+    # transform/slice/array_join HOF was the dominant per-task cost of
+    # this relation (same finding as ppjoin's gram build); NGram output
+    # is position-ordered, so posexplode yields identical (pos, gram) rows
     sized = toks.filter(F.size("tokens") >= k)
-    grams = sized.select(
-        id_col,
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(tokens) - {k}), "
-                f"i -> array_join(slice(tokens, i + 1, {k}), ' '))"
-            )
-        ).alias("pos", "gram"),
+    grams = with_word_ngrams(sized, "tokens", k, "_g").select(
+        id_col, F.posexplode("_g").alias("pos", "gram")
     )
     buckets = (
         grams.groupBy("gram")
@@ -563,15 +617,11 @@ def substring_span_pairs_delta(
     """
 
     def _grams(toks: DataFrame) -> DataFrame:
-        return toks.filter(F.size("tokens") >= k).select(
-            id_col,
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, size(tokens) - {k}), "
-                    f"i -> array_join(slice(tokens, i + 1, {k}), ' '))"
-                )
-            ).alias("pos", "gram"),
-        )
+        from ..functions.text import with_word_ngrams
+
+        return with_word_ngrams(
+            toks.filter(F.size("tokens") >= k), "tokens", k, "_g"
+        ).select(id_col, F.posexplode("_g").alias("pos", "gram"))
 
     bg = _grams(base_toks)
     occ = bg.groupBy("gram").agg(F.count("*").alias("_occ"))

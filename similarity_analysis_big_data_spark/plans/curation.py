@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long_sql
-from ..functions.text import tokenize, word_ngrams
+from ..functions.text import tokenize, with_word_ngrams
 from ..sources.readers import load_table
 from .dedup import SQL_PPJOIN_QUALIFIED
 from .registry import register
@@ -170,8 +170,10 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize(F.lower("text")).alias("tokens"))
     win = (
-        toks.filter(F.size("tokens") >= CONTAM_NGRAM)
-        .select("doc_id", F.explode(word_ngrams("tokens", CONTAM_NGRAM)).alias("gram"))
+        with_word_ngrams(
+            toks.filter(F.size("tokens") >= CONTAM_NGRAM), "tokens", CONTAM_NGRAM, "_g"
+        )
+        .select("doc_id", F.explode("_g").alias("gram"))
         .select("doc_id", F.md5("gram").alias("w"))
     )
     eval_w = (
@@ -328,8 +330,10 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     win = (
-        toks.filter(F.size("tokens") >= CONTAM_NGRAM)
-        .select("doc_id", F.explode(word_ngrams("tokens", CONTAM_NGRAM)).alias("gram"))
+        with_word_ngrams(
+            toks.filter(F.size("tokens") >= CONTAM_NGRAM), "tokens", CONTAM_NGRAM, "_g"
+        )
+        .select("doc_id", F.explode("_g").alias("gram"))
         .select("doc_id", F.md5("gram").alias("w"))
     )
     eval_w = win.filter(F.col("doc_id") % EVAL_MOD == 0).select("w").distinct()

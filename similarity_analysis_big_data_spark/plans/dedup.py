@@ -24,7 +24,7 @@ from ..functions.hashing import (
     md5_long_sql,
     rolling_fingerprint,
 )
-from ..functions.text import tokenize, word_ngrams
+from ..functions.text import tokenize, with_word_ngrams
 from ..operators.dedup import (
     canonical_fingerprint,
     exact_dedup_groups,
@@ -200,7 +200,7 @@ def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
     sigs = minhash_signatures(shingles, "doc_id")
     cand = lsh_candidate_pairs(sigs, "doc_id")
-    pairs = jaccard_pairs(shingles, "doc_id", candidates=cand, assume_distinct=True)
+    pairs = jaccard_pairs(shingles, "doc_id", candidates=cand, assume_distinct=True, threshold=(1, 2))
     return pairs.filter(F.col("jaccard") >= 0.5).select(
         "id_l", "id_r", F.round("jaccard", 6).alias("jaccard")
     )
@@ -269,7 +269,7 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(shingles, "doc_id")
     cand = lsh_candidate_pairs(sigs, "doc_id")
     verified = jaccard_pairs(
-        shingles, "doc_id", candidates=cand, assume_distinct=True
+        shingles, "doc_id", candidates=cand, assume_distinct=True, threshold=(1, 2)
     ).filter(F.col("jaccard") >= 0.5)
     src = docs.select("doc_id", "source")
     return (
@@ -369,7 +369,7 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(shingles, "doc_id")
     cand = lsh_candidate_pairs(sigs, "doc_id")
     verified = jaccard_pairs(
-        shingles, "doc_id", candidates=cand, assume_distinct=True
+        shingles, "doc_id", candidates=cand, assume_distinct=True, threshold=(1, 2)
     ).filter(F.col("jaccard") >= 0.5)
     bucket = md5_long(F.col("doc_id").cast("string")) % 100
     split = docs.select(
@@ -438,7 +438,7 @@ def train_corpus_leakage_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(shingles, "doc_id")
     cand = lsh_candidate_pairs(sigs, "doc_id")
     verified = jaccard_pairs(
-        shingles, "doc_id", candidates=cand, assume_distinct=True
+        shingles, "doc_id", candidates=cand, assume_distinct=True, threshold=(1, 2)
     ).filter(F.col("jaccard") >= 0.5)
     bucket = md5_long(F.col("doc_id").cast("string")) % 100
     split = docs.select(
@@ -504,8 +504,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % (SAMPLE_MOD * 2) == 0
     )
-    grams = docs.select(
-        "doc_id", F.explode(word_ngrams(tokenize(F.lower("text")), 3)).alias("shingle")
+    grams = with_word_ngrams(docs, tokenize(F.lower("text")), 3, "_g").select(
+        "doc_id", F.explode("_g").alias("shingle")
     )
     pairs = jaccard_pairs(grams, "doc_id")
     return pairs.select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
@@ -654,12 +654,13 @@ def ppjoin_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's whole cost (10.7 s -> ~3 s at sf0.1). Blocks self-release
     with the plan (the CacheManager sweep lesson, ADVICE r5)."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_ngrams(tokenize(F.lower("text")), PPJOIN_N))
-        ).alias("shingle"),
-    ).localCheckpoint(eager=True)
+    # compiled-Scala n-grams (r13): the interpreted transform/slice HOF was
+    # 3.8 s of this relation's 4.3 s at sf0.1 — see with_word_ngrams
+    grams = (
+        with_word_ngrams(docs, tokenize(F.lower("text")), PPJOIN_N, "_g")
+        .select("doc_id", F.explode(F.array_distinct("_g")).alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
     pairs = ppjoin_pairs(grams, "doc_id", "shingle", threshold=PPJOIN_T)
     return pairs.select(
         "id_l",
@@ -1106,7 +1107,7 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
     sigs = minhash_signatures(shingles, "doc_id")
     cand = lsh_candidate_pairs(sigs, "doc_id")
-    dup_pairs = jaccard_pairs(shingles, "doc_id", candidates=cand, assume_distinct=True).filter(
+    dup_pairs = jaccard_pairs(shingles, "doc_id", candidates=cand, assume_distinct=True, threshold=(1, 2)).filter(
         F.col("jaccard") >= 0.5
     )
     # the CC iteration state is label-sized, not corpus-sized: 8
@@ -1202,6 +1203,8 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "edit_dist", F.levenshtein("text_l", "text_r", FUZZY_MAX_EDIT).cast("long")
         )
+        # the <= conjunct is redundant (the 3-arg form only returns values
+        # in [0, FUZZY_MAX_EDIT] or -1) but documents the contract
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= FUZZY_MAX_EDIT))
         .select("id_l", "id_r", "edit_dist")
     )
@@ -1249,8 +1252,8 @@ def passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize(F.lower("text")).alias("tokens"))
     win = (
-        toks.filter(F.size("tokens") >= 8)
-        .select("doc_id", F.explode(word_ngrams("tokens", 8)).alias("gram"))
+        with_word_ngrams(toks.filter(F.size("tokens") >= 8), "tokens", 8, "_g")
+        .select("doc_id", F.explode("_g").alias("gram"))
         .select("doc_id", F.md5("gram").alias("w"))
     )
     shared = win.groupBy("w").agg(F.count_distinct("doc_id").alias("nd"))
@@ -1806,7 +1809,7 @@ def near_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
     cand = lsh_candidate_pairs(minhash_signatures(shingles, "doc_id"), "doc_id")
-    dup = jaccard_pairs(shingles, "doc_id", candidates=cand, assume_distinct=True).filter(
+    dup = jaccard_pairs(shingles, "doc_id", candidates=cand, assume_distinct=True, threshold=(1, 2)).filter(
         F.col("jaccard") >= 0.5
     )
     comp = connected_components(dup.select("id_l", "id_r"), "id_l", "id_r")
@@ -1912,7 +1915,7 @@ def near_dup_best_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFra
     shingles = toksets.select("doc_id", F.explode("toks").alias("shingle"))
     sigs = minhash_signatures(shingles, "doc_id")
     cand = lsh_candidate_pairs(sigs, "doc_id")
-    dup_pairs = jaccard_pairs(shingles, "doc_id", candidates=cand, assume_distinct=True).filter(
+    dup_pairs = jaccard_pairs(shingles, "doc_id", candidates=cand, assume_distinct=True, threshold=(1, 2)).filter(
         F.col("jaccard") >= 0.5
     )
     comp = connected_components(
@@ -2011,7 +2014,7 @@ def incremental_near_dup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = base.join(delta, ["band", "key"]).select("id_l", "id_r").distinct()
     dup_delta = (
-        jaccard_pairs(shingles, "doc_id", candidates=cand, assume_distinct=True)
+        jaccard_pairs(shingles, "doc_id", candidates=cand, assume_distinct=True, threshold=(1, 2))
         .filter(F.col("jaccard") >= 0.5)
         .select(F.col("id_r").alias("doc_id"))
         .distinct()

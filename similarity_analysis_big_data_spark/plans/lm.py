@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long_sql
-from ..functions.text import tokenize
+from ..functions.text import tokenize, with_word_ngrams
 from ..functions.vectors import cosine_similarity, cosine_sql
 from ..operators.rank import bucketed_row_number, ntile_from_rank
 from ..operators.topk import global_top_n
@@ -149,13 +149,11 @@ def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     |distinct bigrams| — still vocabulary-scaled, not corpus-scaled."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize(F.lower("text")).alias("tokens"))
-    # tokens[i] is 0-based in Spark SQL; guard size<2 (Spark's sequence(1,0)
-    # would DESCEND, not return empty)
-    bigrams = F.when(
-        F.size("tokens") >= 2,
-        F.expr("transform(sequence(1, size(tokens)-1), i -> concat(tokens[i-1], ' ', tokens[i]))"),
-    ).otherwise(F.array().cast("array<string>"))
-    bigs = toks.select("doc_id", F.explode(bigrams).alias("bg"))
+    # compiled-Scala bigrams (r13): same strings as the interpreted
+    # transform form, one Scala UDF per row instead of a lambda per position
+    bigs = with_word_ngrams(toks, "tokens", 2, "_bg").select(
+        "doc_id", F.explode("_bg").alias("bg")
+    )
     bg_counts = bigs.groupBy("bg").agg(F.count("*").alias("c2"))
     ctx_counts = (
         bigs.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
@@ -471,11 +469,9 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c1"))
     )
     nt = uni_counts.agg(F.sum("c1").cast("double").alias("n_tokens"))
-    bigrams = F.when(
-        F.size("tokens") >= 2,
-        F.expr("transform(sequence(1, size(tokens)-1), i -> concat(tokens[i-1], ' ', tokens[i]))"),
-    ).otherwise(F.array().cast("array<string>"))
-    bigs = toks.select(F.explode(bigrams).alias("bg"))
+    bigs = with_word_ngrams(toks, "tokens", 2, "_bg").select(
+        F.explode("_bg").alias("bg")
+    )
     nb = bigs.agg(F.count("*").cast("double").alias("n_bigrams"))
     bg_counts = (
         bigs.groupBy("bg")
@@ -1041,25 +1037,19 @@ def trigram_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokenize(F.lower("text")).alias("tokens")
     )
 
-    def ngram_arr(n: int):
-        if n == 1:
-            return F.col("tokens")
-        return F.when(
-            F.size("tokens") >= n,
-            F.expr(
-                f"transform(sequence({n}, size(tokens)), "
-                f"i -> concat_ws(' ', slice(tokens, i - {n - 1}, {n})))"
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    from ..functions.text import with_word_ngrams
 
     train = F.col("doc_id") % 2 == 0
+    # compiled-Scala n-grams (r13): the interpreted transform/slice HOF
+    # was the per-task hot spot of both gram builds (see with_word_ngrams)
     counts = (
-        toks.filter(train)
-        .select(
-            F.explode(
-                F.concat(ngram_arr(3), ngram_arr(2), ngram_arr(1))
-            ).alias("g")
+        with_word_ngrams(
+            with_word_ngrams(toks.filter(train), "tokens", 3, "_g3"),
+            "tokens",
+            2,
+            "_g2",
         )
+        .select(F.explode(F.concat("_g3", "_g2", F.col("tokens"))).alias("g"))
         .groupBy("g")
         .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=True)
@@ -1080,7 +1070,9 @@ def trigram_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0][0]
     ) or 0
 
-    tri = toks.select("doc_id", F.explode(ngram_arr(3)).alias("tg"))
+    tri = with_word_ngrams(toks, "tokens", 3, "_g3").select(
+        "doc_id", F.explode("_g3").alias("tg")
+    )
     held = tri.filter(~train).select(
         "doc_id",
         "tg",
@@ -1504,16 +1496,8 @@ def countmin_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(tokenize(F.lower("text")).alias("tokens"))
-    bigs = toks.select(
-        F.explode(
-            F.when(
-                F.size("tokens") >= 2,
-                F.expr(
-                    "transform(sequence(1, size(tokens)-1), "
-                    "i -> concat(tokens[i-1], ' ', tokens[i]))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("bg")
+    bigs = with_word_ngrams(toks, "tokens", 2, "_bg").select(
+        F.explode("_bg").alias("bg")
     )
     bg_counts = bigs.groupBy("bg").agg(F.count("*").cast("long").alias("c2"))
     buckets = bg_counts.select(

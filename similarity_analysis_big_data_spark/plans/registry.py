@@ -53,74 +53,72 @@ def register(
 
 # Names surfaced FIRST in query_map()/oracle_sql_map(). The round driver
 # samples ~50 registry entries per round in presentation order; the
-# r1∪…∪r11 union has driver-checked ALL 287 registered queries at least
-# once with zero hash failures ever, so round-12 ordering is pure
-# freshness rotation (the r11 verdict's items 2 and 6): (1) the 29
-# queries whose latest driver row dates from r5 — the oldest rows
-# anywhere after the r11 window retired the r4 cohort; (2) the 14
-# r6-latest rows; (3) the two rows-only queries (`pca_project_embeddings`,
-# `ann_pq_trained_recall_at_k` — `err: no_oracle` by design, last rows
-# r8) together with their hash-checked twins
-# (`pca_fixed_basis_projection`, `embedding_covariance_cells`) so the
-# rows-only pairing stays visibly current; (4) the alphabetically first
-# r7-latest rows to fill the ~50-row window. After r12 no latest row
-# predates r7. (Pure presentation order — every query is in the map
-# either way.)
+# r1∪…∪r12 union has driver-checked ALL 287 registered queries at least
+# once with zero hash failures ever, so round-13 ordering is pure
+# freshness rotation (continuing the r11/r12 policy, per the r12
+# verdict's item 7): (1) all 44 queries whose latest driver row dates
+# from r7 — the oldest rows anywhere after the r12 window retired the
+# r5/r6 cohorts; (2) the two rows-only queries (`pca_project_embeddings`,
+# `ann_pq_trained_recall_at_k` — `err: no_oracle` by design) kept
+# adjacent to their hash-checked twins (`pca_fixed_basis_projection`,
+# `embedding_covariance_cells`) so the rows-only pairing stays visibly
+# current; (3) the alphabetically first r8-latest rows to fill the
+# ~50-row window. After r13 no latest row predates r8. (Pure
+# presentation order — every query is in the map either way.)
 PRIORITY: tuple[str, ...] = (
-    # -- latest driver row r5: the oldest of the ledger --
-    "null_semantics_audit",
-    "profile_orders_columns",
-    "q10_returned_item_revenue",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q18_large_volume_orders",
-    "q22_dormant_rich_customers",
-    "q6_forecast_revenue",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "regr_price_vs_qty",
-    "robust_stats_by_source",
-    "sessionization_gap",
-    "sliding_window_event_counts",
-    "stratified_sample_by_lang",
-    "subq_correlated_small_qty",
-    "subq_exists_returned",
-    "subq_in_big_spenders",
-    "subq_not_exists_unreturned_parts",
-    "subq_not_in_quiet_suppliers",
-    "subq_scalar_above_avg",
-    "text_quality_scores",
-    "token_count_stats",
-    "train_val_test_split",
-    "training_corpus_filtered",
-    "user_event_burstiness",
-    "weighted_median_price",
-    "weighted_reservoir_sample",
-    "window_percent_rank",
-    # -- latest driver row r6 --
-    "contrastive_pair_mining",
-    "cross_source_dup_matrix",
-    "exact_substring_spans",
-    "funnel_view_click_purchase",
-    "incremental_substring_delta",
-    "perplexity_bucket_filter",
-    "ppjoin_exact_pairs",
-    "rrf_fusion_retrieval",
-    "stream_twin_dedup",
-    "substring_dedup_rewrite",
-    "substring_dup_coverage",
-    "token_budget_after_dedup",
-    "weighted_jaccard_pairs",
-    "zipf_fit_by_source",
+    # -- latest driver row r7: the oldest of the ledger --
+    "approx_distinct_parts",
+    "attribution_decay_revenue",
+    "bpe_train_apply_unrolled",
+    "countmin_heavy_ngrams",
+    "dsir_importance_weights",
+    "dup_rate_by_source",
+    "event_lateness_watermark_profile",
+    "facility_location_selection",
+    "feature_hashed_tf",
+    "gdpr_erasure_cascade",
+    "geometric_mean_by_type",
+    "gopher_repetition_metrics",
+    "hll_sketch_merge_users",
+    "incremental_near_dup_delta",
+    "kcenter_coreset_sample",
+    "langid_confidence_margin",
+    "langid_confusion_matrix",
+    "lsh_recall_by_jaccard_band",
+    "mmr_diverse_topk",
+    "near_dup_best_quality_survivors",
+    "pii_detection_stats",
+    "pii_multitype_risk",
+    "pii_redacted_rewrite",
+    "price_drift_psi",
+    "q11_important_parts",
+    "q12_late_lines_by_status",
+    "q15_top_revenue_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_join_revenue",
+    "q20_dominant_part_suppliers",
+    "q9_product_profit",
+    "readability_scores",
+    "split_leakage_pairs",
+    "stream_twin_interval_join",
+    "stream_twin_session_windows",
+    "stream_twin_sliding_counts",
+    "stream_twin_stateful_totals",
+    "target_encode_priority_loo",
+    "top_trigrams_per_lang",
+    "train_corpus_leakage_purged",
+    "trigram_backoff_scores",
+    "user_event_chisq_anomaly",
+    "vocab_richness_by_source",
+    "zscore_doclen_by_lang",
     # -- rows-only queries + their hash-checked twins (r11 verdict item 6) --
     "pca_project_embeddings",
     "ann_pq_trained_recall_at_k",
     "pca_fixed_basis_projection",
     "embedding_covariance_cells",
-    # -- latest driver row r7, alphabetical: fill the window --
-    "abtest_cuped_adjusted",
-    "ann_binary_sign_recall_at_k",
-    "ann_filtered_topk",
+    # -- latest driver row r8, alphabetical: fill the window --
+    "ann_bruteforce_topk",
+    "ann_hyperplane_lsh_buckets",
 )
 
 

@@ -274,6 +274,7 @@ def title_best_abstract(
     docs = load_table(spark, sf_dir, "documents")
     key = (spark.sparkContext.applicationId, sf_dir)
     n_lit: int | None = None  # driver-known corpus size (memo-dense path)
+    memo_dense: tuple | None = None  # provisionally accepted dense memo
 
     if strategy == "auto":
         # Cheap pre-probe (r10): the distinct-term count of ANY document
@@ -293,12 +294,12 @@ def title_best_abstract(
         # round-before-argmax / tiebreak contract, so even a wrong
         # strategy choice cannot change the RESULT. A memoized DENSE
         # verdict (r11) carries the corpus size the full probe measured
-        # and is re-validated on reuse with one metadata-cheap count():
-        # an unchanged row count accepts the verdict and takes the direct
-        # dense path (no probe aggregates, no tagged-union collect, the
-        # corpus size as a plan literal instead of a cross-joined 1-row
-        # aggregate); a changed count falls back to the full probe, which
-        # re-decides and re-memoizes. The residual same-count-rewrite
+        # and is re-validated on reuse by a count FOLDED into the title
+        # collect (r13 — one driver action for both): an unchanged row
+        # count accepts the verdict and takes the direct dense path (no
+        # probe aggregates, the corpus size as a plan literal instead of
+        # a cross-joined 1-row aggregate); a changed count re-decides
+        # from scratch and re-memoizes. The residual same-count-rewrite
         # hazard (a mid-session rewrite of the SAME dir to the SAME row
         # count with a radically wider vocabulary — ADVICE r11) is closed
         # one layer down: dense_best_match measures the ACTUAL collected
@@ -311,12 +312,21 @@ def title_best_abstract(
         if cached == "sparse":
             strategy = "sparse"
         elif isinstance(cached, tuple) and cached[0] == "dense":
-            n_now = docs.count()
-            if n_now == cached[1] and cached[2] <= DENSE_MAX_VOCAB:
-                strategy = "dense"
-                n_lit = n_now
-            # else: stale memo — leave strategy "auto"; the full probe
-            # below re-decides from the data and overwrites the memo
+            if cached[2] <= DENSE_MAX_VOCAB:
+                # Accept the memo PROVISIONALLY: the row-count revalidation
+                # is folded into the title-matrix collect below (r13 — one
+                # driver action instead of a separate count() job + the
+                # collect inside dense_best_match; the memoized path now
+                # runs 2 actions total including the caller's). A stale
+                # count discards the collected rows and re-decides from
+                # scratch — same hazard cost as the old separate count()
+                # (one wasted cheap job), on a path only a mid-session
+                # data rewrite can reach.
+                memo_dense = cached
+                n_lit = cached[1]
+            # else: vocab bound drifted across code changes — leave
+            # strategy "auto"; the full probe below re-decides from the
+            # data and overwrites the memo
         elif cached is None:
             # Deterministic sample (ADVICE r10): a bare limit(512) takes
             # whichever partitions finish first, so near the vocab
@@ -394,6 +404,39 @@ def title_best_abstract(
     )
 
     t_rows = None
+    if memo_dense is not None:
+        # Folded revalidation (r13): ONE driver action yields the current
+        # corpus count AND the full title matrix. The matrix rows were
+        # weighted with the memoized count as the IDF literal, so they are
+        # valid exactly when the count still matches; on a mismatch the
+        # rows are discarded, the stale memo dropped, the attempt's
+        # persists released, and the call re-decides from scratch (the
+        # recursion re-enters with no memo: cheap pre-probe, then the full
+        # probe — which rebuilds the identical TF/DF plans).
+        tagged_cnt = docs.agg(F.count("*").alias("n_docs")).select(
+            F.lit("cnt").alias("tag"),
+            F.lit(None).cast("long").alias("title_id"),
+            F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("double").alias("weight"),
+            "n_docs",
+        )
+        tagged_vec = title_vec.select(
+            F.lit("vec").alias("tag"),
+            "title_id",
+            "term",
+            "weight",
+            F.lit(None).cast("long").alias("n_docs"),
+        )
+        rows = tagged_cnt.unionByName(tagged_vec).collect()
+        n_now = next(r for r in rows if r["tag"] == "cnt")["n_docs"]
+        if n_now == memo_dense[1]:
+            strategy = "dense"
+            t_rows = [r for r in rows if r["tag"] == "vec"]
+        else:
+            _AUTO_STRATEGY_CACHE.pop(key, None)
+            abstract_tf.unpersist()
+            df_.unpersist()
+            return title_best_abstract(spark, sf_dir, strategy="auto")
     if strategy == "auto":
         # ONE driver action yields the strategy decision AND (when the
         # decision is dense) the full title matrix (r6 fold of the former

@@ -432,12 +432,11 @@ def top_trigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     position table — the Spark side builds n-grams with a per-row transform),
     then one partial+final count per (lang, trigram) and a top-k window per
     lang. Trigram skew (template boilerplate) is exactly the salted-agg case."""
-    from ..functions.text import word_ngrams
+    from ..functions.text import with_word_ngrams
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "lang",
-        F.explode(word_ngrams(tokenize(F.lower(F.col("text"))), 3)).alias("trigram"),
+    grams = with_word_ngrams(docs, tokenize(F.lower(F.col("text"))), 3, "_g").select(
+        "lang", F.explode("_g").alias("trigram")
     )
     counted = grams.groupBy("lang", "trigram").agg(
         F.count("*").alias("n_occurrences")
@@ -507,23 +506,29 @@ def gopher_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys are doc-scoped and uniformly distributed (no corpus-wide hot key —
     unlike corpus term counts, which need the salted path). The three
     granularities then join on doc_id, already the partitioning key."""
-    from ..functions.text import word_ngrams
+    from ..functions.text import with_word_ngrams
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize(F.lower("text")).alias("tokens"))
 
-    def frac(gram_col, n, agg_expr, out):
-        grams = toks.filter(F.size("tokens") >= n).select(
-            "doc_id", F.explode(gram_col).alias("g")
-        )
+    def frac(grams, agg_expr, out):
         per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
         return per_gram.groupBy("doc_id").agg(F.round(agg_expr, 6).alias(out))
 
+    def gram_rows(n):
+        return with_word_ngrams(
+            toks.filter(F.size("tokens") >= n), "tokens", n, "_g"
+        ).select("doc_id", F.explode("_g").alias("g"))
+
     max_frac = F.max("c") / F.sum("c")
     dup_frac = F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))) / F.sum("c")
-    uni = frac(F.col("tokens"), 1, max_frac, "max_word_frac")
-    bi = frac(word_ngrams("tokens", 2), 2, max_frac, "top_bigram_frac")
-    tri = frac(word_ngrams("tokens", 3), 3, dup_frac, "dup_trigram_frac")
+    uni = frac(
+        toks.filter(F.size("tokens") >= 1).select("doc_id", F.explode("tokens").alias("g")),
+        max_frac,
+        "max_word_frac",
+    )
+    bi = frac(gram_rows(2), max_frac, "top_bigram_frac")
+    tri = frac(gram_rows(3), dup_frac, "dup_trigram_frac")
     return (
         toks.select("doc_id")
         .join(uni, "doc_id", "left")
@@ -1051,18 +1056,12 @@ def ngram_novelty_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", tokenize(F.lower("text")).alias("tokens")
     )
-    grams = toks.select(
+    from ..functions.text import with_word_ngrams
+
+    grams = with_word_ngrams(toks, "tokens", NOVELTY_N, "_g").select(
         "doc_id",
         (F.col("doc_id") % 2 == 0).alias("is_ref"),
-        F.explode(
-            F.when(
-                F.size("tokens") >= NOVELTY_N,
-                F.expr(
-                    f"transform(sequence({NOVELTY_N}, size(tokens)), "
-                    "i -> concat(tokens[i-3], ' ', tokens[i-2], ' ', tokens[i-1]))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
+        F.explode("_g").alias("g"),
     )
     ref = grams.filter("is_ref").select("g").distinct()
     test = grams.filter(~F.col("is_ref")).join(

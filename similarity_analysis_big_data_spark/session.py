@@ -55,7 +55,14 @@ def get_session(
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g").strip()
+    # The value is interpolated into -Xms below, and the two sides parse
+    # bare numbers differently: spark.driver.memory treats "2048" as MiB,
+    # but the JVM reads -Xms2048 as 2048 BYTES and fails to launch (ADVICE
+    # r12). Normalize a bare-number env value to an explicit MiB suffix so
+    # both consumers agree.
+    if driver_mem.isdigit():
+        driver_mem += "m"
     conf = {
         # local mode runs executors inside the driver JVM — the default 1g
         # heap GC-thrashes 32 concurrent tasks. Keep the heap MODEST and

@@ -88,6 +88,35 @@ def test_word_ngrams(spark):
     assert out[1] == []  # shorter than n -> empty, not a descending-sequence crash
 
 
+def test_with_word_ngrams_matches_column_form(spark):
+    """The compiled-Scala NGram path (r13) must be row-identical to the
+    interpreted word_ngrams Column form — same grams in the same (position)
+    order, empty below n, exactly-n, and null arrays normalized to empty."""
+    from similarity_analysis_big_data_spark.functions.text import with_word_ngrams
+
+    rows = [
+        (1, ["a", "b", "c", "d"]),
+        (2, ["a"]),
+        (3, ["x", "y", "z"]),  # exactly n for n=3
+        (4, None),
+        (5, []),
+        (6, ["a", "a", "a", "a", "a"]),  # repeats preserved per position
+    ]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    for n in (2, 3, 5):
+        got = {
+            r["id"]: r["g"]
+            for r in with_word_ngrams(df, "toks", n, "g").select("id", "g").collect()
+        }
+        want = {
+            r["id"]: r["g"]
+            for r in df.select("id", word_ngrams("toks", n).alias("g")).collect()
+        }
+        # word_ngrams(null) -> empty array; with_word_ngrams normalizes the
+        # same way
+        assert got == want, (n, got, want)
+
+
 def test_rolling_fingerprint_deterministic(spark):
     df = spark.createDataFrame([("abc",), ("abc",), ("abd",)], ["t"])
     vals = [r["fp"] for r in df.select(rolling_fingerprint("t").alias("fp")).collect()]
@@ -555,6 +584,43 @@ def test_jaccard_candidate_driven_equals_postfilter(docs):
         k: v for k, v in full.items() if k in {(1, 3), (4, 5), (1, 2), (2, 4)}
     }
     assert driven == pytest.approx(expected)
+
+
+def test_jaccard_threshold_prefilter_equals_postfilter(docs):
+    """The thresholded verify (r13: exact size-ratio prefilter + smaller-
+    side probe) must agree with the un-thresholded candidate path after the
+    caller's >= t filter — for every pair AT or ABOVE the threshold, the
+    pair and its exact jaccard value are identical; pairs below may only
+    ever be dropped, never altered or invented."""
+    shingles = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize(F.lower("text")))).alias("shingle"),
+    )
+    spark = docs.sparkSession
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    # every ordered pair — includes size-ratio violators and zero-overlap
+    # pairs, both directions of the (smaller, larger) probe swap
+    cands = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a != b], "id_l long, id_r long"
+    )
+    for num, den in [(1, 2), (1, 3), (4, 5)]:
+        t = num / den
+        thresholded = {
+            (r["id_l"], r["id_r"]): r["jaccard"]
+            for r in jaccard_pairs(
+                shingles, "doc_id", candidates=cands, threshold=(num, den)
+            ).collect()
+        }
+        plain = {
+            (r["id_l"], r["id_r"]): r["jaccard"]
+            for r in jaccard_pairs(shingles, "doc_id", candidates=cands).collect()
+        }
+        above = {k: v for k, v in plain.items() if v >= t}
+        kept_above = {k: v for k, v in thresholded.items() if v >= t}
+        assert kept_above == pytest.approx(above)
+        # anything the prefilter kept below t must carry the exact value
+        for k, v in thresholded.items():
+            assert v == pytest.approx(plain[k])
 
 
 # ---- operators/rank.py: direct equivalence properties -----------------------
