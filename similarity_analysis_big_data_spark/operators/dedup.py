@@ -712,6 +712,16 @@ def ppjoin_pairs(
     rhs = prefix.select(
         F.col("_id").alias("id_r"), "_tok", F.col("_sz").alias("_szr")
     )
+    # Carry the set sizes THROUGH the verify instead of re-aggregating and
+    # re-joining them after the intersection (r13): the prefix relation
+    # already owns _sz (the per-doc window count == |set| under the
+    # distinct-input precondition), so the post-agg sizes groupBy + two
+    # joins are pure recompute. distinct over the extra size columns keeps
+    # the same pair set (sizes are functionally dependent on the ids).
+    # Each surviving candidate then fans out by its SMALLER side —
+    # intersection is symmetric, so probing with the smaller set cuts the
+    # verify volume from Σ|set_l| to Σ min(|set_l|, |set_r|).
+    small_l = F.col("_szl") <= F.col("_szr")
     cand = (
         lhs.join(rhs, "_tok")
         .filter(
@@ -720,28 +730,33 @@ def ppjoin_pairs(
             & (num * F.col("_szl") <= den * F.col("_szr"))
             & (num * F.col("_szr") <= den * F.col("_szl"))
         )
-        .select("id_l", "id_r")
+        .select("id_l", "id_r", "_szl", "_szr")
         .distinct()
+        .select(
+            "id_l",
+            "id_r",
+            "_szl",
+            "_szr",
+            F.when(small_l, F.col("id_l")).otherwise(F.col("id_r")).alias("_probe"),
+            F.when(small_l, F.col("id_r")).otherwise(F.col("id_l")).alias("_other"),
+        )
     )
     inter = (
-        cand.join(sets.select(F.col("_id").alias("id_l"), "_tok"), "id_l")
-        .join(sets.select(F.col("_id").alias("id_r"), "_tok"), ["_tok", "id_r"])
-        .groupBy("id_l", "id_r")
+        cand.join(sets.select(F.col("_id").alias("_probe"), "_tok"), "_probe")
+        .join(sets.select(F.col("_id").alias("_other"), "_tok"), ["_tok", "_other"])
+        .groupBy("id_l", "id_r", "_szl", "_szr")
         .agg(F.count("*").alias("n_common"))
     )
-    sizes = sets.groupBy("_id").agg(F.count("*").alias("set_size"))
     return (
-        inter.join(
-            sizes.select(F.col("_id").alias("id_l"), F.col("set_size").alias("size_l")),
-            "id_l",
-        )
-        .join(
-            sizes.select(F.col("_id").alias("id_r"), F.col("set_size").alias("size_r")),
-            "id_r",
-        )
-        .filter(
+        inter.filter(
             den * F.col("n_common")
-            >= num * (F.col("size_l") + F.col("size_r") - F.col("n_common"))
+            >= num * (F.col("_szl") + F.col("_szr") - F.col("n_common"))
         )
-        .select("id_l", "id_r", "n_common", "size_l", "size_r")
+        .select(
+            "id_l",
+            "id_r",
+            "n_common",
+            F.col("_szl").alias("size_l"),
+            F.col("_szr").alias("size_r"),
+        )
     )
