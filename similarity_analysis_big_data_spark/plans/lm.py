@@ -149,11 +149,18 @@ def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     |distinct bigrams| — still vocabulary-scaled, not corpus-scaled."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize(F.lower("text")).alias("tokens"))
-    # compiled-Scala bigrams (r13): same strings as the interpreted
-    # transform form, one Scala UDF per row instead of a lambda per position
-    bigs = with_word_ngrams(toks, "tokens", 2, "_bg").select(
-        "doc_id", F.explode("_bg").alias("bg")
-    )
+    # tokens[i] is 0-based in Spark SQL; guard size<2 (Spark's sequence(1,0)
+    # would DESCEND, not return empty). KEPT on the element-index
+    # interpreted form (r13): unlike the slice-based gram builds (see
+    # with_word_ngrams), two O(1) element lookups + concat per position
+    # BEAT the compiled NGram UDF's array conversion overhead — fresh-
+    # process A/B 1.56 s vs 1.96 s at sf0.1; the NGram convert was
+    # measured and reverted.
+    bigrams = F.when(
+        F.size("tokens") >= 2,
+        F.expr("transform(sequence(1, size(tokens)-1), i -> concat(tokens[i-1], ' ', tokens[i]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    bigs = toks.select("doc_id", F.explode(bigrams).alias("bg"))
     bg_counts = bigs.groupBy("bg").agg(F.count("*").alias("c2"))
     ctx_counts = (
         bigs.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
@@ -469,9 +476,13 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c1"))
     )
     nt = uni_counts.agg(F.sum("c1").cast("double").alias("n_tokens"))
-    bigs = with_word_ngrams(toks, "tokens", 2, "_bg").select(
-        F.explode("_bg").alias("bg")
-    )
+    # element-index bigram build kept (r13): see bigram_surprisal_scores —
+    # the NGram convert measured SLOWER for this O(1)-per-element shape
+    bigrams = F.when(
+        F.size("tokens") >= 2,
+        F.expr("transform(sequence(1, size(tokens)-1), i -> concat(tokens[i-1], ' ', tokens[i]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    bigs = toks.select(F.explode(bigrams).alias("bg"))
     nb = bigs.agg(F.count("*").cast("double").alias("n_bigrams"))
     bg_counts = (
         bigs.groupBy("bg")
@@ -1496,8 +1507,18 @@ def countmin_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(tokenize(F.lower("text")).alias("tokens"))
-    bigs = with_word_ngrams(toks, "tokens", 2, "_bg").select(
-        F.explode("_bg").alias("bg")
+    # element-index bigram build kept (r13): see bigram_surprisal_scores —
+    # the NGram convert measured SLOWER for this O(1)-per-element shape
+    bigs = toks.select(
+        F.explode(
+            F.when(
+                F.size("tokens") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(tokens)-1), "
+                    "i -> concat(tokens[i-1], ' ', tokens[i]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg")
     )
     bg_counts = bigs.groupBy("bg").agg(F.count("*").cast("long").alias("c2"))
     buckets = bg_counts.select(
